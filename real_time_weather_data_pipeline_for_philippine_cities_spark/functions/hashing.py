@@ -1,0 +1,64 @@
+"""Portable deterministic hashing, identical in Spark SQL and DuckDB SQL.
+
+The correctness harness compares every Spark query against a DuckDB oracle
+(value-hash match), so any hash used in dedup / fingerprint / minhash
+operators must produce bit-identical values in both engines. Engine-native
+hashes (Spark xxhash64 / DuckDB hash) differ, so we derive integers from
+``md5`` hex (standard in both) and do the arithmetic in ANSI-safe ranges:
+
+  hash28(x) = int(md5(x)[0:7], 16)    < 2^28  (minhash base: products with
+                                               31-bit coefficients stay < 2^59,
+                                               no bigint overflow under ANSI)
+  hash32(x) = int(md5(x)[0:8], 16)    < 2^32  (simhash bit source)
+  hash60(x) = int(md5(x)[0:15], 16)   < 2^60  (exact-dup fingerprints)
+
+DuckDB twins (kept textually in the oracle SQL strings):
+  ('0x' || substring(md5(x), 1, N))::BIGINT
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Large prime below 2^31 for minhash permutations h_i = (a_i*h + b_i) % P.
+MINHASH_PRIME = 2147483647
+
+
+def _hex_prefix_int(col: Column, n_hex: int) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("long")
+
+
+def hash28(col: Column) -> Column:
+    """28-bit hash (7 md5 hex chars) — safe base for modular minhash math."""
+    return _hex_prefix_int(col, 7)
+
+
+def hash32(col: Column) -> Column:
+    """32-bit hash (8 md5 hex chars) — simhash bit source."""
+    return _hex_prefix_int(col, 8)
+
+
+def hash60(col: Column) -> Column:
+    """60-bit hash (15 md5 hex chars) — content fingerprint / exact dedup."""
+    return _hex_prefix_int(col, 15)
+
+
+def duckdb_hash_sql(expr: str, n_hex: int) -> str:
+    """DuckDB SQL text computing the same value as ``_hex_prefix_int``."""
+    return f"('0x' || substring(md5({expr}), 1, {n_hex}))::BIGINT"
+
+
+def minhash_coefficients(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k minhash permutations.
+
+    Pure arithmetic (no RNG object) so the exact same constants can be
+    inlined into the DuckDB oracle SQL. a in [1, P), b in [0, P).
+    """
+    coeffs = []
+    a, b = seed * 2654435761 % MINHASH_PRIME, seed
+    for _ in range(k):
+        a = (a * 1103515245 + 12345) % MINHASH_PRIME
+        b = (b * 69069 + 1) % MINHASH_PRIME
+        coeffs.append((a if a > 0 else 1, b))
+    return coeffs

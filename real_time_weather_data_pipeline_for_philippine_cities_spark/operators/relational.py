@@ -1,0 +1,126 @@
+"""Relational operator layer (SURVEY.md §2.3-2.6, §2.12).
+
+Each operator is a pure ``DataFrame -> DataFrame`` function — testable
+without I/O, composable into plans, and implemented exclusively with
+Catalyst-expressible built-ins so predicate pushdown / column pruning /
+whole-stage codegen apply end-to-end.
+
+Scale notes are inline per operator: the design target is a 1000-executor
+cluster over ~100 TB, where every avoidable shuffle matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def symmetric_difference(
+    new: DataFrame,
+    old: DataFrame,
+    columns: Sequence[str],
+    side_col: str = "diff_side",
+) -> DataFrame:
+    """Value-level symmetric difference — the reference's change detector.
+
+    The reference computes ``merge(how='outer', indicator=True)`` over all
+    compare columns and keeps rows where ``_merge != 'both'``
+    (weather_data_fetcher.py:384-390). That full-outer natural join is
+    re-expressed as two left-anti joins unioned: each side streams once,
+    no wide outer-join row explosion, and null-safe equality (``<=>``)
+    reproduces pandas' NaN-joins-NaN merge behavior.
+
+    Scale: both anti-joins shuffle-hash on the same key set; with AQE the
+    smaller snapshot side is broadcast and the diff is a single pass over
+    the big side. ``side_col`` says which snapshot the row came from
+    ('left_only' = only in ``new``, mirroring pandas indicator semantics).
+    """
+    left = new.select(*columns)
+    right = old.select(*columns)
+
+    def anti(a: DataFrame, b: DataFrame, tag: str) -> DataFrame:
+        bb = b.alias("b")
+        aa = a.alias("a")
+        cond = [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in columns]
+        return aa.join(bb, on=cond, how="left_anti").withColumn(side_col, F.lit(tag))
+
+    return anti(left, right, "left_only").unionByName(anti(right, left, "right_only"))
+
+
+def dense_ids(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    id_col: str = "id",
+) -> DataFrame:
+    """Dense 1..N surrogate keys over a stable total order.
+
+    Reproduces ``IDENTITY(1,1)`` + ``DBCC CHECKIDENT RESEED``
+    (weather_data_fetcher.py:63,236-237) deterministically: the reference's
+    key order depended on pandas row order; we pin it to an explicit sort.
+
+    Scale: a single global ``row_number`` forces one-partition windowing.
+    For dimension tables (the only place the reference needs dense keys —
+    146 rows) that is fine. For big tables use ``zipWithIndex``-style
+    two-phase numbering or ``monotonically_increasing_id`` when density is
+    not required (SURVEY.md §2.12).
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(id_col, F.row_number().over(w))
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    rn_col: str = "_rn",
+) -> DataFrame:
+    """Keep one row per key group — the first under ``order_by``.
+
+    This is the analytics layer's "latest reading per location"
+    (SURVEY.md §2.5) and the geocoder's first-match-wins selection
+    (weather_data_fetcher.py:172-218) in one primitive.
+
+    Scale: one hash-shuffle on ``keys``; partial ranking happens within
+    shuffle partitions (no global sort). Skewed keys are split by AQE.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(rn_col, F.row_number().over(w)).filter(F.col(rn_col) == 1).drop(rn_col)
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per key group, rank retained (dense ranks not needed —
+    reference's candidate selection is positional, W1/W2)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def first_match(
+    df: DataFrame,
+    keys: Sequence[str],
+    priority: Column,
+    tiebreak: Sequence[Column],
+    keep_priority_col: str | None = None,
+) -> DataFrame:
+    """First-match-by-priority: the reference's if-ladder candidate matcher.
+
+    ``match_province`` (weather_data_fetcher.py:159-218) walks geocode
+    candidates in API order and returns on the first rule hit; the rule
+    order defines which candidate wins. Encoded declaratively: a priority
+    expression (lower = better; null = no match) + positional tiebreak,
+    then rank-1 selection. Rows with null priority (no rule matched) drop,
+    matching the reference's None return (weather_data_fetcher.py:218).
+    """
+    scored = df.withColumn("_prio", priority).filter(F.col("_prio").isNotNull())
+    w = Window.partitionBy(*keys).orderBy(F.col("_prio").asc(), *tiebreak)
+    out = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    if keep_priority_col:
+        return out.withColumnRenamed("_prio", keep_priority_col)
+    return out.drop("_prio")

@@ -1,0 +1,437 @@
+"""Relational-core catalog entries (SURVEY.md §2.3-2.6, §2.12, §3.2).
+
+Covers: projections/renames/casts (P1-P8), broadcast left join (J1), inner
+FK join (J3), symmetric-difference change detection (J2), dense surrogate
+keys (§2.12), first-match ranking (W2/A2/J4), plus the analytics layer the
+reference's README promises but never built (group-by aggregates, time
+windows, top-k per group — SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import (
+    dense_ids,
+    first_match,
+    latest_per_key,
+    symmetric_difference,
+    topk_per_group,
+)
+from .base import Q, t
+
+
+# --------------------------------------------------------------------------
+# Flagship: latest observation per key joined to its dimension — the shape of
+# "latest weather per location ⋈ province" (SURVEY.md §7.1) on the testdata:
+# events = observation fact, customer = location dim, nation = province dim.
+# --------------------------------------------------------------------------
+def q_flagship_latest_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    latest = latest_per_key(
+        events, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    # Dimensions are tiny (reference dims: 146 / ~82 rows) → broadcast both;
+    # the only shuffle in this plan is the per-key ranking.
+    return (
+        latest.join(F.broadcast(customer), latest.user_id == customer.c_custkey, "inner")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("ts"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+
+_FLAGSHIP_SQL = """
+WITH latest AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT user_id, event_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT l.user_id, l.event_id, l.ts, l.event_type, l.value,
+       c.c_name AS customer_name, n.n_name AS nation_name
+FROM latest l
+JOIN customer c ON l.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+# -- A: group-by aggregation (TPC-H Q1 shape) ------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(avg(l_quantity), 2)                          AS avg_qty,
+       round(avg(l_discount), 4)                          AS avg_disc,
+       count(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- P1/P2/P3/P6: projection, rename, cast ---------------------------------
+def q_project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .withColumnRenamed("c_mktsegment", "segment")
+        .withColumn("cust_code", F.col("c_custkey").cast("string"))
+        .withColumn("acctbal_floor", F.floor("c_acctbal").cast("long"))
+        .drop("c_acctbal")
+    )
+
+
+_PROJECT_SQL = """
+SELECT c_custkey, c_name, c_mktsegment AS segment,
+       CAST(c_custkey AS VARCHAR) AS cust_code,
+       CAST(floor(c_acctbal) AS BIGINT) AS acctbal_floor
+FROM customer
+"""
+
+
+# -- P4/P5: filters and null predicates ------------------------------------
+def q_filter_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("value").isNotNull() & (F.col("value") > 50.0) & (F.col("event_type") != "error")
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+_FILTER_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE value IS NOT NULL AND value > 50.0 AND event_type <> 'error'
+"""
+
+
+# -- J1: broadcast left equi-join chain (cities⋈provinces analog) ----------
+def q_left_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+_LEFT_JOIN_SQL = """
+SELECT c_custkey, c_name, n.n_name AS nation_name, r.r_name AS region_name
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# -- J3: inner FK-resolution join (N+1 point lookups collapsed) ------------
+def q_inner_fk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    # Reference resolves FKs with one SELECT per row and drops misses
+    # (weather_data_fetcher.py:285-293) — i.e. an INNER broadcast join.
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice", "o_orderstatus"
+    )
+
+
+_INNER_FK_SQL = """
+SELECT o_orderkey, o_custkey, c_name, o_totalprice, o_orderstatus
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# -- J2: symmetric-difference change detection -----------------------------
+def q_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two overlapping-but-different snapshots of (partkey, suppkey) pairs —
+    # line 1 vs line 2 of each order — so both diff directions are
+    # populated, exercising add AND remove paths of the change detector.
+    li = t(spark, sf_dir, "lineitem")
+    new = (
+        li.filter(F.col("l_linenumber") == 1)
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    old = (
+        li.filter(F.col("l_linenumber") == 2)
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    return symmetric_difference(new, old, ["partkey", "suppkey"])
+
+
+_SYMDIFF_SQL = """
+WITH new AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+             FROM lineitem WHERE l_linenumber = 1),
+     old AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+             FROM lineitem WHERE l_linenumber = 2)
+SELECT partkey, suppkey, 'left_only' AS diff_side FROM new
+WHERE NOT EXISTS (SELECT 1 FROM old
+                  WHERE old.partkey = new.partkey AND old.suppkey = new.suppkey)
+UNION ALL
+SELECT partkey, suppkey, 'right_only' AS diff_side FROM old
+WHERE NOT EXISTS (SELECT 1 FROM new
+                  WHERE new.partkey = old.partkey AND new.suppkey = old.suppkey)
+"""
+
+
+# -- §2.12: dense surrogate keys -------------------------------------------
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    return dense_ids(
+        nation.select("n_nationkey", "n_name"),
+        [F.col("n_name").asc(), F.col("n_nationkey").asc()],
+        id_col="location_id",
+    )
+
+
+_DENSE_IDS_SQL = """
+SELECT n_nationkey, n_name,
+       row_number() OVER (ORDER BY n_name ASC, n_nationkey ASC) AS location_id
+FROM nation
+"""
+
+
+# -- W2/A2: latest-per-key ranking -----------------------------------------
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return latest_per_key(
+        ev.select("user_id", "event_id", "ts", "event_type", "value"),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+
+
+_LATEST_SQL = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# -- J4/F5: first-match-by-priority (match_province if-ladder shape) -------
+def q_first_match_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # Priority ladder mirrors the reference's rule ordering semantics
+    # (weather_data_fetcher.py:159-218): lower priority wins; unmatched
+    # event types are discarded like a no-match candidate.
+    priority = (
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .when(F.col("event_type") == "signup", F.lit(2))
+        .when(F.col("event_type") == "click", F.lit(3))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return first_match(
+        ev.select("user_id", "event_id", "ts", "event_type"),
+        ["user_id"],
+        priority,
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        keep_priority_col="match_priority",
+    )
+
+
+_FIRST_MATCH_SQL = """
+SELECT user_id, event_id, ts, event_type, match_priority FROM (
+  SELECT user_id, event_id, ts, event_type,
+         CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+                         WHEN 'click' THEN 3 END AS match_priority,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY (CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+                          WHEN 'click' THEN 3 END) ASC, ts ASC, event_id ASC) AS rn
+  FROM events
+  WHERE CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+             WHEN 'click' THEN 3 END IS NOT NULL
+) WHERE rn = 1
+"""
+
+
+# -- §2.9/§2.5: tumbling time-window aggregate -----------------------------
+def q_hourly_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # Spark's window() is epoch-aligned, so 1-hour tumbling windows start at
+    # date_trunc('hour') boundaries — the oracle twin below.
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_HOURLY_SQL = """
+SELECT date_trunc('hour', ts)                     AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR   AS window_end,
+       event_type,
+       count(*)                                   AS n_events,
+       round(sum(value), 2)                       AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# -- analytics: per-type daily min/max -------------------------------------
+def q_daily_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_DAILY_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       round(avg(value), 2) AS avg_value,
+       count(*) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# -- W1 analog: top-k per group --------------------------------------------
+def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner").select(
+        F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice"
+    )
+    return topk_per_group(
+        joined,
+        ["segment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+
+
+_TOPK_SQL = """
+SELECT segment, o_orderkey, o_totalprice, rank FROM (
+  SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 3
+"""
+
+
+# -- §3.2 composite: the location-refresh subflow shape --------------------
+def q_location_refresh_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cities⋈provinces left join + snapshot diff, on testdata analogs.
+
+    nation = cities, region = provinces; the 'old snapshot' simulates drift
+    by omitting every 7th nation — the diff must surface exactly those as
+    'left_only' rows, mirroring weather_data_fetcher.py:349-399.
+    """
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").withColumnRenamed("r_name", "province_name")
+    merged = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(F.col("n_name").alias("location_name"), "province_name")
+    )
+    old = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") % 7 != 0)
+        .join(
+            F.broadcast(t(spark, sf_dir, "region").withColumnRenamed("r_name", "province_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "left",
+        )
+        .select(F.col("n_name").alias("location_name"), "province_name")
+    )
+    return symmetric_difference(merged, old, ["location_name", "province_name"])
+
+
+_LOCATION_REFRESH_SQL = """
+WITH merged AS (
+  SELECT n_name AS location_name, r_name AS province_name
+  FROM nation LEFT JOIN region ON n_regionkey = r_regionkey),
+old AS (
+  SELECT n_name AS location_name, r_name AS province_name
+  FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+  WHERE n_nationkey % 7 <> 0)
+SELECT m.location_name, m.province_name, 'left_only' AS diff_side
+FROM merged m WHERE NOT EXISTS (
+  SELECT 1 FROM old o
+  WHERE o.location_name IS NOT DISTINCT FROM m.location_name
+    AND o.province_name IS NOT DISTINCT FROM m.province_name)
+UNION ALL
+SELECT o.location_name, o.province_name, 'right_only' AS diff_side
+FROM old o WHERE NOT EXISTS (
+  SELECT 1 FROM merged m
+  WHERE m.location_name IS NOT DISTINCT FROM o.location_name
+    AND m.province_name IS NOT DISTINCT FROM o.province_name)
+"""
+
+
+ENTRIES: dict[str, Q] = {
+    "flagship_latest_obs": Q(q_flagship_latest_obs, _FLAGSHIP_SQL, "latest obs per key ⋈ dims"),
+    "pricing_summary": Q(q_pricing_summary, _PRICING_SQL, "TPC-H Q1-shape groupBy agg"),
+    "project_rename_cast": Q(q_project_rename_cast, _PROJECT_SQL, "P1-P3,P6"),
+    "filter_null_predicates": Q(q_filter_null_predicates, _FILTER_SQL, "P4-P5"),
+    "left_join_broadcast": Q(q_left_join_broadcast, _LEFT_JOIN_SQL, "J1"),
+    "inner_fk_join": Q(q_inner_fk_join, _INNER_FK_SQL, "J3"),
+    "symmetric_diff": Q(q_symmetric_diff, _SYMDIFF_SQL, "J2 change detection"),
+    "dense_ids": Q(q_dense_ids, _DENSE_IDS_SQL, "§2.12 identity keys"),
+    "latest_event_per_user": Q(q_latest_event_per_user, _LATEST_SQL, "W2/A2"),
+    "first_match_priority": Q(q_first_match_priority, _FIRST_MATCH_SQL, "J4/F5 ladder"),
+    "hourly_window_agg": Q(q_hourly_window_agg, _HOURLY_SQL, "tumbling window"),
+    "daily_minmax": Q(q_daily_minmax, _DAILY_SQL, "daily analytics"),
+    "topk_orders_per_segment": Q(q_topk_orders_per_segment, _TOPK_SQL, "top-k per group"),
+    "location_refresh_diff": Q(
+        q_location_refresh_diff, _LOCATION_REFRESH_SQL, "§3.2 composite subflow"
+    ),
+}

@@ -1,0 +1,66 @@
+"""SparkSession construction and runtime tuning.
+
+Every query in this engine assumes:
+  * session timezone UTC (the reference's ``datetime.fromtimestamp`` is
+    local-tz — SURVEY.md §7.7.4 — we pin UTC so results are machine-stable),
+  * AQE enabled (runtime join-strategy selection, skew handling),
+  * a modest shuffle-partition count for local[N] testing; on a real
+    cluster this is left to AQE's coalescing + the cluster default.
+
+``tune(spark)`` applies only runtime-settable confs, so it is safe on a
+session we did not build (the driver passes us one).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to any session before running our plans.
+_RUNTIME_CONFS = {
+    # Pin timezone: reference uses local-time epoch conversion
+    # (weather_data_fetcher.py:280-281); we standardize on UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime broadcast selection, partition coalescing,
+    # skew-join splitting — the scale story for 100 TB plans.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas interchange (mapInPandas enrichments).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's events table carries TIMESTAMP(NANOS) parquet, which
+    # Spark rejects natively; read as long and convert in the registry
+    # (sources/registry.py) to microsecond timestamps, matching DuckDB's
+    # µs truncation of the same files.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-provided session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be static on exotic builds; never fail a query
+            # over tuning.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "rtw-spark", master: str | None = None) -> SparkSession:
+    """Build a local session sized for the test harness (local[N], AQE on)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune(spark)
