@@ -1,0 +1,338 @@
+"""Deduplication operators for web/training-scale corpora (SURVEY.md §7.6).
+
+Four families, all shuffle-conscious and UDF-free:
+
+  exact        hash-groupBy on a content key — one shuffle on the content
+               fingerprint, survivor = min id (deterministic).
+  minhash-lsh  shingle → k minhash → band keys → equi-self-join on band
+               buckets → exact-jaccard verification of candidates only.
+               The self-join is on band keys (small buckets), NOT an
+               all-pairs cross join — this is the 100 TB path.
+  simhash      32-bit majority-bit signature computed entirely inside
+               array expressions (no explode, no shuffle — map-only).
+  ngram-block  token-set jaccard with length-bucket blocking; the ±1 bucket
+               probe is expanded map-side into an equi-join (no range join,
+               no nested-loop).
+
+All hashing goes through md5-derived integers (functions.hashing) so the
+DuckDB oracle reproduces every value bit-for-bit; each Spark builder here
+has a ``*_sql`` twin emitting the equivalent DuckDB expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_PRIME, minhash_coefficients
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Mark one survivor (min id) per exact content key.
+
+    Output: input columns + ``dedup_key`` + ``kept`` (bool). One shuffle on
+    the key via a window min — preferred over groupBy+join because it keeps
+    carry-along columns without a second shuffle.
+    """
+    keyed = df.withColumn("dedup_key", key)
+    return keyed.withColumn(
+        "kept", F.col(id_col) == F.min(id_col).over(Window.partitionBy("dedup_key"))
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling + minhash (expressions over a tokens-array column named `tok_col`)
+# --------------------------------------------------------------------------
+
+
+def shingle_hash_expr(tok_col: str = "t", n: int = 3) -> Column:
+    """Distinct 28-bit hashes of word n-gram shingles from an array column.
+
+    Pure array expressions — map-side, inside whole-stage codegen. Caller
+    must pre-filter ``size(tok_col) >= n`` (Spark's ``sequence`` would
+    otherwise generate a descending range).
+    """
+    joined = ", ".join(f"{tok_col}[i+{j}]" for j in range(n))
+    return F.expr(
+        "array_distinct(transform("
+        f"transform(sequence(0, size({tok_col}) - {n}), i -> concat_ws(' ', {joined})),"
+        " s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS LONG)))"
+    )
+
+
+def shingle_hash_sql(tok_col: str = "t", n: int = 3) -> str:
+    """DuckDB twin (1-indexed lists; range(a,b) excludes b)."""
+    joined = " || ' ' || ".join(f"{tok_col}[i+{j}]" for j in range(n))
+    return (
+        "list_distinct(list_transform("
+        f"list_transform(range(1, len({tok_col}) - {n - 2}), i -> {joined}),"
+        " s -> ('0x' || substring(md5(s), 1, 7))::BIGINT))"
+    )
+
+
+def minhash_sig_col(hashes: Column, k: int = 12) -> Column:
+    """k-permutation minhash signature as array<long>. Products stay below
+    2^59 (28-bit hash × 31-bit coefficient) — ANSI-overflow-safe."""
+    coeffs = minhash_coefficients(k)
+
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % MINHASH_PRIME
+
+    sigs = [F.array_min(F.transform(hashes, perm(a, b))) for a, b in coeffs]
+    return F.array(*sigs)
+
+
+def minhash_sig_sql(hashes_expr: str, k: int = 12) -> str:
+    coeffs = minhash_coefficients(k)
+    sigs = [
+        f"list_min(list_transform({hashes_expr}, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+        for a, b in coeffs
+    ]
+    return "[" + ", ".join(sigs) + "]"
+
+
+def band_keys_col(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of one md5 band key per band (Spark arrays 0-indexed)."""
+    keys = []
+    for b in range(bands):
+        parts = [sig[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]
+        keys.append(F.md5(F.concat_ws("_", *parts)))
+    return F.array(*keys)
+
+
+def band_key_sqls(sig_expr: str, bands: int, rows_per_band: int) -> list[str]:
+    out = []
+    for b in range(bands):
+        parts = " || '_' || ".join(
+            f"{sig_expr}[{b * rows_per_band + r + 1}]::VARCHAR" for r in range(rows_per_band)
+        )
+        out.append(f"md5({parts})")
+    return out
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-jaccard verification.
+
+    Plan shape (what matters at 100 TB):
+      1. map-side: tokens → shingle hashes → signature → band keys (zero
+         shuffles, whole-stage codegen);
+      2. posexplode band keys and self-equi-join on (band_idx, band_key) —
+         the shuffle is keyed by band buckets; AQE splits skewed buckets;
+      3. distinct candidate pairs, then ONE hash-join back to the id→hashes
+         map so only candidates pay the set-intersection cost.
+
+    Output: doc_a, doc_b (doc_a < doc_b), jaccard (rounded 4dp) ≥ threshold.
+    """
+    rows_per_band = k // bands
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.col(text_col)), " +").alias("t"),
+        )
+        .filter(F.size("t") >= n)
+        .withColumn("hs", shingle_hash_expr("t", n))
+        .withColumn("sig", minhash_sig_col(F.col("hs"), k))
+        .withColumn("band_keys", band_keys_col(F.col("sig"), bands, rows_per_band))
+        .select("doc_id", "hs", "band_keys")
+    )
+    bands_df = base.select(
+        "doc_id", F.posexplode("band_keys").alias("band_idx", "band_key")
+    )
+    cand = (
+        bands_df.alias("a")
+        .join(bands_df.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hs_map = base.select("doc_id", "hs")
+    pairs = (
+        cand.join(hs_map.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(hs_map.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect(F.col("ha.hs"), F.col("hb.hs")))
+                / F.size(F.array_union(F.col("ha.hs"), F.col("hb.hs"))),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_dup_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB oracle for :func:`minhash_near_dup_pairs` — same algorithm,
+    same constants, same hashes."""
+    rows_per_band = k // bands
+    band_sqls = band_key_sqls("sig", bands, rows_per_band)
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band_idx, {bk} AS band_key FROM sigs"
+        for i, bk in enumerate(band_sqls)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, string_split_regex(lower({text_col}), ' +') AS t
+  FROM {table}),
+hashes AS (
+  SELECT doc_id, {shingle_hash_sql('t', n)} AS hs
+  FROM toks WHERE len(t) >= {n}),
+sigs AS (
+  SELECT doc_id, hs, {minhash_sig_sql('hs', k)} AS sig FROM hashes),
+bands AS (
+{band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(ha.hs, hb.hs))::DOUBLE
+               / len(list_distinct(list_concat(ha.hs, hb.hs))), 4) AS jaccard
+  FROM cand
+  JOIN hashes ha ON ha.doc_id = doc_a
+  JOIN hashes hb ON hb.doc_id = doc_b)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+# simhash bit b is set iff a strict majority of (distinct) token hashes have
+# bit b set; ties → 0. Two-step API: project the 32-bit token-hash array
+# once (token_hash32_expr), then reduce it to the signature
+# (simhash_from_hashes) — keeps the md5 work evaluated a single time.
+
+
+def token_hash32_expr(tok_col: str = "t") -> Column:
+    """32-bit hashes of distinct tokens (the simhash input column)."""
+    return F.expr(
+        f"transform(array_distinct({tok_col}),"
+        " tk -> CAST(conv(substring(md5(tk), 1, 8), 16, 10) AS LONG))"
+    )
+
+
+def token_hash32_sql(tok_col: str = "t") -> str:
+    return (
+        f"list_transform(list_distinct({tok_col}),"
+        " tk -> ('0x' || substring(md5(tk), 1, 8))::BIGINT)"
+    )
+
+
+def simhash_from_hashes(hs_col: str = "hs32") -> Column:
+    terms = [
+        f"(CASE WHEN 2 * size(filter({hs_col}, h -> (shiftright(h, {b}) & 1) = 1))"
+        f" > size({hs_col}) THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    ]
+    return F.expr(" + ".join(terms))
+
+
+def simhash_from_hashes_sql(hs_col: str = "hs32") -> str:
+    terms = [
+        f"(CASE WHEN 2 * len(list_filter({hs_col}, h -> ((h >> {b}) & 1) = 1))"
+        f" > len({hs_col}) THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    ]
+    return " + ".join(terms)
+
+
+# --------------------------------------------------------------------------
+# blocked n-gram jaccard
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    bucket_width: int = 50,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Token-set jaccard over pairs blocked by length bucket (±1).
+
+    The ±1 probe is expanded on one side into three equi-join keys — a
+    plain hash join instead of a range join, so the plan scales: shuffle is
+    keyed by (bucket), candidate volume bounded by bucket occupancy.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.split(F.lower(F.col(text_col)), " +")).alias("toks"),
+        (F.col(len_col).cast("long") / bucket_width).cast("long").alias("bucket"),
+    )
+    probes = base.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    pairs = (
+        base.alias("a")
+        .join(probes.alias("b"), "bucket")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+                / F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))),
+                4,
+            ).alias("jaccard"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    bucket_width: int = 50,
+    threshold: float = 0.7,
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         list_distinct(string_split_regex(lower({text_col}), ' +')) AS toks,
+         CAST(floor({len_col}::DOUBLE / {bucket_width}) AS BIGINT) AS bucket
+  FROM {table}),
+probes AS (
+  SELECT doc_id, toks, bucket + d AS bucket
+  FROM base, (SELECT unnest([-1, 0, 1]) AS d)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.toks, b.toks))::DOUBLE
+               / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+  FROM base a JOIN probes b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+"""

@@ -1,0 +1,283 @@
+"""Similarity search over embedding columns (SURVEY.md §7.6).
+
+Two tiers:
+  * brute-force cosine top-k — the exactness baseline: broadcast the query
+    set, one pass over the corpus, per-query ranking. Linear in corpus
+    size; at 100 TB this is the verification tool, not the serving path.
+  * random-hyperplane LSH ANN — the scale path: each vector gets a
+    b-bit bucket from sign(v·plane_p); queries only score candidates in
+    their own bucket, so the join is an equi-join on bucket id and the
+    scored volume drops by ~2^b.
+
+Dot products and norms use a sequential left fold (Spark ``aggregate`` /
+DuckDB ``list_reduce`` seeded identically) so both engines produce
+bit-identical doubles — the oracle hash-compare depends on it.
+
+Hyperplanes are derived from md5, not an RNG, so the exact same constants
+are inlined into the DuckDB oracle (deterministic, seedless).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fold_sum_spark(arr_expr: str) -> str:
+    return f"aggregate({arr_expr}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+def _fold_sum_duck(arr_expr: str) -> str:
+    # list_reduce seeds from the first element; prepend 0.0 to mirror
+    # Spark's explicit-init left fold exactly.
+    return f"list_reduce(list_concat([0.0], {arr_expr}), (acc, x) -> acc + x)"
+
+
+def vec_double_col(emb_col: str = "embedding") -> Column:
+    """float[] → double[] once, before any arithmetic (both engines then do
+    identical double math)."""
+    return F.expr(f"transform({emb_col}, x -> CAST(x AS DOUBLE))")
+
+
+def vec_double_sql(emb_col: str = "embedding") -> str:
+    return f"list_transform({emb_col}, x -> CAST(x AS DOUBLE))"
+
+
+def norm_col(vec_col: str = "v") -> Column:
+    return F.expr(f"sqrt({_fold_sum_spark(f'transform({vec_col}, x -> x * x)')})")
+
+
+def norm_sql(vec_col: str = "v") -> str:
+    return f"sqrt({_fold_sum_duck(f'list_transform({vec_col}, x -> x * x)')})"
+
+
+def dot_col(a: str, b: str) -> Column:
+    return F.expr(_fold_sum_spark(f"zip_with({a}, {b}, (x, y) -> x * y)"))
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    prods = f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])"
+    return _fold_sum_duck(prods)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: rows matching ``query_pred`` are the queries.
+
+    Plan: tiny query side is broadcast; corpus is scanned once with
+    norm precomputed per row (not per pair); ranking shuffles only
+    (n_queries × corpus) scored rows partitioned by query id.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v")
+    ).withColumn("nrm", norm_col("v"))
+    q = base.filter(query_pred).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("vid") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(dot_col("qv", "v") / (F.col("qn") * F.col("nrm")), 6))
+        .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_sql(
+    query_pred_sql: str,
+    dim: int,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}),
+normed AS (
+  SELECT vid, v, {norm_sql('v')} AS nrm FROM base),
+q AS (
+  SELECT vid AS query_id, v AS qv, nrm AS qn FROM normed WHERE {query_pred_sql}),
+scored AS (
+  SELECT q.query_id, n.vid AS neighbor_id,
+         round({dot_sql('q.qv', 'n.v', dim)} / (q.qn * n.nrm), 6) AS cos_sim
+  FROM normed n CROSS JOIN q
+  WHERE n.vid <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH (random hyperplane) ANN
+# --------------------------------------------------------------------------
+
+
+def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic seedless hyperplanes: plane[p][d] derived from
+    md5(f"plane_{p}_{d}") → uniform in [-1, 1), rounded to 6dp so the
+    literal parses to the identical double in Spark and DuckDB."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane_{p}_{d}".encode()).hexdigest()[:7], 16)
+            row.append(round((h / float(1 << 28)) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def _plane_array_spark(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + ")"
+
+
+def _plane_array_duck(plane: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + "]"
+
+
+def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
+    """b-bit bucket id: bit p = 1 iff v·plane_p > 0."""
+    terms = []
+    for p, plane in enumerate(planes):
+        dot = _fold_sum_spark(f"zip_with({vec_col}, {_plane_array_spark(plane)}, (x, y) -> x * y)")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return F.expr(" + ".join(terms))
+
+
+def lsh_bucket_sql(vec_col: str, planes: list[list[float]], dim: int) -> str:
+    terms = []
+    for p, plane in enumerate(planes):
+        prods = f"list_transform(range(1, {dim + 1}), i -> {vec_col}[i] * {_plane_array_duck(plane)}[i])"
+        dot = _fold_sum_duck(prods)
+        terms.append(
+            f"(CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    n_planes: int = 6,
+    dim: int = 64,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The scale win: the scoring join is an equi-join on ``bucket`` (hash
+    shuffle, AQE-skew-safe) instead of a broadcast cross product — scored
+    pairs shrink by ~2^n_planes. Recall is tested against the brute-force
+    baseline in tests/test_similarity.py.
+    """
+    planes = lsh_planes(n_planes, dim)
+    base = (
+        emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
+        .withColumn("nrm", norm_col("v"))
+        .withColumn("bucket", lsh_bucket_col("v", planes))
+    )
+    q = base.filter(query_pred).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket"),
+    )
+    scored = (
+        base.join(q, "bucket")
+        .filter(F.col("vid") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(dot_col("qv", "v") / (F.col("qn") * F.col("nrm")), 6))
+        .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_lsh_topk_sql(
+    query_pred_sql: str,
+    n_planes: int = 6,
+    dim: int = 64,
+    k: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    planes = lsh_planes(n_planes, dim)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}),
+normed AS (
+  SELECT vid, v, {norm_sql('v')} AS nrm,
+         {lsh_bucket_sql('v', planes, dim)} AS bucket
+  FROM base),
+q AS (
+  SELECT vid AS query_id, v AS qv, nrm AS qn, bucket
+  FROM normed WHERE {query_pred_sql}),
+scored AS (
+  SELECT q.query_id, n.vid AS neighbor_id,
+         round({dot_sql('q.qv', 'n.v', dim)} / (q.qn * n.nrm), 6) AS cos_sim
+  FROM normed n JOIN q ON n.bucket = q.bucket
+  WHERE n.vid <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def near_dup_pairs_cosine(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, brute-force).
+
+    Correctness baseline for embedding near-dup detection; the scale path
+    is ann_lsh_topk-style bucketing. Norms are computed once per vector.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v")
+    ).withColumn("nrm", norm_col("v"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot_col("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"), "cos_sim")
+    )
+
+
+def near_dup_pairs_cosine_sql(
+    dim: int,
+    threshold: float = 0.45,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}),
+normed AS (
+  SELECT vid, v, {norm_sql('v')} AS nrm FROM base)
+SELECT a.vid AS vec_a, b.vid AS vec_b,
+       round({dot_sql('a.v', 'b.v', dim)} / (a.nrm * b.nrm), 6) AS cos_sim
+FROM normed a JOIN normed b ON a.vid < b.vid
+WHERE round({dot_sql('a.v', 'b.v', dim)} / (a.nrm * b.nrm), 6) >= {threshold}
+"""

@@ -1,0 +1,175 @@
+"""LLM-training-data-pipeline catalog entries (SURVEY.md §7.6): dedup,
+similarity search, and text analysis over the driver's `documents` /
+`embeddings` tables. Every query here is oracle-paired — including
+MinHash-LSH and hyperplane-LSH ANN, whose DuckDB twins run the identical
+algorithm with identical md5-derived constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as S
+from .base import Q, t
+
+EMB_DIM = 64
+
+
+# -- exact dedup (hash-groupBy) --------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    # Content key: md5 of lowercased text. The corpus has no exact dups, so
+    # the grouping structure comes from a coarser record key as well —
+    # both are emitted so the operator's collision handling is exercised.
+    out = D.exact_dedup(
+        docs.select("doc_id", "text", "lang", "source"),
+        F.md5(F.concat_ws("|", F.col("lang"), F.col("source"))),
+        "doc_id",
+    )
+    return out.select("doc_id", "dedup_key", "kept")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id, dedup_key,
+       doc_id = min(doc_id) OVER (PARTITION BY dedup_key) AS kept
+FROM (SELECT doc_id, md5(lang || '|' || source) AS dedup_key FROM documents)
+"""
+
+
+# -- minhash LSH near-dup pairs --------------------------------------------
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(docs)
+
+
+# -- simhash signatures ----------------------------------------------------
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.split(F.lower("text"), " +").alias("t"))
+        .withColumn("hs32", D.token_hash32_expr("t"))
+        .select("doc_id", D.simhash_from_hashes("hs32").alias("simhash"))
+    )
+
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+hashed AS (
+  SELECT doc_id, {D.token_hash32_sql('t')} AS hs32 FROM toks)
+SELECT doc_id, {D.simhash_from_hashes_sql('hs32')} AS simhash FROM hashed
+"""
+
+
+# -- blocked n-gram jaccard pairs ------------------------------------------
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs)
+
+
+# -- embedding cosine top-k (brute force baseline) -------------------------
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, F.col("vid") < 10, k=5)
+
+
+# -- LSH-bucketed ANN (scale path) -----------------------------------------
+def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb, F.col("vid") < 10, n_planes=6, dim=EMB_DIM, k=3)
+
+
+# -- embedding near-dup pairs ----------------------------------------------
+def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs_cosine(emb, threshold=0.45)
+
+
+# -- language ID -----------------------------------------------------------
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.predicted_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+_LANG_ID_SQL = f"""
+SELECT doc_id, lang AS labeled_lang,
+       {T.predicted_lang_sql('text')} AS predicted_lang
+FROM documents
+"""
+
+
+# -- quality scoring -------------------------------------------------------
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+_QUALITY_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(f"{sql} AS {name}" for name, sql in T.quality_features_sql("text").items())
+    + " FROM documents"
+)
+
+
+# -- token counting --------------------------------------------------------
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = T.token_counts(F.col("text"))
+    return docs.select("doc_id", "n_chars", *[c.alias(n) for n, c in counts.items()])
+
+
+_TOKEN_COUNT_SQL = (
+    "SELECT doc_id, n_chars, "
+    + ", ".join(f"{sql} AS {name}" for name, sql in T.token_counts_sql("text").items())
+    + " FROM documents"
+)
+
+
+# -- document fingerprint --------------------------------------------------
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint FROM documents
+"""
+
+
+ENTRIES: dict[str, Q] = {
+    "dedup_exact": Q(q_dedup_exact, _DEDUP_EXACT_SQL, "hash-groupBy exact dedup"),
+    "dedup_minhash_lsh": Q(
+        q_dedup_minhash_lsh, D.minhash_near_dup_sql(), "minhash+LSH band join"
+    ),
+    "dedup_simhash": Q(q_dedup_simhash, _SIMHASH_SQL, "32-bit simhash signatures"),
+    "dedup_ngram_jaccard": Q(
+        q_dedup_ngram_jaccard, D.ngram_jaccard_sql(), "blocked token-set jaccard"
+    ),
+    "embedding_cosine_topk": Q(
+        q_embedding_cosine_topk,
+        S.cosine_topk_sql("vid < 10", EMB_DIM, k=5),
+        "brute-force cosine top-k",
+    ),
+    "ann_lsh_cosine": Q(
+        q_ann_lsh_cosine,
+        S.ann_lsh_topk_sql("vid < 10", n_planes=6, dim=EMB_DIM, k=3),
+        "hyperplane-LSH bucketed ANN",
+    ),
+    "near_dup_embeddings": Q(
+        q_near_dup_embeddings,
+        S.near_dup_pairs_cosine_sql(EMB_DIM, threshold=0.45),
+        "embedding near-dup pairs",
+    ),
+    "lang_id": Q(q_lang_id, _LANG_ID_SQL, "stopword-profile language ID"),
+    "quality_score": Q(q_quality_score, _QUALITY_SQL, "text quality features"),
+    "token_count": Q(q_token_count, _TOKEN_COUNT_SQL, "ws + BPE-ish token counts"),
+    "doc_fingerprint": Q(q_doc_fingerprint, _FINGERPRINT_SQL, "rolling-hash fingerprint"),
+}

@@ -1,0 +1,104 @@
+"""Semantic tests for dedup + similarity beyond oracle parity: the
+operators must actually FIND the planted structure, not merely agree with
+the oracle about whatever they compute."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.operators import dedup as D
+from real_time_weather_data_pipeline_for_philippine_cities_spark.operators import (
+    similarity as S,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+    load_table,
+)
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs).collect()
+    assert len(pairs) > 0, "corpus has jaccard≈0.99 planted pairs; LSH must surface some"
+    assert all(p.jaccard >= 0.8 for p in pairs)
+    assert all(p.doc_a < p.doc_b for p in pairs)
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """LSH candidates must recover ≥90% of true ≥0.9-SHINGLE-jaccard pairs
+    (bands 3×4 → p(miss) ≈ (1-j^4)^3 < 1% at j=0.9). Truth = brute-force
+    all-pairs jaccard on the same 3-word shingle sets minhash uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", F.split(F.lower("text"), " +").alias("t"))
+        .filter(F.size("t") >= 3)
+        .withColumn("hs", D.shingle_hash_expr("t", 3))
+        .select("doc_id", "hs")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                (
+                    F.size(F.array_intersect("a.hs", "b.hs"))
+                    / F.size(F.array_union("a.hs", "b.hs"))
+                ).alias("j"),
+            )
+            .filter(F.col("j") >= 0.9)
+            .collect()
+        )
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_near_dup_pairs(docs, threshold=0.0).collect()
+    }
+    assert truth, "corpus should contain true shingle-jaccard>=0.9 pairs"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall} over {len(truth)} true pairs"
+
+
+def test_exact_dedup_one_survivor_per_key(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.exact_dedup(docs, F.md5(F.concat_ws("|", "lang", "source")), "doc_id")
+    agg = out.groupBy("dedup_key").agg(
+        F.sum(F.col("kept").cast("int")).alias("n_kept"), F.count("*").alias("n")
+    )
+    rows = agg.collect()
+    assert all(r.n_kept == 1 for r in rows)
+    assert any(r.n > 1 for r in rows), "key must actually group multiple docs"
+
+
+def test_simhash_near_for_near_dup_docs(spark, sf_dir):
+    """Planted near-duplicate pairs should have close simhash signatures
+    (small hamming distance) — the property simhash exists for."""
+    docs = load_table(spark, sf_dir, "documents")
+    near = D.minhash_near_dup_pairs(docs, threshold=0.9).limit(5).collect()
+    if not near:
+        return
+    sims = dict(
+        docs.select("doc_id", F.split(F.lower("text"), " +").alias("t"))
+        .withColumn("hs32", D.token_hash32_expr("t"))
+        .select("doc_id", D.simhash_from_hashes("hs32").alias("s"))
+        .rdd.map(lambda r: (r.doc_id, r.s))
+        .collect()
+    )
+    for p in near:
+        ham = bin(sims[p.doc_a] ^ sims[p.doc_b]).count("1")
+        assert ham <= 6, f"near-dup pair {p.doc_a},{p.doc_b} hamming {ham}"
+
+
+def test_ann_subset_of_brute_force_scores(spark, sf_dir):
+    """ANN must return true cosine scores: every (query, neighbor, cos) it
+    emits must equal the brute-force score for that pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.cosine_topk(emb, F.col("vid") < 10, k=10**6).collect()
+    }
+    ann = S.ann_lsh_topk(emb, F.col("vid") < 10, n_planes=6, dim=64, k=3).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert brute[(r.query_id, r.neighbor_id)] == r.cos_sim
