@@ -1,0 +1,189 @@
+"""Composite catalog entries: the FULL weather pipeline (SURVEY.md §3) run
+end-to-end on synthesized PSGC-shaped inputs, with a complete DuckDB oracle.
+
+The fetchers injected into run_pipeline are deterministic md5-derived
+functions (stdlib-only local closures — picklable by value, no package
+import needed on executors), and the oracle SQL recomputes the identical
+arithmetic: both engines do the same IEEE double ops in the same order, so
+even unrounded coordinates hash-match.
+
+Also: a rows-only multimodal query (binary columns + mapInPandas features —
+not SQL-expressible, the driver records the weaker check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_fake_media, extract_features
+from .base import Q, t
+from .pipeline import run_pipeline
+
+#: One fixed op order everywhere: (h / 2^28) * span - offset.
+_H28 = "('0x' || substring(md5({name}), 1, 7))::BIGINT"
+
+
+def _synth_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    return nation.select(
+        F.col("n_nationkey").cast("string").alias("code"),
+        F.when(F.col("n_nationkey") % 3 == 0, F.concat(F.lit("City of "), F.col("n_name")))
+        .otherwise(F.col("n_name"))
+        .alias("name"),
+        F.lit(None).cast("string").alias("oldName"),
+        (F.col("n_nationkey") % 5 == 0).alias("isCapital"),
+        F.col("n_regionkey").cast("string").alias("provinceCode"),
+        F.lit("0").alias("districtCode"),
+        F.col("n_regionkey").cast("string").alias("regionCode"),
+        F.lit("luzon").alias("islandGroupCode"),
+        F.concat(F.lit("0"), F.col("n_nationkey").cast("string")).alias("psgc10DigitCode"),
+    )
+
+
+def _synth_provinces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    return region.select(
+        F.col("r_regionkey").cast("string").alias("code"), F.col("r_name").alias("name")
+    )
+
+
+def _geocoder(row: dict) -> dict:
+    import hashlib
+
+    h = int(hashlib.md5(row["name"].encode()).hexdigest()[:7], 16)
+    return {
+        "latitude": (h / 268435456.0) * 180.0 - 90.0,
+        "longitude": (h / 268435456.0) * 360.0 - 180.0,
+    }
+
+
+def _weather_fetcher(row: dict) -> dict:
+    import hashlib
+    import json
+
+    name = row["location_name"]
+    h = int(hashlib.md5(name.encode()).hexdigest()[:7], 16)
+    lat = row["latitude"]
+    temp = (lat / 3.0) + 20.0
+    payload = {
+        "weather": [
+            {
+                "main": ["Clear", "Clouds", "Rain"][h % 3],
+                "description": ["clear sky", "scattered clouds", "light rain"][h % 3],
+            }
+        ],
+        "main": {
+            "temp": temp,
+            "feels_like": temp + 2.0,
+            "temp_min": temp - 1.5,
+            "temp_max": temp + 1.5,
+            "pressure": 1000 + h % 60,
+            "humidity": h % 101,
+        },
+        "wind": {"speed": (h % 200) / 10.0},
+        "sys": {"sunrise": 1700000000 + h % 86400, "sunset": 1700043200 + h % 86400},
+    }
+    if h % 5 != 0:
+        payload["wind"]["deg"] = h % 360
+    if h % 4 != 0:
+        payload["visibility"] = 10000 - h % 500
+    if h % 3 == 0:
+        payload["rain"] = {"1h": (h % 50) / 10.0}
+    if h % 7 != 0:
+        payload["clouds"] = {"all": h % 101}
+    return {"weather_json": json.dumps(payload)}
+
+
+OBS_COLUMNS = (
+    "location_id",
+    "location_name",
+    "province_name",
+    "weather_main",
+    "weather_description",
+    "temperature_c",
+    "feels_like_c",
+    "temp_min_c",
+    "temp_max_c",
+    "pressure_hpa",
+    "humidity_percent",
+    "wind_speed_mps",
+    "wind_direction_deg",
+    "visibility_m",
+    "rain_1h_mm",
+    "cloudiness_percent",
+    "sunrise",
+    "sunset",
+)
+
+
+def q_weather_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cities = _synth_cities(spark, sf_dir)
+    provinces = _synth_provinces(spark, sf_dir)
+    res = run_pipeline(spark, cities, provinces, None, _geocoder, _weather_fetcher)
+    # data_datetime / inserted_at are wall-clock stamps (F8) — excluded so
+    # the output is deterministic for the hash compare.
+    return res.observations.select(*OBS_COLUMNS)
+
+
+_h = _H28.format(name="name")
+_PIPELINE_SQL = f"""
+WITH cities AS (
+  SELECT CAST(n_nationkey AS VARCHAR) AS code,
+         CASE WHEN n_nationkey % 3 = 0 THEN 'City of ' || n_name
+              ELSE n_name END AS name,
+         CAST(n_regionkey AS VARCHAR) AS provinceCode
+  FROM nation),
+provinces AS (
+  SELECT CAST(r_regionkey AS VARCHAR) AS code, r_name AS province_name FROM region),
+merged AS (
+  SELECT c.name, p.province_name, {_h} AS h
+  FROM cities c LEFT JOIN provinces p ON c.provinceCode = p.code),
+geo AS (
+  SELECT name, province_name, h,
+         (h / 268435456.0) * 180.0 - 90.0 AS latitude,
+         (h / 268435456.0) * 360.0 - 180.0 AS longitude
+  FROM merged),
+dim AS (
+  SELECT name, province_name, latitude, h,
+         row_number() OVER (ORDER BY name ASC, province_name ASC) AS location_id
+  FROM geo)
+SELECT location_id,
+       name AS location_name,
+       province_name,
+       ['Clear', 'Clouds', 'Rain'][h % 3 + 1]                      AS weather_main,
+       ['clear sky', 'scattered clouds', 'light rain'][h % 3 + 1]  AS weather_description,
+       (latitude / 3.0) + 20.0                                     AS temperature_c,
+       ((latitude / 3.0) + 20.0) + 2.0                             AS feels_like_c,
+       ((latitude / 3.0) + 20.0) - 1.5                             AS temp_min_c,
+       ((latitude / 3.0) + 20.0) + 1.5                             AS temp_max_c,
+       CAST(1000 + h % 60 AS INTEGER)                              AS pressure_hpa,
+       CAST(h % 101 AS INTEGER)                                    AS humidity_percent,
+       (h % 200) / 10.0                                            AS wind_speed_mps,
+       CASE WHEN h % 5 <> 0 THEN CAST(h % 360 AS INTEGER) END      AS wind_direction_deg,
+       CASE WHEN h % 4 <> 0 THEN CAST(10000 - h % 500 AS INTEGER) END AS visibility_m,
+       CASE WHEN h % 3 = 0 THEN (h % 50) / 10.0 ELSE 0.0 END       AS rain_1h_mm,
+       CASE WHEN h % 7 <> 0 THEN CAST(h % 101 AS INTEGER) END      AS cloudiness_percent,
+       TIMESTAMP '1970-01-01 00:00:00'
+         + (1700000000 + h % 86400) * INTERVAL 1 SECOND            AS sunrise,
+       TIMESTAMP '1970-01-01 00:00:00'
+         + (1700043200 + h % 86400) * INTERVAL 1 SECOND            AS sunset
+FROM dim
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (mapInPandas over binary columns — not SQL-expressible)."""
+    docs = t(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return extract_features(media).select(
+        "doc_id", "media_type", "format", "n_bytes", "byte_entropy", "checksum"
+    )
+
+
+ENTRIES: dict[str, Q] = {
+    "weather_pipeline_e2e": Q(
+        q_weather_pipeline_e2e, _PIPELINE_SQL, "§3 full pipeline composite"
+    ),
+    "multimodal_features": Q(q_multimodal_features, None, "binary cols + mapInPandas"),
+}

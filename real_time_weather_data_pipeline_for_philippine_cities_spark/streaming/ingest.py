@@ -1,0 +1,82 @@
+"""Structured Streaming shell (SURVEY.md §2.9, §7.5).
+
+The reference's "real time" is periodic batch re-execution via Task
+Scheduler (README.md:24-25) with an xlsx snapshot as inter-run state. The
+genuine streaming equivalents:
+
+  scheduled batch run       → trigger(availableNow=True) per invocation
+                              (or processingTime for a resident stream)
+  xlsx snapshot state       → checkpointed sink + snapshot parquet table
+                              re-read per foreachBatch epoch
+  outer-merge change diff   → anti-join against the snapshot inside
+                              foreachBatch (deterministic, oracle-testable
+                              — chosen over dropDuplicates state per
+                              SURVEY.md §7.7.5)
+  insert-whatever-arrives   → append output mode; watermark bounds late
+                              data (an improvement the reference lacks,
+                              wdf.py:296-330)
+
+Every transformation is the SAME batch function from plans/ — foreachBatch
+reuses the tested batch plan verbatim, so streaming correctness reduces to
+batch correctness plus delivery semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def stream_observations(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    event_time_col: str = "data_datetime",
+    watermark: str = "1 hour",
+    fmt: str = "json",
+) -> DataFrame:
+    """readStream on a landing directory of API-snapshot files.
+
+    Explicit schema always (streaming sources cannot infer; PSGC-style code
+    strings must never be inferred anyway — SURVEY.md §1.3). The watermark
+    bounds state for downstream windowed aggregates.
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    return reader.load(landing_dir).withWatermark(event_time_col, watermark)
+
+
+def foreach_batch_pipeline(
+    batch_transform: Callable[[DataFrame], DataFrame],
+    sink_path: str,
+    mode: str = "append",
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a tested batch transform as a foreachBatch epoch function.
+
+    Exactly-once per epoch comes from the checkpoint + idempotent parquet
+    append (Structured Streaming replays an epoch only wholesale).
+    """
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_transform(batch_df).withColumn("epoch_id", F.lit(epoch_id))
+        out.write.mode(mode).parquet(sink_path)
+
+    return run
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    epoch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """One incremental pass over whatever has landed — the streaming twin
+    of the reference's scheduled batch run."""
+    return (
+        stream_df.writeStream.foreachBatch(epoch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

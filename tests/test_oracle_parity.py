@@ -6,6 +6,7 @@ themselves — see plans/base.py rounding policy).
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
@@ -23,13 +24,16 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    # Wrap in a tagged tuple so rows mixing None/float/str stay sortable.
     if v is None:
-        return None
+        return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    return str(v)
+            return (1, "NaN")
+        return (2, round(v, 9))
+    if isinstance(v, (int, bool, decimal.Decimal)):
+        return (2, round(float(v), 9))
+    return (3, str(v))
 
 
 def _norm_rows(cols, rows):

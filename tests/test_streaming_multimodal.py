@@ -1,0 +1,131 @@
+"""Streaming shell + multimodal plumbing tests.
+
+Streaming: file-source availableNow micro-batches through foreachBatch must
+produce EXACTLY the batch plan's result (the shell reuses batch transforms,
+so this is the delivery-semantics check).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_image,
+    extract_features,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+    load_table,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.ingest import (
+    foreach_batch_pipeline,
+    run_available_now,
+    stream_observations,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.windows import (
+    windowed_observation_stats,
+)
+
+OBS_SCHEMA = "event_id long, data_datetime timestamp, event_type string, value double"
+
+
+@pytest.fixture()
+def landing(tmp_path, spark, sf_dir):
+    """Land the events table as JSON files (3 chunks = 3 source splits)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", F.col("ts").alias("data_datetime"), "event_type", "value")
+        .collect()
+    )
+    d = tmp_path / "landing"
+    d.mkdir()
+    chunk = len(ev) // 3 + 1
+    for i in range(3):
+        with open(d / f"part-{i}.json", "w") as f:
+            for r in ev[i * chunk : (i + 1) * chunk]:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "data_datetime": r.data_datetime.isoformat(),
+                            "event_type": r.event_type,
+                            "value": r.value,
+                        }
+                    )
+                    + "\n"
+                )
+    return str(d)
+
+
+def test_streaming_matches_batch_windows(spark, sf_dir, landing, tmp_path):
+    stream = stream_observations(spark, landing, OBS_SCHEMA, watermark="10 minutes")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    epoch_fn = foreach_batch_pipeline(
+        lambda df: windowed_observation_stats(df, "1 hour", key_cols=("event_type",)),
+        sink,
+    )
+    q = run_available_now(stream, epoch_fn, ckpt)
+    q.awaitTermination(120)
+
+    # foreachBatch ran per micro-batch; re-aggregate epochs for comparison
+    got = (
+        spark.read.parquet(sink)
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(F.sum("n_obs").alias("n_obs"))
+        .collect()
+    )
+    batch = (
+        windowed_observation_stats(
+            load_table(spark, sf_dir, "events").select(
+                "event_id", F.col("ts").alias("data_datetime"), "event_type", "value"
+            ),
+            "1 hour",
+            key_cols=("event_type",),
+        )
+        .select("window_start", "window_end", "event_type", "n_obs")
+        .collect()
+    )
+    gset = {(r.window_start, r.window_end, r.event_type, r.n_obs) for r in got}
+    bset = {(r.window_start, r.window_end, r.event_type, r.n_obs) for r in batch}
+    assert gset == bset
+
+
+def test_streaming_restart_is_incremental(spark, landing, tmp_path):
+    """A second availableNow run over the same checkpoint must process
+    nothing new (the xlsx-snapshot-state analog, done right)."""
+    stream = stream_observations(spark, landing, OBS_SCHEMA)
+    sink = str(tmp_path / "sink2")
+    ckpt = str(tmp_path / "ckpt2")
+    epoch_fn = foreach_batch_pipeline(lambda df: df, sink)
+    q = run_available_now(stream, epoch_fn, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+
+    q2 = run_available_now(
+        stream_observations(spark, landing, OBS_SCHEMA), epoch_fn, ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n1
+
+
+def test_multimodal_feature_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_fake_media(docs)
+    feats = extract_features(media)
+    rows = feats.select("doc_id", "n_bytes", "byte_entropy", "checksum").collect()
+    assert len(rows) == 50
+    assert all(r.n_bytes > 0 and r.byte_entropy > 0 for r in rows)
+    # deterministic: same input → same features
+    rows2 = extract_features(media).select("checksum").collect()
+    assert [r.checksum for r in rows2] == [r.checksum for r in rows]
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", "png")
