@@ -1,0 +1,61 @@
+"""Benchmark harness: runs every catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is forced with a ``noop``-format write so the full plan executes
+on the executors without driver-side collect overhead dominating the
+measurement. Session reuse across queries amortizes JVM startup; the first
+query is warmed once so JIT/codegen cost doesn't bias whichever query runs
+first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import CATALOG
+from real_time_weather_data_pipeline_for_philippine_cities_spark.session import get_spark
+
+
+def _force(df) -> None:
+    # noop sink: full execution, zero serialization back to the driver.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("rtw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = sorted(CATALOG)
+    # Warm-up: run the flagship once to absorb one-time codegen/IO costs.
+    _force(CATALOG["flagship_latest_obs"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(CATALOG[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
