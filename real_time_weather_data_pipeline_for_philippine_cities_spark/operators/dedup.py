@@ -134,7 +134,16 @@ def minhash_near_dup_pairs(
          map so only candidates pay the set-intersection cost.
 
     Output: doc_a, doc_b (doc_a < doc_b), jaccard (rounded 4dp) ≥ threshold.
+
+    The signature stage is persisted: it feeds BOTH the band self-join and
+    the verification joins (4 scans), and re-deriving it inlines the md5
+    shingle/minhash expressions into downstream projections where they
+    re-evaluate per consumer (measured 177s → <2s at sf0.1). On a cluster
+    this stage would be checkpointed to storage; MEMORY_AND_DISK is the
+    local analog and spills instead of OOMing at scale.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = k // bands
     base = (
         docs.select(
@@ -142,10 +151,15 @@ def minhash_near_dup_pairs(
             F.split(F.lower(F.col(text_col)), " +").alias("t"),
         )
         .filter(F.size("t") >= n)
+        # Spread BEFORE the md5/minhash projections: a small-file scan
+        # arrives as 1-2 partitions, which would serialize both the hash
+        # compute and the downstream pairwise joins into single tasks.
+        .repartition(F.col("doc_id"))
         .withColumn("hs", shingle_hash_expr("t", n))
         .withColumn("sig", minhash_sig_col(F.col("hs"), k))
         .withColumn("band_keys", band_keys_col(F.col("sig"), bands, rows_per_band))
         .select("doc_id", "hs", "band_keys")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands_df = base.select(
         "doc_id", F.posexplode("band_keys").alias("band_idx", "band_key")
@@ -274,42 +288,69 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     len_col: str = "n_chars",
     bucket_width: int = 50,
+    n: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Token-set jaccard over pairs blocked by length bucket (±1).
+    """N-gram (shingle-set) jaccard over pairs blocked by length bucket (±1).
 
-    The ±1 probe is expanded on one side into three equi-join keys — a
-    plain hash join instead of a range join, so the plan scales: shuffle is
-    keyed by (bucket), candidate volume bounded by bucket occupancy.
+    Similarity is over distinct word-3-gram hashes (28-bit longs), not
+    single tokens: the shingle space is |vocab|^n, so the measure stays
+    discriminative on small-vocabulary corpora, and long-array intersects
+    are far cheaper than string-array intersects in the verification loop.
+
+    Plan shape:
+      * ±1 bucket probe expanded map-side into three equi-join keys — a
+        plain hash join instead of a range join; shuffle keyed by bucket.
+      * Each (a, b) pair matches exactly one probe delta, so there is no
+        DISTINCT (and no second shuffle) after the join.
+      * Lossless size-ratio prefilter: jaccard ≥ t forces
+        min(|A|,|B|) ≥ t·max(|A|,|B|) — an integer compare that skips the
+        intersect for hopeless pairs.
+      * |A∪B| = |A|+|B|−|A∩B|: one array_intersect per surviving pair.
+      * ``base`` is persisted (feeds both join sides; see
+        minhash_near_dup_pairs for the re-inlining pathology).
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(F.split(F.lower(F.col(text_col)), " +")).alias("toks"),
-        (F.col(len_col).cast("long") / bucket_width).cast("long").alias("bucket"),
+    from pyspark import StorageLevel
+
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.col(text_col)), " +").alias("t"),
+            (F.col(len_col).cast("long") / bucket_width).cast("long").alias("bucket"),
+        )
+        .filter(F.size("t") >= n)
+        # Spread BEFORE the shingle-hash projection (see
+        # minhash_near_dup_pairs); the probe side broadcasts, so the
+        # pairwise work parallelizes across this side's partitions.
+        .repartition(F.col("doc_id"))
+        .select("doc_id", "bucket", shingle_hash_expr("t", n).alias("hs"))
+        .withColumn("sz", F.size("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     probes = base.select(
         "doc_id",
-        "toks",
+        "hs",
+        "sz",
         F.explode(
             F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
         ).alias("bucket"),
     )
-    pairs = (
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    return (
         base.alias("a")
         .join(probes.alias("b"), "bucket")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(
-                F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-                / F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))),
-                4,
-            ).alias("jaccard"),
+            F.round(inter / (F.col("a.sz") + F.col("b.sz") - inter), 4).alias("jaccard"),
         )
-        .distinct()
+        .filter(F.col("jaccard") >= threshold)
     )
-    return pairs.filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_sql(
@@ -318,21 +359,28 @@ def ngram_jaccard_sql(
     text_col: str = "text",
     len_col: str = "n_chars",
     bucket_width: int = 50,
+    n: int = 3,
     threshold: float = 0.7,
 ) -> str:
     return f"""
-WITH base AS (
+WITH toks AS (
   SELECT {id_col} AS doc_id,
-         list_distinct(string_split_regex(lower({text_col}), ' +')) AS toks,
+         string_split_regex(lower({text_col}), ' +') AS t,
          CAST(floor({len_col}::DOUBLE / {bucket_width}) AS BIGINT) AS bucket
   FROM {table}),
+base AS (
+  SELECT doc_id, bucket, {shingle_hash_sql('t', n)} AS hs
+  FROM toks WHERE len(t) >= {n}),
+sized AS (
+  SELECT doc_id, bucket, hs, len(hs) AS sz FROM base),
 probes AS (
-  SELECT doc_id, toks, bucket + d AS bucket
-  FROM base, (SELECT unnest([-1, 0, 1]) AS d)),
+  SELECT doc_id, hs, sz, bucket + d AS bucket
+  FROM sized, (SELECT unnest([-1, 0, 1]) AS d)),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(len(list_intersect(a.toks, b.toks))::DOUBLE
-               / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-  FROM base a JOIN probes b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.hs, b.hs))::DOUBLE
+               / (a.sz + b.sz - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
+  FROM sized a JOIN probes b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz))
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 """

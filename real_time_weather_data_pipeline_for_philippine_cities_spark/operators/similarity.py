@@ -75,9 +75,13 @@ def cosine_topk(
     norm precomputed per row (not per pair); ranking shuffles only
     (n_queries × corpus) scored rows partitioned by query id.
     """
-    base = emb.select(
-        F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v")
-    ).withColumn("nrm", norm_col("v"))
+    base = (
+        emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
+        # Small-file scans arrive as 1-2 partitions; spread so the
+        # (n_queries × corpus) scoring pass uses every core.
+        .repartition(F.col(id_col))
+        .withColumn("nrm", norm_col("v"))
+    )
     q = base.filter(query_pred).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -185,6 +189,8 @@ def ann_lsh_topk(
     planes = lsh_planes(n_planes, dim)
     base = (
         emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
+        # Spread small-file scans so bucket scoring parallelizes.
+        .repartition(F.col(id_col))
         .withColumn("nrm", norm_col("v"))
         .withColumn("bucket", lsh_bucket_col("v", planes))
     )
@@ -249,9 +255,16 @@ def near_dup_pairs_cosine(
     Correctness baseline for embedding near-dup detection; the scale path
     is ann_lsh_topk-style bucketing. Norms are computed once per vector.
     """
-    base = emb.select(
-        F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v")
-    ).withColumn("nrm", norm_col("v"))
+    from pyspark import StorageLevel
+
+    base = (
+        emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
+        # Spread + persist: both join sides read this, and the O(n²) dot
+        # products must parallelize across cores, not run in one task.
+        .repartition(F.col(id_col))
+        .withColumn("nrm", norm_col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, F.col("a.vid") < F.col("b.vid"))
