@@ -277,6 +277,100 @@ def simhash_from_hashes_sql(hs_col: str = "hs32") -> str:
     return " + ".join(terms)
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded hamming join (exact).
+
+    Signature = 32-bit simhash over word-n-gram shingle hashes (shingles,
+    not tokens — single-token simhash degenerates on small vocabularies).
+    Pigeonhole blocking: split the signature into ``max_hamming + 1``
+    bands; two signatures within ``max_hamming`` bits MUST agree on at
+    least one whole band, so the band equi-join loses no pairs. Candidates
+    are verified with ``bit_count(a ^ b)`` — a two-instruction check, so
+    the verification pass is join-bound, not compute-bound.
+
+    Output: doc_a, doc_b (doc_a < doc_b), hamming ≤ max_hamming.
+    """
+    from pyspark import StorageLevel
+
+    n_bands = max_hamming + 1
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.col(text_col)), " +").alias("t"),
+        )
+        .filter(F.size("t") >= n)
+        .repartition(F.col("doc_id"))
+        .withColumn("hs", shingle_hash_expr("t", n))
+        .select("doc_id", simhash_from_hashes("hs").alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftright("sh", b * band_bits).bitwiseAND(mask).alias("band_val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "sh", "bk.band_idx", "bk.band_val")
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.sh ^ b.sh) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_near_dup_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hamming: int = 3,
+) -> str:
+    n_bands = max_hamming + 1
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    band_list = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, string_split_regex(lower({text_col}), ' +') AS t
+  FROM {table}),
+hashes AS (
+  SELECT doc_id, {shingle_hash_sql('t', n)} AS hs
+  FROM toks WHERE len(t) >= {n}),
+sigs AS (
+  SELECT doc_id, {simhash_from_hashes_sql('hs')} AS sh FROM hashes),
+bands AS (
+  SELECT doc_id, sh, b AS band_idx, (sh >> ({band_bits} * b)) & {mask} AS band_val
+  FROM sigs, (SELECT unnest([{band_list}]) AS b))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh)::BIT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)::BIT) <= {max_hamming}
+"""
+
+
 # --------------------------------------------------------------------------
 # blocked n-gram jaccard
 # --------------------------------------------------------------------------

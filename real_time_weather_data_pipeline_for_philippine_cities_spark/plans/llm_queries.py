@@ -64,6 +64,12 @@ SELECT doc_id, {D.simhash_from_hashes_sql('hs32')} AS simhash FROM hashed
 """
 
 
+# -- simhash near-dup pairs (banded hamming join) --------------------------
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs)
+
+
 # -- blocked n-gram jaccard pairs ------------------------------------------
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -150,8 +156,11 @@ ENTRIES: dict[str, Q] = {
         q_dedup_minhash_lsh, D.minhash_near_dup_sql(), "minhash+LSH band join"
     ),
     "dedup_simhash": Q(q_dedup_simhash, _SIMHASH_SQL, "32-bit simhash signatures"),
+    "simhash_near_dup": Q(
+        q_simhash_near_dup, D.simhash_near_dup_sql(), "banded-hamming simhash pairs"
+    ),
     "dedup_ngram_jaccard": Q(
-        q_dedup_ngram_jaccard, D.ngram_jaccard_sql(), "blocked token-set jaccard"
+        q_dedup_ngram_jaccard, D.ngram_jaccard_sql(), "blocked 3-gram-set jaccard"
     ),
     "embedding_cosine_topk": Q(
         q_embedding_cosine_topk,
