@@ -368,6 +368,84 @@ SELECT segment, o_orderkey, o_totalprice, rank FROM (
 """
 
 
+# -- scale analytics: multi-join revenue rollup (TPC-H Q5 shape) -----------
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB join-plan showcase: the one real shuffle is
+    lineitem⋈orders on orderkey (both sides big, AQE picks sort-merge and
+    splits skew); every dimension hop (customer, supplier, nation, region)
+    is an explicit broadcast, and the date/region filters sit directly on
+    the scans so parquet row-group pruning sees them."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+            "inner",
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n_name AS nation_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# -- semi-join: orders with at least one returned item (TPC-H Q4 shape) ----
+def q_priority_count_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — the reference never needs one (SURVEY.md §2.4),
+    but it's the idiomatic exists-predicate at scale: the probe side
+    streams, the build side is deduplicated by the join itself (no
+    distinct shuffle), and no lineitem columns survive the join."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_PRIORITY_SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
 # -- §3.2 composite: the location-refresh subflow shape --------------------
 def q_location_refresh_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cities⋈provinces left join + snapshot diff, on testdata analogs.
@@ -431,6 +509,12 @@ ENTRIES: dict[str, Q] = {
     "hourly_window_agg": Q(q_hourly_window_agg, _HOURLY_SQL, "tumbling window"),
     "daily_minmax": Q(q_daily_minmax, _DAILY_SQL, "daily analytics"),
     "topk_orders_per_segment": Q(q_topk_orders_per_segment, _TOPK_SQL, "top-k per group"),
+    "revenue_by_nation": Q(
+        q_revenue_by_nation, _REVENUE_BY_NATION_SQL, "TPC-H Q5-shape multi-join rollup"
+    ),
+    "priority_count_semi": Q(
+        q_priority_count_semi, _PRIORITY_SEMI_SQL, "left-semi exists aggregate"
+    ),
     "location_refresh_diff": Q(
         q_location_refresh_diff, _LOCATION_REFRESH_SQL, "§3.2 composite subflow"
     ),
