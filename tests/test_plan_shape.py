@@ -1,0 +1,82 @@
+"""Physical-plan regression guards: the properties that matter at 100 TB
+(pushdown, pruning, broadcast selection, no accidental cross products) are
+asserted on the *executedPlan* string, so a refactor that silently degrades
+a plan fails CI even though results stay correct.
+
+Plan-only tests — nothing here executes a query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import CATALOG
+
+# Non-equi-join queries where a BroadcastNestedLoopJoin is the *intended*
+# physical shape (brute-force pairwise scoring with a broadcast side).
+NON_EQUI_OK = {"embedding_cosine_topk", "near_dup_embeddings"}
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = CATALOG[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    offenders = []
+    for name in CATALOG:
+        plan = _plan(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in NON_EQUI_OK:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, f"unexpected cross-product plans: {offenders}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_null_predicates")
+    assert "PushedFilters" in plan
+    # value > 50.0 and event_type <> 'error' must be pushed, not post-scan only
+    assert "GreaterThan(value,50.0)" in plan
+    assert "IsNotNull(value)" in plan
+
+
+def test_column_pruning_on_wide_fact(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_by_nation")
+    # lineitem has 11 columns; the rollup needs exactly 4.
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
+    assert scan_lines, "no lineitem scan found"
+    read_schema = scan_lines[0].split("ReadSchema:")[-1]
+    for col in ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"):
+        assert col in read_schema
+    for col in ("l_comment", "l_shipdate", "l_quantity", "l_tax", "l_returnflag"):
+        assert col not in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    for name in ("left_join_broadcast", "inner_fk_join", "flagship_latest_obs"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: dim join degraded to SMJ"
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # Map-side combine before the shuffle: two HashAggregates, partial first.
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "priority_count_semi")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_ngram_jaccard", "simhash_near_dup"])
+def test_pairwise_dedup_parallelizes(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    # The signature/base stage must be spread before pairwise work; a plan
+    # with no repartition exchange would run the O(n^2) stage in the scan's
+    # 1-2 partitions.
+    assert "REPARTITION_BY_COL" in plan, name
+    assert "CartesianProduct" not in plan, name
