@@ -1,0 +1,65 @@
+"""Skew mitigation for shuffle joins (SURVEY.md §4.2 scale notes).
+
+First line of defense is AQE (`spark.sql.adaptive.skewJoin.enabled`, on in
+session.tune) — it splits oversized post-shuffle partitions at runtime.
+``salted_join`` is the explicit fallback for the cases AQE can't rewrite:
+streaming joins, joins feeding a required distribution, or engines/configs
+without AQE. Aggregation skew needs no salting in Spark — hash aggregates
+map-side-combine before the shuffle — except for distinct/collect
+aggregates, where pre-aggregating by (key, salt) first is the same trick.
+
+Mechanics: the big (skewed) side gets a uniform random salt in [0, n);
+the other side is replicated n× with every salt value; the join keys
+become (keys…, salt). A key with s% of the rows now occupies n partitions
+instead of one, at the cost of replicating the small side n×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salt: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread across ``n_salt``
+    shuffle partitions. Results are identical to ``big.join(small, on,
+    how)`` for row-preserving join types.
+
+    ``how`` is restricted to types where replicating the small side is
+    sound per-row: inner / left / left_semi / left_anti (the big side is
+    the left). Right/full joins would duplicate unmatched small-side rows
+    once per salt — use AQE for those.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join does not support how={how!r}")
+    salted_big = big.withColumn(
+        SALT_COL, F.floor(F.rand(seed) * n_salt).cast("int")
+    )
+    replicated_small = small.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return salted_big.join(replicated_small, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+def top_heavy_keys(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
+    """Diagnostic: the ``top`` heaviest key tuples with their row counts —
+    what you run before deciding whether a join needs salting."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    return counts.orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys]).limit(top)
+
+
+def skew_ratio(df: DataFrame, keys: list[str]) -> Column:
+    """max/avg key-group size as a single-row aggregate (≫1 ⇒ skewed)."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        (F.max("n") / F.avg("n")).alias("skew_ratio")
+    ).collect()[0]["skew_ratio"]

@@ -80,3 +80,58 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_change_detect(
+    spark: SparkSession,
+    key_cols: tuple[str, ...],
+    snapshot_path: str,
+    novel_sink_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """§2.9: the reference's xlsx-diff state machine as a streaming epoch.
+
+    Per epoch: anti-join the micro-batch against the persisted snapshot
+    (rows whose key tuple is already known are dropped), append the novel
+    rows to the sink, and fold them into the snapshot. This is the
+    deterministic, oracle-testable alternative to ``dropDuplicates`` state
+    chosen in SURVEY.md §7.7.5 — snapshot state lives in a parquet table,
+    not an opaque state store, so it survives checkpoint loss, is
+    inspectable, and is bounded by |distinct keys| regardless of stream
+    length.
+
+    The anti-join shuffles only the micro-batch (small) against the
+    snapshot scan; at scale the snapshot side prunes to the join keys via
+    column pruning, and a date/bucket layout on ``snapshot_path`` keeps
+    the scan incremental.
+    """
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_keys = batch_df.dropDuplicates(list(key_cols))
+        try:
+            snapshot = spark.read.parquet(snapshot_path).select(*key_cols)
+            novel = batch_keys.join(snapshot, list(key_cols), "left_anti")
+        except Exception:
+            # First epoch: no snapshot yet — everything is novel
+            # (wdf.py:392-396, the no-prior-xlsx branch).
+            novel = batch_keys
+        # Materialize before the snapshot overwrite invalidates the plan's
+        # source; novel batches are micro-batch-sized by construction.
+        novel = novel.localCheckpoint(eager=True)
+        novel.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
+            novel_sink_path
+        )
+        merged = novel.select(*key_cols)
+        try:
+            merged = spark.read.parquet(snapshot_path).select(*key_cols).unionByName(merged)
+        except Exception:
+            pass
+        merged.dropDuplicates(list(key_cols)).write.mode("overwrite").parquet(
+            snapshot_path + "_next"
+        )
+        # Two-step swap: parquet overwrite of a path we're concurrently
+        # reading is undefined; write-next-then-promote keeps each epoch
+        # atomic at the directory level.
+        out = spark.read.parquet(snapshot_path + "_next")
+        out.write.mode("overwrite").parquet(snapshot_path)
+
+    return run

@@ -114,6 +114,58 @@ def test_streaming_restart_is_incremental(spark, landing, tmp_path):
     assert spark.read.parquet(sink).count() == n1
 
 
+def test_streaming_change_detect_dedups_across_epochs(spark, tmp_path):
+    """Keys already folded into the snapshot must not re-emit in later
+    epochs — the xlsx-diff state machine (wdf.py:376-399) done with
+    parquet snapshot state."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.ingest import (
+        foreach_batch_change_detect,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    # epoch 1: keys A,B — epoch 2: keys B,C (B is a repeat)
+    (d / "f1.json").write_text(
+        '{"location_name": "A", "province_name": "P1", "value": 1.0}\n'
+        '{"location_name": "B", "province_name": "P1", "value": 2.0}\n'
+    )
+    schema = "location_name string, province_name string, value double"
+    snap = str(tmp_path / "snap")
+    sink = str(tmp_path / "novel")
+    ckpt = str(tmp_path / "ckpt3")
+    epoch_fn = foreach_batch_change_detect(
+        spark, ("location_name", "province_name"), snap, sink
+    )
+
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = stream.writeStream.foreachBatch(epoch_fn).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    (d / "f2.json").write_text(
+        '{"location_name": "B", "province_name": "P1", "value": 9.0}\n'
+        '{"location_name": "C", "province_name": "P2", "value": 3.0}\n'
+    )
+    stream2 = spark.readStream.schema(schema).json(str(d))
+    q2 = stream2.writeStream.foreachBatch(epoch_fn).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+
+    novel = spark.read.parquet(sink)
+    keys = sorted(
+        (r.location_name, r.province_name) for r in novel.collect()
+    )
+    # B appears once (epoch 1), never re-emitted in epoch 2.
+    assert keys == [("A", "P1"), ("B", "P1"), ("C", "P2")]
+    snap_keys = sorted(
+        (r.location_name, r.province_name)
+        for r in spark.read.parquet(snap).collect()
+    )
+    assert snap_keys == [("A", "P1"), ("B", "P1"), ("C", "P2")]
+
+
 def test_multimodal_feature_plumbing(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     media = attach_fake_media(docs)
