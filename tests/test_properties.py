@@ -1,0 +1,97 @@
+"""Property-based tests (SURVEY.md §5.2.4): algebraic laws the operators
+must satisfy for arbitrary inputs, via hypothesis.
+
+One shared Spark action per example would be slow; instead each property
+generates a batch of rows and runs ONE DataFrame evaluation per hypothesis
+example with small, bounded data (max_examples kept low — these guard
+laws, not throughput).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.normalize import (
+    CITY_PREFIXES,
+    normalize_city_name,
+    strip_city_suffix,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.relational import (
+    dense_ids,
+    symmetric_difference,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+name_st = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Zs")), min_size=0, max_size=20
+)
+key_st = st.tuples(st.integers(0, 5), st.sampled_from(["x", "y", "z", None]))
+rows_st = st.lists(key_st, min_size=0, max_size=12)
+
+
+@given(names=st.lists(name_st, min_size=1, max_size=10))
+@SETTINGS
+def test_normalize_idempotent(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "city string")
+    once = df.select(normalize_city_name(F.col("city")).alias("c"))
+    twice = once.select(normalize_city_name(F.col("c")).alias("c"))
+    assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+
+
+@given(names=st.lists(name_st, min_size=1, max_size=10), prefix=st.sampled_from(CITY_PREFIXES))
+@SETTINGS
+def test_normalize_strips_exactly_one_prefix(spark, names, prefix):
+    df = spark.createDataFrame([(prefix + n,) for n in names], "city string")
+    out = [r.c for r in df.select(normalize_city_name(F.col("city")).alias("c")).collect()]
+    # One anchored strip + trim — never the identity on a prefixed name
+    # (unless the remainder re-spells a prefix, which trim exposes).
+    for orig, stripped in zip(names, out):
+        assert not stripped.startswith(prefix) or orig.startswith(prefix)
+
+
+@given(names=st.lists(name_st, min_size=1, max_size=8))
+@SETTINGS
+def test_suffix_strip_never_leaves_city_suffix(spark, names):
+    df = spark.createDataFrame([(n + " City",) for n in names], "city string")
+    out = [r.c for r in df.select(strip_city_suffix(F.col("city")).alias("c")).collect()]
+    assert all(not c.endswith(" City") for c in out)
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_diff_self_is_empty(spark, rows):
+    df = spark.createDataFrame(rows or [(0, None)], "k int, v string")
+    assert symmetric_difference(df, df, ["k", "v"]).isEmpty()
+
+
+@given(a=rows_st, b=rows_st)
+@SETTINGS
+def test_diff_is_symmetric(spark, a, b):
+    da = spark.createDataFrame(a or [(99, "pad")], "k int, v string")
+    db = spark.createDataFrame(b or [(98, "pad")], "k int, v string")
+    ab = {
+        (r.k, r.v, r.diff_side) for r in symmetric_difference(da, db, ["k", "v"]).collect()
+    }
+    ba = {
+        (r.k, r.v, r.diff_side) for r in symmetric_difference(db, da, ["k", "v"]).collect()
+    }
+    flip = {"left_only": "right_only", "right_only": "left_only"}
+    assert ab == {(k, v, flip[s]) for k, v, s in ba}
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 100), st.integers(0, 100)), min_size=1, max_size=15))
+@SETTINGS
+def test_dense_ids_are_dense_and_deterministic(spark, rows):
+    df = spark.createDataFrame(rows, "a int, b int").dropDuplicates()
+    out = dense_ids(df, [F.col("a").asc(), F.col("b").asc()], id_col="id")
+    ids = sorted(r.id for r in out.collect())
+    assert ids == list(range(1, len(ids) + 1))  # dense 1..N, no gaps
+    again = dense_ids(df, [F.col("a").asc(), F.col("b").asc()], id_col="id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
