@@ -64,6 +64,12 @@ SELECT doc_id, {D.simhash_from_hashes_sql('hs32')} AS simhash FROM hashed
 """
 
 
+# -- exact all-pairs jaccard (prefix-filtered) -----------------------------
+def q_dedup_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.allpairs_jaccard_pairs(docs)
+
+
 # -- simhash near-dup pairs (banded hamming join) --------------------------
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -156,6 +162,11 @@ ENTRIES: dict[str, Q] = {
         q_dedup_minhash_lsh, D.minhash_near_dup_sql(), "minhash+LSH band join"
     ),
     "dedup_simhash": Q(q_dedup_simhash, _SIMHASH_SQL, "32-bit simhash signatures"),
+    "dedup_allpairs_jaccard": Q(
+        q_dedup_allpairs_jaccard,
+        D.allpairs_jaccard_sql(),
+        "exact all-pairs jaccard, prefix-filtered",
+    ),
     "simhash_near_dup": Q(
         q_simhash_near_dup, D.simhash_near_dup_sql(), "banded-hamming simhash pairs"
     ),
