@@ -17,7 +17,7 @@ CATALOG: dict[str, Q] = {}
 CATALOG.update(relational_queries.ENTRIES)
 
 # Widened incrementally; modules register themselves here as they land.
-for _mod_name in ("function_queries", "llm_queries", "composite_queries"):
+for _mod_name in ("function_queries", "llm_queries", "composite_queries", "timeseries_queries"):
     try:
         from importlib import import_module
 
