@@ -1,0 +1,112 @@
+"""applyInPandasWithState running totals + timeseries operator edges."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.timeseries import (
+    asof_join_backward,
+    sessionize,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.stateful import (
+    running_totals,
+)
+
+
+def _write_batch(d, name, rows):
+    with open(d / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_running_totals_state_accumulates_across_batches(spark, tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    _write_batch(d, "b1.json", [
+        {"event_type": "click", "ts": "2024-12-01T00:00:00", "value": 1.0},
+        {"event_type": "click", "ts": "2024-12-01T00:01:00", "value": 2.0},
+        {"event_type": "buy", "ts": "2024-12-01T00:02:00", "value": 10.0},
+    ])
+    schema = "event_type string, ts timestamp, value double"
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).json(str(d))
+        q = (
+            running_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, epoch: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    _write_batch(d, "b2.json", [
+        {"event_type": "click", "ts": "2024-12-01T00:05:00", "value": 4.0},
+    ])
+    run_pass()
+
+    out = spark.read.parquet(sink)
+    # latest emission per key reflects cumulative state across both passes
+    latest = {
+        r.key: (r.n_events, r.sum_value)
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "key"
+                ).orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    assert latest["click"] == (3, 7.0)
+    assert latest["buy"] == (1, 10.0)
+
+
+def test_asof_join_no_match_gives_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 2))], "id int, k int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 3), 5.0)], "k int, rts timestamp, v double"
+    )  # right event AFTER left ts → no backward match
+    out = asof_join_backward(left, right, key="k", left_ts="lts", right_ts="rts",
+                             value_cols=["v"]).collect()
+    assert len(out) == 1
+    assert out[0]["asof_v"] is None and out[0]["asof_ts"] is None
+
+
+def test_asof_join_equal_ts_is_inclusive(spark):
+    t = dt.datetime(2024, 1, 2)
+    left = spark.createDataFrame([(1, 10, t)], "id int, k int, lts timestamp")
+    right = spark.createDataFrame([(10, t, 7.0)], "k int, rts timestamp, v double")
+    out = asof_join_backward(left, right, key="k", left_ts="lts", right_ts="rts",
+                             value_cols=["v"]).collect()
+    assert out[0]["asof_v"] == 7.0 and out[0]["asof_ts"] == t
+
+
+def test_sessionize_boundary_gap_not_new_session(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(seconds=100)),   # same session (gap 100 <= 100)
+        (1, t0 + dt.timedelta(seconds=201)),   # new session (gap 101 > 100)
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp")
+    out = sessionize(df, key="k", ts="ts", gap_seconds=100).collect()
+    by_row = {(r.k, r.ts): r.session_seq for r in out}
+    assert by_row[(1, t0)] == 1
+    assert by_row[(1, t0 + dt.timedelta(seconds=100))] == 1
+    assert by_row[(1, t0 + dt.timedelta(seconds=201))] == 2
+    assert by_row[(2, t0)] == 1
