@@ -235,6 +235,75 @@ FROM orders
 """
 
 
+# -- fuzzy name matching via edit distance ---------------------------------
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein-based candidate matching — the principled upgrade of the
+    reference's substring 'fuzzy' cascade (weather_data_fetcher.py:104-130):
+    for each probe customer name, the closest supplier name within edit
+    distance 10, ties broken by name. Both engines implement identical
+    Levenshtein. Probe side is bounded (c_custkey ≤ 200) the way a geocode
+    batch is bounded by its changed-rows diff."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(F.col("c_name").alias("query_name"))
+    )
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_name").alias("cand_name")).distinct()
+    from pyspark.sql import Window
+
+    scored = (
+        cust.join(F.broadcast(supp))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.lower("query_name"), F.lower("cand_name")).cast("long"),
+        )
+        .filter(F.col("edit_dist") <= 10)
+    )
+    w = Window.partitionBy("query_name").orderBy(
+        F.col("edit_dist").asc(), F.col("cand_name").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_name", "cand_name", "edit_dist")
+    )
+
+
+_FUZZY_SQL = """
+WITH scored AS (
+  SELECT c.c_name AS query_name, s.cand_name,
+         levenshtein(lower(c.c_name), lower(s.cand_name)) AS edit_dist
+  FROM customer c
+  CROSS JOIN (SELECT DISTINCT s_name AS cand_name FROM supplier) s
+  WHERE c.c_custkey <= 200
+    AND levenshtein(lower(c.c_name), lower(s.cand_name)) <= 10)
+SELECT query_name, cand_name, edit_dist FROM (
+  SELECT query_name, cand_name, edit_dist,
+         row_number() OVER (PARTITION BY query_name
+                            ORDER BY edit_dist ASC, cand_name ASC) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
+# -- distinct-count analytics ----------------------------------------------
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.countDistinct("event_type").alias("distinct_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_DISTINCT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(DISTINCT user_id) AS distinct_users,
+       count(DISTINCT event_type) AS distinct_types,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "normalize_city_names": Q(q_normalize_city_names, _NORMALIZE_SQL, "F1/F2"),
     "case_insensitive_match": Q(q_case_insensitive_match, _CI_MATCH_SQL, "F3/F4"),
@@ -243,4 +312,6 @@ ENTRIES: dict[str, Q] = {
     "json_extract": Q(q_json_extract, _JSON_SQL, "F9/F10"),
     "epoch_roundtrip": Q(q_epoch_roundtrip, _EPOCH_SQL, "F7/F8"),
     "date_parts_arith": Q(q_date_parts_arith, _DATE_SQL, "F7 date family"),
+    "fuzzy_name_match": Q(q_fuzzy_name_match, _FUZZY_SQL, "levenshtein best-match"),
+    "distinct_users_daily": Q(q_distinct_users_daily, _DISTINCT_SQL, "distinct aggregates"),
 }

@@ -13,8 +13,9 @@ import pytest
 from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import CATALOG
 
 # Non-equi-join queries where a BroadcastNestedLoopJoin is the *intended*
-# physical shape (brute-force pairwise scoring with a broadcast side).
-NON_EQUI_OK = {"embedding_cosine_topk", "near_dup_embeddings"}
+# physical shape (brute-force pairwise scoring with a broadcast side, or a
+# bounded probe set × broadcast candidate dim).
+NON_EQUI_OK = {"embedding_cosine_topk", "near_dup_embeddings", "fuzzy_name_match"}
 
 
 def _plan(spark, sf_dir, name: str) -> str:
