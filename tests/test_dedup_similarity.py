@@ -102,3 +102,28 @@ def test_ann_subset_of_brute_force_scores(spark, sf_dir):
     assert len(ann) > 0
     for r in ann:
         assert brute[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_ivf_scores_are_true_cosines_and_recall(spark, sf_dir):
+    """IVF ANN: every emitted score must equal the brute-force cosine for
+    that pair (within float-repr tolerance — IVF scores via normalized
+    dot, brute force via dot/(|a||b|)), and recall@3 vs exact top-3 must
+    clear a floor with n_probe=2 of 16 cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute_rows = S.cosine_topk(emb, F.col("vid") < 10, k=10**6).collect()
+    brute = {(r.query_id, r.neighbor_id): r.cos_sim for r in brute_rows}
+    top3 = {}
+    for r in brute_rows:
+        if r.rank <= 3:
+            top3.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    ann = S.ivf_topk(emb, F.col("vid") < 10, n_centroids=16, n_iter=1,
+                     n_probe=2, k=3).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert abs(brute[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-5
+
+    hits = sum(1 for r in ann if r.rank <= 3 and r.neighbor_id in top3.get(r.query_id, set()))
+    total = sum(len(v) for v in top3.values())
+    recall = hits / total
+    assert recall >= 0.6, f"IVF recall@3 {recall}"
