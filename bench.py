@@ -40,19 +40,26 @@ def main() -> None:
     _force(CATALOG["flagship_latest_obs"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        _force(CATALOG[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            _force(CATALOG[name].fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as ex:  # one broken query must not kill the bench
+            errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    result = {
         "metric": "catalog_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     sys.stdout.flush()
     spark.stop()
 
