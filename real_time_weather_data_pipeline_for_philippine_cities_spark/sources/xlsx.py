@@ -1,0 +1,100 @@
+"""Minimal xlsx snapshot reader (SURVEY.md §2.1 S4, §2.2 K4).
+
+The reference persists its location dimension as an Excel file
+(weather_data_fetcher.py:372,426,436). This container has no Excel
+library, and none is needed: xlsx is a zip of XML, and a snapshot
+DIMENSION file is small by definition (the reference's has 146 rows), so
+a driver-side stdlib parse feeding ``spark.createDataFrame`` is the
+appropriate scale choice — the distributed path for big data is parquet
+(sinks/tables.py); this source exists for fidelity with the reference's
+on-disk state.
+
+Handles the layouts pandas' ``to_excel`` emits: shared strings (t="s"),
+inline strings (t="inlineStr"), plain strings (t="str"), and numbers.
+All values are returned as Python strings or floats; the caller applies
+the explicit snapshot schema (zero-padded PSGC codes must stay strings —
+SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+
+_NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+
+
+def _cell_col(ref: str) -> int:
+    """'B7' → 1 (0-based column index)."""
+    letters = re.match(r"[A-Z]+", ref).group(0)
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def read_xlsx_rows(path: str, sheet: str = "xl/worksheets/sheet1.xml") -> list[list]:
+    """All rows of the first worksheet as lists (None for empty cells)."""
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", _NS):
+                shared.append("".join(t.text or "" for t in si.iter(f"{{{_NS['m']}}}t")))
+        root = ET.fromstring(z.read(sheet))
+        rows: list[list] = []
+        for row_el in root.iter(f"{{{_NS['m']}}}row"):
+            cells: dict[int, object] = {}
+            for c in row_el.findall("m:c", _NS):
+                col = _cell_col(c.attrib["r"])
+                ctype = c.attrib.get("t", "n")
+                if ctype == "inlineStr":
+                    is_el = c.find("m:is", _NS)
+                    if is_el is None:  # empty cell, e.g. null oldName
+                        val = None
+                    else:
+                        val = "".join(
+                            t.text or "" for t in is_el.iter(f"{{{_NS['m']}}}t")
+                        )
+                else:
+                    v = c.find("m:v", _NS)
+                    if v is None or v.text is None:
+                        val = None
+                    elif ctype == "s":
+                        val = shared[int(v.text)]
+                    elif ctype == "str":
+                        val = v.text
+                    elif ctype == "b":
+                        val = bool(int(v.text))
+                    else:
+                        val = float(v.text)
+                cells[col] = val
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i) for i in range(width)])
+        n = max((len(r) for r in rows), default=0)
+        return [r + [None] * (n - len(r)) for r in rows]
+
+
+def read_xlsx_snapshot(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """First row = header; remaining rows → DataFrame.
+
+    Without ``schema``, every column is StringType (safest for PSGC code
+    columns) except cells that parsed as floats, which keep DoubleType via
+    stringification only when mixed. Pass an explicit DDL schema for typed
+    reads.
+    """
+    rows = read_xlsx_rows(path)
+    if not rows:
+        raise ValueError(f"empty xlsx: {path}")
+    header = [str(h) for h in rows[0]]
+    data = rows[1:]
+    if schema is None:
+        # all-string: deterministic, inference-free
+        data = [[None if v is None else str(v) for v in r] for r in data]
+        schema = ", ".join(f"`{h}` string" for h in header)
+    return spark.createDataFrame(data, schema)

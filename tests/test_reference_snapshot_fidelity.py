@@ -1,0 +1,98 @@
+"""Fidelity tests on the REFERENCE'S OWN persisted state: the 146-row
+location snapshot (`/root/reference/all_locations.xlsx`, read-only) goes
+through our stdlib xlsx source and the same operators the pipeline uses.
+This is the closest thing to running the reference's data end-to-end
+without its HTTP/MSSQL environment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.normalize import (
+    normalize_city_name,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.relational import (
+    dense_ids,
+    symmetric_difference,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.pipeline import (
+    COMPARE_COLUMNS,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.xlsx import (
+    read_xlsx_snapshot,
+)
+
+XLSX = "/root/reference/all_locations.xlsx"
+
+
+@pytest.fixture(scope="module")
+def snapshot(spark):
+    return read_xlsx_snapshot(spark, XLSX).cache()
+
+
+def test_snapshot_shape_and_code_fidelity(snapshot):
+    rows = snapshot.collect()
+    assert len(rows) == 146  # all_locations.xlsx data rows (SURVEY.md)
+    by_code = {r["code_city"]: r for r in rows}
+    # Zero-padded PSGC codes survive the source (never inferred as ints).
+    assert "012805000" in by_code
+    assert by_code["012805000"]["psgc10DigitCode"] == "0102805000"
+    assert by_code["012805000"]["name"] == "City of Batac"
+    # oldName null for 143/146 rows (SURVEY.md §1.2, verified inventory).
+    assert sum(1 for r in rows if r["oldName"] is None) == 143
+
+
+def test_change_detection_self_diff_empty_on_real_snapshot(spark, snapshot):
+    # The reference's no-change fast path (wdf.py:399-401) on its own data.
+    assert symmetric_difference(snapshot, snapshot, list(COMPARE_COLUMNS)).isEmpty()
+
+
+def test_change_detection_finds_injected_drift(spark, snapshot):
+    drifted = snapshot.withColumn(
+        "province_name",
+        F.when(F.col("code_city") == "012805000", F.lit("RENAMED")).otherwise(
+            F.col("province_name")
+        ),
+    )
+    diff = symmetric_difference(drifted, snapshot, list(COMPARE_COLUMNS)).collect()
+    sides = {r["diff_side"] for r in diff}
+    assert len(diff) == 2 and sides == {"left_only", "right_only"}
+    assert all(r["code_city"] == "012805000" for r in diff)
+
+
+def test_normalization_on_real_city_names(snapshot):
+    out = {
+        r["name"]: r["norm"]
+        for r in snapshot.select(
+            "name", normalize_city_name(F.col("name")).alias("norm")
+        ).collect()
+    }
+    assert out["City of Batac"] == "Batac"
+    # Idempotent on already-bare names.
+    for name, norm in out.items():
+        assert not norm.startswith(("City of ", "Municipality of "))
+
+
+def test_dense_ids_on_real_dim(snapshot):
+    dim = dense_ids(
+        snapshot.select("name", "province_name"),
+        [F.col("name").asc(), F.col("province_name").asc_nulls_last()],
+        id_col="location_id",
+    )
+    ids = sorted(r["location_id"] for r in dim.collect())
+    assert ids == list(range(1, 147))  # dense reseeded 1..146 (wdf.py:236-237)
+
+
+def test_real_coordinates_all_geocoded(snapshot):
+    # Every row in the persisted snapshot carries valid PH-bounds coords —
+    # the P5 filter (wdf.py:450-453) would pass all 146.
+    typed = snapshot.select(
+        F.col("latitude").cast("double").alias("lat"),
+        F.col("longitude").cast("double").alias("lon"),
+    )
+    ok = typed.filter(
+        F.col("lat").isNotNull() & F.col("lon").isNotNull()
+        & F.col("lat").between(4.0, 21.5) & F.col("lon").between(116.0, 127.0)
+    )
+    assert ok.count() == 146
