@@ -120,9 +120,113 @@ GROUP BY event_type
 """
 
 
+# -- moving average over a 7-day window frame ------------------------------
+def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # Integer-cents arithmetic for the windowed average: averaging 2dp
+    # doubles lands exactly on .xx5 boundaries where Spark (BigDecimal
+    # string-repr HALF_UP) and DuckDB (numeric std::round) disagree.
+    # Summing exact BIGINT cents and dividing once is boundary-free: .5
+    # cases are exactly representable and both engines round them away
+    # from zero.
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.round(F.sum("value"), 2).alias("day_sum")
+    ).withColumn("day_cents", F.round(F.col("day_sum") * 100).cast("long"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-6, Window.currentRow)
+    )
+    ma_cents = F.round(
+        F.sum("day_cents").over(w) / F.count(F.lit(1)).over(w)
+    ).cast("long")
+    return daily.select(
+        "day",
+        "event_type",
+        "day_sum",
+        (ma_cents / 100.0).alias("ma7"),
+        F.count(F.lit(1)).over(w).alias("n_days_in_window"),
+    )
+
+
+_MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, round(sum(value), 2) AS day_sum,
+         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS day_cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+SELECT day, event_type, day_sum,
+       CAST(round(sum(day_cents) OVER w::DOUBLE / count(*) OVER w) AS BIGINT)
+         / 100.0 AS ma7,
+       count(*) OVER w AS n_days_in_window
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# -- day-over-day deltas via lag -------------------------------------------
+def q_day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy(F.col("day").asc())
+    return daily.select(
+        "day",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events").over(w)).alias("delta"),
+        F.round(
+            (F.col("n_events") - F.lag("n_events").over(w))
+            / F.lag("n_events").over(w) * 100.0,
+            2,
+        ).alias("pct_change"),
+    )
+
+
+_DOD_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1)
+SELECT day, n_events,
+       n_events - lag(n_events) OVER w AS delta,
+       round((n_events - lag(n_events) OVER w)::DOUBLE
+             / lag(n_events) OVER w * 100.0, 2) AS pct_change
+FROM daily WINDOW w AS (ORDER BY day ASC)
+"""
+
+
+# -- INTERSECT set op -------------------------------------------------------
+def q_active_buyer_keys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys appearing on BOTH sides: users with purchase events ∩ customers
+    holding orders — INTERSECT (distinct semantics), the set op the
+    reference's symmetric difference never needed."""
+    ev = t(spark, sf_dir, "events")
+    orders = t(spark, sf_dir, "orders")
+    buyers = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key")
+    )
+    holders = orders.select(F.col("o_custkey").alias("key"))
+    return buyers.intersect(holders)
+
+
+_INTERSECT_SQL = """
+SELECT user_id AS key FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT o_custkey AS key FROM orders
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "asof_join": Q(q_asof_join, _ASOF_SQL, "backward as-of join, one shuffle"),
     "sessionize_events": Q(q_sessionize_events, _SESSIONIZE_SQL, "gap sessionization"),
     "rollup_revenue": Q(q_rollup_revenue, _ROLLUP_SQL, "rollup subtotals"),
     "percentiles_by_type": Q(q_percentiles_by_type, _PERCENTILES_SQL, "exact percentiles"),
+    "moving_avg_7d": Q(q_moving_avg_7d, _MOVING_AVG_SQL, "7-day window-frame MA"),
+    "day_over_day_change": Q(q_day_over_day_change, _DOD_SQL, "lag deltas"),
+    "active_buyer_keys_intersect": Q(
+        q_active_buyer_keys_intersect, _INTERSECT_SQL, "INTERSECT set op"
+    ),
 }
