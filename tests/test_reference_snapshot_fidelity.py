@@ -96,3 +96,57 @@ def test_real_coordinates_all_geocoded(snapshot):
         & F.col("lat").between(4.0, 21.5) & F.col("lon").between(116.0, 127.0)
     )
     assert ok.count() == 146
+
+
+def test_full_pipeline_on_real_snapshot(spark, snapshot):
+    """The complete §3 pipeline over the reference's actual 146 locations:
+    snapshot → cities/provinces sources → geocode (coords replayed from
+    the snapshot itself) → dim with dense keys → weather fetch → FK join →
+    146 observations."""
+    import json
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    cities = snapshot.select(
+        F.col("code_city").alias("code"), "name", "oldName", "isCapital",
+        "provinceCode", "districtCode", "regionCode", "islandGroupCode",
+        "psgc10DigitCode",
+    )
+    provinces = snapshot.select(
+        F.col("provinceCode").alias("code"), F.col("province_name").alias("name")
+    ).distinct()
+    coords = {
+        r["code_city"]: (float(r["latitude"]), float(r["longitude"]))
+        for r in snapshot.collect()
+    }
+
+    def geocoder(row):
+        lat, lon = coords[row["code_city"]]
+        return {"latitude": lat, "longitude": lon}
+
+    def weather(row):
+        return {"weather_json": json.dumps({
+            "weather": [{"main": "Clouds", "description": "broken clouds"}],
+            "main": {"temp": 29.0, "feels_like": 33.1, "temp_min": 28.0,
+                     "temp_max": 31.0, "pressure": 1008, "humidity": 70},
+            "wind": {"speed": 4.1, "deg": 90},
+            "clouds": {"all": 75},
+            "sys": {"sunrise": 1700000000, "sunset": 1700042000},
+        })}
+
+    res = run_pipeline(spark, cities, provinces, None, geocoder, weather)
+
+    dim = res.locations_dim.collect()
+    assert len(dim) == 146
+    assert sorted(r["location_id"] for r in dim) == list(range(1, 147))
+
+    obs = res.observations.collect()
+    assert len(obs) == 146  # every location FK-resolved, none dropped
+    assert all(r["weather_main"] == "Clouds" for r in obs)
+    assert all(r["rain_1h_mm"] == 0.0 for r in obs)  # absent rain → 0 default
+
+    # Coordinates replayed through the pipeline match the snapshot's.
+    batac = [r for r in dim if r["location_name"] == "City of Batac"][0]
+    assert abs(batac["latitude"] - 18.0555035) < 1e-9

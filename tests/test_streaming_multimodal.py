@@ -181,3 +181,33 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
 def test_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG", "png")
+
+
+def test_progress_listener_records_epochs(spark, landing, tmp_path):
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.metrics import (
+        ProgressRecorder,
+    )
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        stream = stream_observations(spark, landing, OBS_SCHEMA)
+        sink = str(tmp_path / "msink")
+        ckpt = str(tmp_path / "mckpt")
+        q = run_available_now(
+            stream, foreach_batch_pipeline(lambda df: df, sink), ckpt
+        )
+        q.awaitTermination(120)
+        # listener callbacks are async; progress may trail termination
+        import time as _t
+        for _ in range(40):
+            if rec.events:
+                break
+            _t.sleep(0.25)
+    finally:
+        spark.streams.removeListener(rec)
+    assert rec.events, "no progress events captured"
+    pdf = rec.progress_df(spark)
+    rows = pdf.collect()
+    assert sum(r.num_input_rows for r in rows) > 0
+    assert all(r.batch_id >= 0 for r in rows)
