@@ -198,6 +198,50 @@ FROM daily WINDOW w AS (ORDER BY day ASC)
 """
 
 
+# -- pivot: wide per-type daily counts -------------------------------------
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT value list — at scale, pivot
+    without values triggers an extra distinct pass over the data; the
+    explicit list keeps it single-pass and the schema stable."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+_PIVOT_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+# -- ordered string aggregation --------------------------------------------
+def q_types_per_user_stragg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-distinct string agg: array_sort(collect_set) + array_join is
+    the deterministic Spark encoding of DuckDB's
+    string_agg(DISTINCT ... ORDER BY ...)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_STRAGG_SQL = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type ASC) AS types_seen,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 # -- INTERSECT set op -------------------------------------------------------
 def q_active_buyer_keys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keys appearing on BOTH sides: users with purchase events ∩ customers
@@ -228,5 +272,11 @@ ENTRIES: dict[str, Q] = {
     "day_over_day_change": Q(q_day_over_day_change, _DOD_SQL, "lag deltas"),
     "active_buyer_keys_intersect": Q(
         q_active_buyer_keys_intersect, _INTERSECT_SQL, "INTERSECT set op"
+    ),
+    "pivot_daily_event_counts": Q(
+        q_pivot_daily_event_counts, _PIVOT_SQL, "explicit-values pivot"
+    ),
+    "types_per_user_stragg": Q(
+        q_types_per_user_stragg, _STRAGG_SQL, "ordered string agg"
     ),
 }
