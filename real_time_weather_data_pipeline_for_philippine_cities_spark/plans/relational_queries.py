@@ -446,6 +446,71 @@ GROUP BY o_orderpriority
 """
 
 
+# -- full outer reconciliation ---------------------------------------------
+def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the literal form of the reference's outer-merge
+    diff (wdf.py:384); kept alongside the dual-anti-join encoding so both
+    shapes are first-class. Reconciles per-user event activity against the
+    customer dim with side indicators."""
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    activity = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    accounts = cust.select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("acctbal")
+    )
+    j = activity.join(accounts, "key", "full_outer")
+    return j.select(
+        "key",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(F.coalesce("acctbal", F.lit(0.0)), 2).alias("acctbal"),
+        F.when(F.col("n_events").isNull(), "dim_only")
+        .when(F.col("acctbal").isNull(), "fact_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+_FULL_OUTER_SQL = """
+WITH activity AS (
+  SELECT user_id AS key, count(*) AS n_events FROM events GROUP BY 1),
+accounts AS (
+  SELECT c_custkey AS key, c_acctbal AS acctbal FROM customer)
+SELECT coalesce(a.key, b.key) AS key,
+       coalesce(a.n_events, 0) AS n_events,
+       round(coalesce(b.acctbal, 0.0), 2) AS acctbal,
+       CASE WHEN a.n_events IS NULL THEN 'dim_only'
+            WHEN b.acctbal IS NULL THEN 'fact_only'
+            ELSE 'both' END AS presence
+FROM activity a FULL OUTER JOIN accounts b ON a.key = b.key
+"""
+
+
+# -- EXCEPT ALL (multiset difference) --------------------------------------
+def q_multiset_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll preserves multiplicity — (partkey, suppkey) pairs from
+    line 1 minus line 2, keeping duplicate counts (vs the distinct
+    semantics of the symmetric-difference change detector)."""
+    li = t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    )
+    l2 = li.filter(F.col("l_linenumber") == 2).select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    )
+    return l1.exceptAll(l2)
+
+
+_EXCEPT_ALL_SQL = """
+SELECT l_partkey AS partkey, l_suppkey AS suppkey
+FROM lineitem WHERE l_linenumber = 1
+EXCEPT ALL
+SELECT l_partkey AS partkey, l_suppkey AS suppkey
+FROM lineitem WHERE l_linenumber = 2
+"""
+
+
 # -- §3.2 composite: the location-refresh subflow shape --------------------
 def q_location_refresh_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cities⋈provinces left join + snapshot diff, on testdata analogs.
@@ -514,6 +579,12 @@ ENTRIES: dict[str, Q] = {
     ),
     "priority_count_semi": Q(
         q_priority_count_semi, _PRIORITY_SEMI_SQL, "left-semi exists aggregate"
+    ),
+    "full_outer_reconciliation": Q(
+        q_full_outer_reconciliation, _FULL_OUTER_SQL, "full outer with side flags"
+    ),
+    "multiset_except_all": Q(
+        q_multiset_except_all, _EXCEPT_ALL_SQL, "EXCEPT ALL multiset diff"
     ),
     "location_refresh_diff": Q(
         q_location_refresh_diff, _LOCATION_REFRESH_SQL, "§3.2 composite subflow"

@@ -46,3 +46,36 @@ def windowed_observation_stats(
             "avg_value",
         )
     )
+
+
+def session_window_stats(
+    obs: DataFrame,
+    gap: str = "30 minutes",
+    event_time_col: str = "data_datetime",
+    key_cols: tuple[str, ...] = (),
+    value_col: str = "value",
+) -> DataFrame:
+    """Native session windows (gap-merged), batch or streaming.
+
+    Boundary semantics: an event at exactly ``prev_ts + gap`` starts a NEW
+    session (Spark's session_window is [start, start+gap) exclusive),
+    whereas operators.timeseries.sessionize keeps gap == threshold
+    in-session — off-boundary streams produce identical sessions (tested).
+    Streaming callers must apply withWatermark first so session state is
+    evictable.
+    """
+    sw = F.session_window(F.col(event_time_col), gap)
+    return (
+        obs.groupBy(sw.alias("w"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *key_cols,
+            "n_obs",
+            "sum_value",
+        )
+    )

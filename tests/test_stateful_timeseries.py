@@ -110,3 +110,30 @@ def test_sessionize_boundary_gap_not_new_session(spark):
     assert by_row[(1, t0 + dt.timedelta(seconds=100))] == 1
     assert by_row[(1, t0 + dt.timedelta(seconds=201))] == 2
     assert by_row[(2, t0)] == 1
+
+
+def test_native_session_window_agrees_with_lag_sessionize(spark, sf_dir):
+    """Off gap-boundary data: Spark's native session_window must produce
+    the same (key, session_start, n_events) sessions as the lag+cumsum
+    sessionizer (which is DuckDB-oracle-paired)."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.timeseries import (
+        session_stats,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.windows import (
+        session_window_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    gap_s = 6 * 3600
+    lag_based = session_stats(ev, key="user_id", ts="ts", gap_seconds=gap_s,
+                              order_tiebreak=["event_id"])
+    native = session_window_stats(ev, gap=f"{gap_s} seconds",
+                                  event_time_col="ts", key_cols=("user_id",))
+    a = sorted((r.user_id, r.session_start, r.n_events)
+               for r in lag_based.select("user_id", "session_start", "n_events").collect())
+    b = sorted((r.user_id, r.session_start, r.n_obs)
+               for r in native.select("user_id", "session_start", "n_obs").collect())
+    assert a == b
