@@ -36,8 +36,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = sorted(CATALOG)
-    # Warm-up: run the flagship once to absorb one-time codegen/IO costs.
+    # Warm-up: absorb one-time JIT/codegen costs before timing. The
+    # flagship covers scan/join/window paths; the synthetic expression
+    # below exercises the higher-order-function + md5 interpreter paths
+    # that the dedup/similarity queries lean on (their first execution
+    # otherwise pays several seconds of JIT that is not query cost).
     _force(CATALOG["flagship_latest_obs"].fn(spark, sf_dir))
+    warm = spark.range(0, 200_000, 1, 8).selectExpr(
+        "aggregate(transform(sequence(0, 9), i -> "
+        "CAST(conv(substring(md5(CAST(id + i AS STRING)), 1, 7), 16, 10) AS LONG)),"
+        " CAST(0 AS LONG), (a, x) -> a + x) AS s"
+    )
+    _force(warm)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
