@@ -73,6 +73,35 @@ def test_semi_join_stays_semi(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+# Queries allowed to run Python at all — Arrow-batched only (pandas_udf /
+# mapInPandas). Row-at-a-time BatchEvalPython is banned everywhere.
+ARROW_PYTHON_OK = {"multimodal_features", "ivf_cosine_topk", "weather_pipeline_e2e"}
+
+
+def test_no_row_at_a_time_python_udfs(spark, sf_dir):
+    offenders = []
+    for name in CATALOG:
+        plan = _plan(spark, sf_dir, name)
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if ("ArrowEvalPython" in plan or "MapInPandas" in plan) and name not in ARROW_PYTHON_OK:
+            offenders.append((name, "unexpected Python stage"))
+    assert not offenders, f"Python in hot path: {offenders}"
+
+
+def test_catalog_contract_oracle_or_whitelisted(spark):
+    # Every catalog query must carry a DuckDB oracle unless it is one of
+    # the two explicitly rows-only surfaces (Pandas-UDF features, iterative
+    # float training). Prevents silently shipping unverified queries.
+    ROWS_ONLY_OK = {"multimodal_features", "ivf_cosine_topk"}
+    missing = [
+        name for name, q in CATALOG.items() if q.oracle is None and name not in ROWS_ONLY_OK
+    ]
+    assert not missing, f"queries without oracle: {missing}"
+    for name, q in CATALOG.items():
+        assert callable(q.fn), name
+
+
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_ngram_jaccard", "simhash_near_dup"])
 def test_pairwise_dedup_parallelizes(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
