@@ -446,6 +446,39 @@ GROUP BY o_orderpriority
 """
 
 
+# -- promo revenue share (TPC-H Q14 shape) ---------------------------------
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ part with a conditional aggregate: monthly promo revenue
+    share. part is ~2k rows at sf0.01 — broadcast; the shuffle is only the
+    month groupBy of the pre-aggregated map side."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_PROMO_SQL = """
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END), 2) AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 # -- full outer reconciliation ---------------------------------------------
 def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join — the literal form of the reference's outer-merge
@@ -579,6 +612,9 @@ ENTRIES: dict[str, Q] = {
     ),
     "priority_count_semi": Q(
         q_priority_count_semi, _PRIORITY_SEMI_SQL, "left-semi exists aggregate"
+    ),
+    "promo_revenue_share": Q(
+        q_promo_revenue_share, _PROMO_SQL, "TPC-H Q14-shape conditional agg"
     ),
     "full_outer_reconciliation": Q(
         q_full_outer_reconciliation, _FULL_OUTER_SQL, "full outer with side flags"
