@@ -370,11 +370,14 @@ SELECT segment, o_orderkey, o_totalprice, rank FROM (
 
 # -- scale analytics: multi-join revenue rollup (TPC-H Q5 shape) -----------
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB join-plan showcase: the one real shuffle is
-    lineitem⋈orders on orderkey (both sides big, AQE picks sort-merge and
-    splits skew); every dimension hop (customer, supplier, nation, region)
-    is an explicit broadcast, and the date/region filters sit directly on
-    the scans so parquet row-group pruning sees them."""
+    """The 100 TB join-plan showcase: lineitem⋈orders shuffles on orderkey
+    (both sides big; AQE picks sort-merge and splits skew). Broadcast
+    hints go ONLY on the bounded dimensions (nation ≈ 25 rows, region ≈ 5
+    rows, fixed regardless of scale factor); customer and supplier GROW
+    with the data, so their join strategy is left to AQE — it broadcasts
+    them at small SF and switches to shuffle joins when they no longer
+    fit, which a hard-coded hint would break at 100 TB. The date/region
+    filters sit directly on the scans so row-group pruning sees them."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -386,9 +389,9 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
             "inner",

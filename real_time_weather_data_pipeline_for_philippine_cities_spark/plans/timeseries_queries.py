@@ -75,8 +75,10 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region")
+    # Broadcast only the bounded dims (nation/region); customer scales
+    # with the fact side, so its strategy is AQE's call.
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"),
