@@ -347,7 +347,8 @@ GROUP BY 1, 2
 def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner").select(
+    # customer grows with SF — join strategy is AQE's call (no hint).
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
         F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice"
     )
     return topk_per_group(
