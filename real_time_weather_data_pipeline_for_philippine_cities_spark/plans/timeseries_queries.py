@@ -102,6 +102,30 @@ GROUP BY ROLLUP (region_name, nation_name)
 """
 
 
+# -- grouping sets (cube) ---------------------------------------------------
+def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping combinations
+    in one pass — the full grouping-sets lattice (rollup covers the
+    hierarchical subset)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.withColumn("dow", F.dayofweek("ts").cast("long"))
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT event_type, dow, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, value
+      FROM events WHERE value IS NOT NULL)
+GROUP BY CUBE (event_type, dow)
+"""
+
+
 # -- exact interpolated percentiles ----------------------------------------
 def q_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
@@ -270,6 +294,7 @@ ENTRIES: dict[str, Q] = {
     "sessionize_events": Q(q_sessionize_events, _SESSIONIZE_SQL, "gap sessionization"),
     "rollup_revenue": Q(q_rollup_revenue, _ROLLUP_SQL, "rollup subtotals"),
     "percentiles_by_type": Q(q_percentiles_by_type, _PERCENTILES_SQL, "exact percentiles"),
+    "cube_event_stats": Q(q_cube_event_stats, _CUBE_SQL, "CUBE grouping lattice"),
     "moving_avg_7d": Q(q_moving_avg_7d, _MOVING_AVG_SQL, "7-day window-frame MA"),
     "day_over_day_change": Q(q_day_over_day_change, _DOD_SQL, "lag deltas"),
     "active_buyer_keys_intersect": Q(
