@@ -211,3 +211,59 @@ def test_progress_listener_records_epochs(spark, landing, tmp_path):
     rows = pdf.collect()
     assert sum(r.num_input_rows for r in rows) > 0
     assert all(r.batch_id >= 0 for r in rows)
+
+
+def test_watermark_drops_late_data_across_epochs(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark: a row arriving in
+    a later epoch whose event time is older than (max_seen - watermark)
+    must NOT reopen its (already emitted) window — SURVEY §2.9's late-data
+    contract, which the reference lacks entirely."""
+    d = tmp_path / "wland"
+    d.mkdir()
+    schema = "data_datetime timestamp, event_type string, value double"
+    sink = str(tmp_path / "wsink")
+    ckpt = str(tmp_path / "wckpt")
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema(schema).json(str(d))
+            .withWatermark("data_datetime", "10 minutes")
+        )
+        agg = (
+            stream.groupBy(F.window("data_datetime", "1 hour").alias("w"), "event_type")
+            .count()
+            .select(F.col("w.start").alias("ws"), "event_type", "count")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # epoch 1: two events at 01:00h and one at 05:00h — watermark advances
+    # to 04:50, so the 01:00 window is finalized and emitted.
+    (d / "b1.json").write_text(
+        '{"data_datetime": "2024-12-01T01:10:00", "event_type": "click", "value": 1.0}\n'
+        '{"data_datetime": "2024-12-01T01:20:00", "event_type": "click", "value": 1.0}\n'
+        '{"data_datetime": "2024-12-01T05:00:00", "event_type": "click", "value": 1.0}\n'
+    )
+    run_pass()
+    first = {(r.ws, r.event_type): r["count"] for r in spark.read.parquet(sink).collect()}
+    import datetime as dt
+    w1 = dt.datetime(2024, 12, 1, 1, 0)
+    assert first.get((w1, "click")) == 2  # finalized with both on-time rows
+
+    # epoch 2: a LATE row for the 01:00 window (behind the watermark).
+    (d / "b2.json").write_text(
+        '{"data_datetime": "2024-12-01T01:30:00", "event_type": "click", "value": 9.0}\n'
+        '{"data_datetime": "2024-12-01T06:00:00", "event_type": "click", "value": 1.0}\n'
+    )
+    run_pass()
+    rows = spark.read.parquet(sink).collect()
+    # The 01:00 window was emitted once with count 2 and never re-emitted:
+    w1_rows = [r for r in rows if r.ws == w1]
+    assert len(w1_rows) == 1 and w1_rows[0]["count"] == 2
