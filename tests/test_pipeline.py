@@ -162,3 +162,32 @@ def test_pipeline_no_changes_skips_geocode(spark, frames):
 
     second = run_pipeline(spark, cities, provinces, snapshot, exploding_geocoder, fake_weather)
     assert second.locations_dim.count() == 3
+
+
+def test_enrichment_rate_limit_paces_requests(spark):
+    """The token-bucket must enforce >= 1/rate spacing between fetches
+    (wdf.py:419's global 1 rps contract, scaled down for test speed)."""
+    import time
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.enrich import (
+        enrich_map_in_pandas,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    schema = StructType(list(df.schema.fields) + [StructField("out", DoubleType())])
+
+    def fetch(row):
+        return {"out": float(row["id"])}
+
+    t0 = time.monotonic()
+    rows = enrich_map_in_pandas(
+        df, fetch, schema, rate_per_sec=20.0, single_partition=True
+    ).collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == 5
+    # 5 fetches at 20 rps => at least 4 gaps of 50 ms (generous lower
+    # bound: scheduling noise only ever makes it slower).
+    assert elapsed >= 0.19, f"rate limit not enforced: {elapsed:.3f}s"
+    assert {r.out for r in rows} == {0.0, 1.0, 2.0, 3.0, 4.0}
