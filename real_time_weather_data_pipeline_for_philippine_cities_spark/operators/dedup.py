@@ -233,6 +233,119 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 
 
 # --------------------------------------------------------------------------
+# cluster assignment: pairs → connected components → canonical survivor
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Each node's label converges to the minimum node id reachable from it —
+    the canonical cluster id. Per round: one join of the undirected
+    adjacency against current labels + a min-aggregate; lineage is
+    truncated with localCheckpoint every round so the plan stays flat.
+    Rounds needed = graph diameter (near-dup clusters are shallow; the
+    driver-side convergence check stops early). At extreme scale swap in
+    the large-star/small-star algorithm (Kiveris et al.) — same DataFrame
+    substrate, fewer rounds on high-diameter graphs.
+
+    The fixpoint is unique regardless of iteration count, so results are
+    engine-reproducible (the DuckDB oracle computes the same labels via a
+    recursive transitive-closure CTE).
+
+    Output: (node, label).
+    """
+    a = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    adj = a.unionByName(a.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = adj.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(labels, adj.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels
+
+
+def dedup_cluster_assign(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Full-corpus cluster assignment from a near-dup pair list.
+
+    Every document gets a ``cluster_id`` (min doc id of its component;
+    singletons cluster with themselves) and ``is_canonical`` marks the one
+    survivor per cluster — the row a dedup pass keeps.
+    """
+    comp = connected_components(pairs, src, dst)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, F.col("doc_id") == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def dedup_cluster_sql(
+    pair_sql: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle: transitive closure via recursive CTE → min reachable
+    id per node; singletons fall back to their own id."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pair_sql}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(node, r) AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r
+  FROM edges e JOIN reach ON reach.node = e.b),
+comp AS (
+  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.{id_col} AS doc_id,
+       coalesce(c.cluster_id, d.{id_col}) AS cluster_id,
+       d.{id_col} = coalesce(c.cluster_id, d.{id_col}) AS is_canonical
+FROM {table} d LEFT JOIN comp c ON d.{id_col} = c.node
+"""
+
+
+# --------------------------------------------------------------------------
 # simhash
 # --------------------------------------------------------------------------
 

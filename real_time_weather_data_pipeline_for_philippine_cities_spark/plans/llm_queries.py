@@ -70,6 +70,19 @@ def q_dedup_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.allpairs_jaccard_pairs(docs)
 
 
+# -- cluster assignment: pairs → components → canonical survivor -----------
+def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs).select("doc_a", "doc_b")
+    return D.dedup_cluster_assign(docs, pairs)
+
+
+_CLUSTER_SQL = D.dedup_cluster_sql(
+    # identical pair generation as dedup_minhash_lsh, projected to edges
+    f"SELECT doc_a, doc_b FROM ({D.minhash_near_dup_sql()})"
+)
+
+
 # -- simhash near-dup pairs (banded hamming join) --------------------------
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -181,6 +194,9 @@ ENTRIES: dict[str, Q] = {
         q_dedup_minhash_lsh, D.minhash_near_dup_sql(), "minhash+LSH band join"
     ),
     "dedup_simhash": Q(q_dedup_simhash, _SIMHASH_SQL, "32-bit simhash signatures"),
+    "dedup_cluster_assign": Q(
+        q_dedup_cluster_assign, _CLUSTER_SQL, "pairs → components → survivor"
+    ),
     "dedup_allpairs_jaccard": Q(
         q_dedup_allpairs_jaccard,
         D.allpairs_jaccard_sql(),
