@@ -233,6 +233,64 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 
 
 # --------------------------------------------------------------------------
+# deterministic stratified sampling (training-data mixture quotas)
+# --------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Hash-bucket stratified sampling: keep a row iff
+    ``md5(salt || id) % 10000 < fraction * 10000`` for its stratum.
+
+    Unlike ``sampleBy`` (RNG per partition — not reproducible across
+    engines, partitionings, or reruns), hash bucketing is a pure function
+    of the row id: the sample is stable under repartitioning, incremental
+    reprocessing, and is exactly reproducible by any engine with md5 —
+    which is what a training-data mixture needs (rerunning the pipeline
+    must not churn the corpus). Strata absent from ``fractions`` are
+    dropped (quota 0).
+    """
+    bucket = F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}', CAST({id_col} AS STRING))), 1, 7),"
+        " 16, 10) AS LONG) % 10000"
+    )
+    quota = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.when(F.col(strata_col) == stratum, F.lit(int(frac * 10000)))
+        quota = cond if quota is None else quota.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * 10000))
+        )
+    quota = (quota.otherwise(F.lit(0)) if quota is not None else F.lit(0))
+    return df.withColumn("__bucket", bucket).filter(F.col("__bucket") < quota).drop(
+        "__bucket"
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> str:
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {int(f * 10000)}"
+        for s, f in sorted(fractions.items())
+    )
+    return f"""
+SELECT * FROM {table}
+WHERE ('0x' || substring(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 7))::BIGINT
+      % 10000
+      < (CASE {cases} ELSE 0 END)
+"""
+
+
+# --------------------------------------------------------------------------
 # cluster assignment: pairs → connected components → canonical survivor
 # --------------------------------------------------------------------------
 

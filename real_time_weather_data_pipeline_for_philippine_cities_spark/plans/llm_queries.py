@@ -70,6 +70,24 @@ def q_dedup_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.allpairs_jaccard_pairs(docs)
 
 
+# -- deterministic stratified sampling (mixture quotas) --------------------
+_MIX = {"en": 0.6, "de": 0.3, "fr": 0.3, "es": 0.1}  # zh dropped (quota 0)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.stratified_sample(docs, "lang", _MIX).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_STRAT_SQL = (
+    "SELECT doc_id, lang, source, n_chars FROM ("
+    + D.stratified_sample_sql("documents", "lang", _MIX)
+    + ")"
+)
+
+
 # -- cluster assignment: pairs → components → canonical survivor -----------
 def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -194,6 +212,9 @@ ENTRIES: dict[str, Q] = {
         q_dedup_minhash_lsh, D.minhash_near_dup_sql(), "minhash+LSH band join"
     ),
     "dedup_simhash": Q(q_dedup_simhash, _SIMHASH_SQL, "32-bit simhash signatures"),
+    "stratified_sample": Q(
+        q_stratified_sample, _STRAT_SQL, "deterministic mixture sampling"
+    ),
     "dedup_cluster_assign": Q(
         q_dedup_cluster_assign, _CLUSTER_SQL, "pairs → components → survivor"
     ),
