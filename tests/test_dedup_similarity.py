@@ -127,3 +127,27 @@ def test_ivf_scores_are_true_cosines_and_recall(spark, sf_dir):
     total = sum(len(v) for v in top3.values())
     recall = hits / total
     assert recall >= 0.6, f"IVF recall@3 {recall}"
+
+
+def test_stratified_sample_stable_under_repartition(spark, sf_dir):
+    """The md5 hash-bucket sample must be a pure function of row ids —
+    identical membership no matter how the data is partitioned (the
+    property RNG-based sampleBy lacks, and the reason this operator is
+    safe for incremental reruns of a training-data mixture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"en": 0.5, "de": 0.25}
+    a = sorted(r.doc_id for r in D.stratified_sample(docs, "lang", fr).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in D.stratified_sample(docs.repartition(17), "lang", fr).select("doc_id").collect()
+    )
+    c = sorted(
+        r.doc_id
+        for r in D.stratified_sample(docs.coalesce(1), "lang", fr).select("doc_id").collect()
+    )
+    assert a == b == c and len(a) > 0
+    # dropped strata contribute nothing
+    langs = {
+        r.lang for r in D.stratified_sample(docs, "lang", fr).select("lang").distinct().collect()
+    }
+    assert langs <= {"en", "de"}
