@@ -191,3 +191,21 @@ def test_enrichment_rate_limit_paces_requests(spark):
     # bound: scheduling noise only ever makes it slower).
     assert elapsed >= 0.19, f"rate limit not enforced: {elapsed:.3f}s"
     assert {r.out for r in rows} == {0.0, 1.0, 2.0, 3.0, 4.0}
+
+
+def test_enrichment_parallel_partitions_complete(spark):
+    """Throughput mode: enrichment over multiple partitions must produce
+    one enriched row per input row with no loss or duplication (the mode
+    used when the provider allows a per-partition rate budget)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.enrich import (
+        enrich_map_in_pandas,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long").repartition(8)
+    schema = StructType(list(df.schema.fields) + [StructField("out", DoubleType())])
+    out = enrich_map_in_pandas(df, lambda row: {"out": row["id"] * 2.0}, schema)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert sorted((r.id, r.out) for r in rows) == [(i, i * 2.0) for i in range(200)]
