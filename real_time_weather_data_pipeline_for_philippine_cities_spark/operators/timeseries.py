@@ -128,5 +128,13 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
     ]
     if value_col is not None:
-        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        # Integer-cents sum: double accumulation order differs between
+        # Spark partial aggregates and the DuckDB oracle, crossing .xx5
+        # rounding boundaries (Spark HALF_UP vs DuckDB). values are 2dp;
+        # summing exact BIGINT cents is order-independent on both engines.
+        aggs.append(
+            (F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            )
+        )
     return s.groupBy(F.col(key), F.col("session_seq")).agg(*aggs)

@@ -64,7 +64,8 @@ sessioned AS (
   FROM ordered)
 SELECT user_id, session_seq,
        min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM sessioned GROUP BY user_id, session_seq
 """
 
@@ -113,13 +114,17 @@ def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("event_type", "dow")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # integer-cents: order-independent across engines (values are 2dp)
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
         )
     )
 
 
 _CUBE_SQL = """
-SELECT event_type, dow, count(*) AS n_events, round(sum(value), 2) AS sum_value
+SELECT event_type, dow, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, value
       FROM events WHERE value IS NOT NULL)
 GROUP BY CUBE (event_type, dow)
@@ -158,8 +163,8 @@ def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cases are exactly representable and both engines round them away
     # from zero.
     daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
-        F.round(F.sum("value"), 2).alias("day_sum")
-    ).withColumn("day_cents", F.round(F.col("day_sum") * 100).cast("long"))
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents")
+    ).withColumn("day_sum", F.col("day_cents") / 100.0)
     w = (
         Window.partitionBy("event_type")
         .orderBy(F.col("day").asc())
@@ -179,8 +184,9 @@ def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MOVING_AVG_SQL = """
 WITH daily AS (
-  SELECT CAST(ts AS DATE) AS day, event_type, round(sum(value), 2) AS day_sum,
-         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS day_cents
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS day_sum,
+         sum(CAST(round(value * 100) AS BIGINT)) AS day_cents
   FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
 SELECT day, event_type, day_sum,
        CAST(round(sum(day_cents) OVER w::DOUBLE / count(*) OVER w) AS BIGINT)
