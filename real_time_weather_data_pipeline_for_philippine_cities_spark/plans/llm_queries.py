@@ -146,8 +146,12 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- embedding near-dup pairs ----------------------------------------------
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact all-pairs (block-pair replication + Arrow-vectorized
+    verify) — identical answer to the brute-force oracle at any SF, but a
+    keyed-join plan instead of the O(n²) non-equi join (which stays as the
+    test-only baseline in near_dup_pairs_cosine)."""
     emb = t(spark, sf_dir, "embeddings")
-    return S.near_dup_pairs_cosine(emb, threshold=0.45)
+    return S.near_dup_pairs_cosine_blocked(emb, threshold=0.45, n_blocks=8)
 
 
 # -- language ID -----------------------------------------------------------

@@ -151,3 +151,26 @@ def test_stratified_sample_stable_under_repartition(spark, sf_dir):
         r.lang for r in D.stratified_sample(docs, "lang", fr).select("lang").distinct().collect()
     }
     assert langs <= {"en", "de"}
+
+
+def test_blocked_near_dup_identical_to_brute_force(spark, sf_dir):
+    """The blocked exact all-pairs plan (catalog entry) must emit the
+    bit-identical qualifying set and rounded scores as the brute-force
+    baseline — losslessness by construction, pinned here so a change to
+    the blocking or the accumulation order can't silently drift."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = sorted(
+        map(tuple, S.near_dup_pairs_cosine_blocked(emb, threshold=0.45, n_blocks=8).collect())
+    )
+    brute = sorted(map(tuple, S.near_dup_pairs_cosine(emb, threshold=0.45).collect()))
+    assert blocked == brute
+    assert len(blocked) > 0  # planted structure must actually be found
+
+
+def test_blocked_near_dup_handles_more_blocks_than_rows(spark):
+    """Degenerate blocking (P >> n) must not lose or duplicate pairs."""
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    rows.append((3, [1.0, 0.0, 0.0, 0.0]))  # duplicate of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.near_dup_pairs_cosine_blocked(emb, threshold=0.99, n_blocks=16).collect()
+    assert [(r.vec_a, r.vec_b, r.cos_sim) for r in out] == [(0, 3, 1.0)]
