@@ -82,20 +82,32 @@ def extract_features(
     # ships it to Python workers by value, and workers may not have this
     # package on their import path.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib as _zlib
+        import hashlib as _hashlib
+        import math as _math
 
         import numpy as _np
 
         def entropy(b: bytes) -> float:
-            # Vectorized histogram entropy: bincount + masked log2, no
-            # per-byte Python loop (the batch is already in memory via
-            # Arrow; this is the only remaining per-row cost).
+            # Histogram entropy with a DETERMINISTIC summation contract:
+            # terms accumulate in ascending byte value with libm log2, the
+            # exact fold order and primitive the DuckDB oracle uses
+            # (numpy's SIMD log2/pairwise sum can drift a ulp and cross
+            # the 6dp rounding boundary). ≤256 terms per row.
             if not b:
                 return 0.0
             arr = _np.frombuffer(b, dtype=_np.uint8)
             counts = _np.bincount(arr, minlength=256)
-            p = counts[counts > 0] / arr.size
-            return round(float(-(p * _np.log2(p)).sum()), 6)
+            n = arr.size
+            acc = 0.0
+            for c in counts[counts > 0]:
+                p = c / n
+                acc += -(p * _math.log2(p))
+            return round(acc, 6)
+
+        def checksum(b: bytes) -> int:
+            # 60-bit md5 prefix — reproducible in any engine with md5
+            # (DuckDB: CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)).
+            return int(_hashlib.md5(b).hexdigest()[:15], 16)
 
         for pdf in batches:
             ent, chk = [], []
@@ -104,7 +116,7 @@ def extract_features(
                 if decoder is not None:
                     decoder(b, "fake")  # decoded object would feed real features
                 ent.append(entropy(b))
-                chk.append(_zlib.crc32(b))
+                chk.append(checksum(b))
             pdf["byte_entropy"] = ent
             pdf["checksum"] = chk
             yield pdf

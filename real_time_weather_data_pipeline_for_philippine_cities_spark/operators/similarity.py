@@ -301,10 +301,25 @@ def ivf_train_centroids(
     return [[round(x, 6) for x in c] for c in cents]
 
 
+def _centroid_dots(u_series, cmat):  # type: ignore[no-untyped-def]
+    """(batch × K) centroid dot products with per-dimension ascending
+    accumulation — bit-identical to the sequential left fold the DuckDB
+    oracle uses, so argmax/argsort decisions agree across engines even
+    when two centroids nearly tie. Still vectorized: dim outer-product
+    accumulations per Arrow batch, not K interpreted fold-dots per row."""
+    import numpy as np
+
+    C = np.asarray(cmat)  # K × dim
+    U = np.vstack(u_series.to_numpy())  # batch × dim
+    acc = np.zeros((U.shape[0], C.shape[0]))
+    for d in range(C.shape[1]):
+        acc += np.outer(U[:, d], C[:, d])
+    return acc
+
+
 def _nearest_centroid_col(unit_col: str, cents: list[list[float]]) -> Column:
-    """argmax dot(u, centroid) as an int bucket id — Arrow-vectorized: one
-    numpy (batch×dim)@(dim×K) matmul per Arrow batch instead of K
-    interpreted fold-dots per row (measured ~20× on 5k×64×16)."""
+    """argmax dot(u, centroid) as an int bucket id; ties take the lowest
+    bucket (numpy argmax = first occurrence, mirrored in the SQL twin)."""
     from pyspark.sql.functions import pandas_udf
 
     cmat = [list(c) for c in cents]
@@ -312,17 +327,16 @@ def _nearest_centroid_col(unit_col: str, cents: list[list[float]]) -> Column:
     @pandas_udf("int")
     def assign(u):  # type: ignore[no-untyped-def]
         import numpy as np
+        import pandas as pd
 
-        C = np.asarray(cmat).T
-        U = np.vstack(u.to_numpy())
-        return __import__("pandas").Series(np.argmax(U @ C, axis=1).astype("int32"))
+        return pd.Series(np.argmax(_centroid_dots(u, cmat), axis=1).astype("int32"))
 
     return assign(F.col(unit_col))
 
 
 def _top_probe_buckets_col(unit_col: str, cents: list[list[float]], n_probe: int) -> Column:
-    """The n_probe bucket ids with highest centroid dot product (vectorized
-    like _nearest_centroid_col; ordered best-first)."""
+    """The n_probe bucket ids with highest centroid dot product, best-first;
+    ties take the lower bucket (stable sort, mirrored in the SQL twin)."""
     from pyspark.sql.functions import pandas_udf
 
     cmat = [list(c) for c in cents]
@@ -332,10 +346,8 @@ def _top_probe_buckets_col(unit_col: str, cents: list[list[float]], n_probe: int
         import numpy as np
         import pandas as pd
 
-        C = np.asarray(cmat).T
-        U = np.vstack(u.to_numpy())
-        order = np.argsort(-(U @ C), axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
+        order = np.argsort(-_centroid_dots(u, cmat), axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe].astype("int32")))
 
     return probes(F.col(unit_col))
 
@@ -386,6 +398,66 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _centroid_array_duck(c: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + "]"
+
+
+def ivf_topk_sql(
+    query_pred_sql: str,
+    centroids: list[list[float]],
+    dim: int,
+    n_probe: int = 2,
+    k: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``ivf_topk`` with FROZEN centroids: assignment
+    (argmax centroid dot, ties → lowest bucket = first occurrence),
+    multi-probe (top n_probe by dot DESC, bucket ASC), and exact cosine
+    scoring — every dot a sequential left fold, so the doubles driving
+    argmax/argsort/round are bit-identical to the Spark plan's
+    per-dimension-accumulation pandas UDFs."""
+    K = len(centroids)
+    cdots = ", ".join(
+        _fold_sum_duck(
+            f"list_transform(range(1, {dim + 1}), i -> u[i] * {_centroid_array_duck(c)}[i])"
+        )
+        for c in centroids
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}),
+normed AS (
+  SELECT vid, v, {norm_sql('v')} AS nrm FROM base),
+unit AS (
+  SELECT vid, list_transform(v, x -> x / nrm) AS u FROM normed WHERE nrm > 0),
+cd AS (
+  SELECT vid, u, [{cdots}] AS ds FROM unit),
+assigned AS (
+  SELECT vid, u, CAST(list_position(ds, list_max(ds)) - 1 AS INTEGER) AS bucket
+  FROM cd),
+qprobe AS (
+  SELECT vid AS query_id, u AS qu, CAST(i AS INTEGER) AS bucket,
+         row_number() OVER (PARTITION BY vid
+                            ORDER BY ds[CAST(i AS INTEGER) + 1] DESC, i ASC) AS pr
+  FROM cd, range(0, {K}) t(i)
+  WHERE {query_pred_sql}),
+scored AS (
+  SELECT q.query_id, a.vid AS neighbor_id,
+         round({dot_sql('q.qu', 'a.u', dim)}, 6) AS cos_sim
+  FROM assigned a JOIN (SELECT * FROM qprobe WHERE pr <= {n_probe}) q
+    ON a.bucket = q.bucket
+  WHERE a.vid <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def near_dup_pairs_cosine_blocked(

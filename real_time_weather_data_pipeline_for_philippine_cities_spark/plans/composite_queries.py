@@ -173,7 +173,10 @@ FROM dim
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (mapInPandas over binary columns — not SQL-expressible)."""
+    """Binary media columns + Arrow mapInPandas feature extraction, now
+    fully oracle-paired: the byte features are md5-derived and
+    fold-order-deterministic, so DuckDB reproduces them bit-exactly from
+    the same utf-8 blobs (see _MULTIMODAL_SQL)."""
     docs = t(spark, sf_dir, "documents")
     media = attach_fake_media(docs)
     return extract_features(media).select(
@@ -181,9 +184,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of the mapInPandas feature extractor: byte histogram from the
+# fixed-width hex encoding (substr pairs, ordering by hex == ordering by
+# byte value), entropy as a sequential fold over ascending byte values with
+# libm log2 — the identical accumulation contract the Python UDF uses.
+_MULTIMODAL_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents),
+bytes AS (
+  SELECT doc_id, n,
+         unnest(list_transform(range(0, CAST(n AS INTEGER)),
+                               i -> substr(h, CAST(2 * i + 1 AS INTEGER), 2))) AS bh
+  FROM b),
+counts AS (
+  SELECT doc_id, bh, count(*) AS c, any_value(n) AS n
+  FROM bytes GROUP BY doc_id, bh),
+terms AS (
+  SELECT doc_id,
+         list(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+              ORDER BY bh ASC) AS ts
+  FROM counts GROUP BY doc_id),
+ent AS (
+  SELECT doc_id,
+         round(list_reduce(list_concat([0.0], ts), (acc, x) -> acc + x), 6) AS e
+  FROM terms)
+SELECT d.doc_id,
+       'image' AS media_type,
+       'fake'  AS format,
+       octet_length(encode(d.text)) AS n_bytes,
+       coalesce(ent.e, 0.0) AS byte_entropy,
+       CAST(('0x' || substr(md5(d.text), 1, 15)) AS BIGINT) AS checksum
+FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "weather_pipeline_e2e": Q(
         q_weather_pipeline_e2e, _PIPELINE_SQL, "§3 full pipeline composite"
     ),
-    "multimodal_features": Q(q_multimodal_features, None, "binary cols + mapInPandas"),
+    "multimodal_features": Q(
+        q_multimodal_features, _MULTIMODAL_SQL, "binary cols + mapInPandas"
+    ),
 }

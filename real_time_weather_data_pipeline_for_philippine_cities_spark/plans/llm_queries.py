@@ -126,22 +126,28 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- IVF-bucketed ANN (data-adaptive scale path) ---------------------------
-_IVF_CENTROID_CACHE: dict[str, list[list[float]]] = {}
-
-
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (no SQL oracle): the k-means training loop's
-    distributed float averaging is not bit-reproducible across engines.
-    Accuracy is instead asserted by tests/test_dedup_similarity.py — every
-    emitted score must match the brute-force score, and recall@3 vs the
-    exact baseline is ≈0.9. Centroids are memoized per sf_dir (training is
-    deterministic), matching the train-once/serve-many IVF pattern."""
+    """Serving path of the train-once/serve-many IVF pattern: centroids are
+    FROZEN literals (plans/ivf_index.py, trained deterministically on the
+    sf0.01 corpus), so the catalog query is pure assign+probe+score — no
+    training in the measured path, and the whole thing is SQL-expressible,
+    giving it a full DuckDB oracle (assignment argmax and probe ranking are
+    bit-reproducible: every dot is a sequential-order accumulation on both
+    engines). Training itself is exercised by tests."""
+    from .ivf_index import FROZEN_CENTROIDS
+
     emb = t(spark, sf_dir, "embeddings")
-    cents = _IVF_CENTROID_CACHE.get(sf_dir)
-    if cents is None:
-        cents = S.ivf_train_centroids(emb, n_centroids=16, n_iter=1)
-        _IVF_CENTROID_CACHE[sf_dir] = cents
-    return S.ivf_topk(emb, F.col("vid") < 10, n_probe=2, k=3, centroids=cents)
+    return S.ivf_topk(
+        emb, F.col("vid") < 10, n_probe=2, k=3, centroids=FROZEN_CENTROIDS
+    )
+
+
+def _ivf_oracle() -> str:
+    from .ivf_index import FROZEN_CENTROIDS
+
+    return S.ivf_topk_sql(
+        "vid < 10", FROZEN_CENTROIDS, dim=EMB_DIM, n_probe=2, k=3
+    )
 
 
 # -- embedding near-dup pairs ----------------------------------------------
@@ -243,7 +249,9 @@ ENTRIES: dict[str, Q] = {
         S.ann_lsh_topk_sql("vid < 10", n_planes=6, dim=EMB_DIM, k=3),
         "hyperplane-LSH bucketed ANN",
     ),
-    "ivf_cosine_topk": Q(q_ivf_cosine_topk, None, "IVF k-means-bucketed ANN"),
+    "ivf_cosine_topk": Q(
+        q_ivf_cosine_topk, _ivf_oracle(), "IVF k-means-bucketed ANN (frozen index)"
+    ),
     "near_dup_embeddings": Q(
         q_near_dup_embeddings,
         S.near_dup_pairs_cosine_sql(EMB_DIM, threshold=0.45),
