@@ -16,15 +16,13 @@ from . import relational_queries
 CATALOG: dict[str, Q] = {}
 CATALOG.update(relational_queries.ENTRIES)
 
-# Widened incrementally; modules register themselves here as they land.
+# All plan modules ship in-tree: an import failure is a real bug and must
+# be loud — a silent skip would shrink the driver's query contract.
 for _mod_name in ("function_queries", "llm_queries", "composite_queries", "timeseries_queries"):
-    try:
-        from importlib import import_module
+    from importlib import import_module
 
-        _mod = import_module(f"{__package__}.{_mod_name}")
-        CATALOG.update(_mod.ENTRIES)
-    except ImportError:
-        pass
+    _mod = import_module(f"{__package__}.{_mod_name}")
+    CATALOG.update(_mod.ENTRIES)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

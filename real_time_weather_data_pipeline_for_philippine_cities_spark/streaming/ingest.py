@@ -106,13 +106,18 @@ def foreach_batch_change_detect(
     """
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         batch_keys = batch_df.dropDuplicates(list(key_cols))
         try:
             snapshot = spark.read.parquet(snapshot_path).select(*key_cols)
             novel = batch_keys.join(snapshot, list(key_cols), "left_anti")
-        except Exception:
+        except AnalysisException:
             # First epoch: no snapshot yet — everything is novel
-            # (wdf.py:392-396, the no-prior-xlsx branch).
+            # (wdf.py:392-396, the no-prior-xlsx branch). Only the
+            # missing-path case is recoverable; corrupt files, permission
+            # or FS errors must fail the epoch so the checkpoint retries
+            # instead of silently double-appending novel rows.
             novel = batch_keys
         # Materialize before the snapshot overwrite invalidates the plan's
         # source; novel batches are micro-batch-sized by construction.
@@ -123,8 +128,8 @@ def foreach_batch_change_detect(
         merged = novel.select(*key_cols)
         try:
             merged = spark.read.parquet(snapshot_path).select(*key_cols).unionByName(merged)
-        except Exception:
-            pass
+        except AnalysisException:
+            pass  # first epoch: snapshot dir doesn't exist yet
         merged.dropDuplicates(list(key_cols)).write.mode("overwrite").parquet(
             snapshot_path + "_next"
         )
