@@ -48,6 +48,19 @@ def main() -> None:
         " CAST(0 AS LONG), (a, x) -> a + x) AS s"
     )
     _force(warm)
+    # Spin up the Python/Arrow worker pool once: pandas-UDF queries
+    # (IVF assign, blocked near-dup verify, multimodal mapInPandas)
+    # otherwise pay ~1-2 s of daemon+import startup on first use, which is
+    # environment cost, not query cost.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm_py(x):  # type: ignore[no-untyped-def]
+        import numpy as np  # noqa: F401 — preload into the workers
+
+        return x * 1.0
+
+    _force(spark.range(0, 32, 1, 32).select(_warm_py("id")))
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -319,7 +319,13 @@ def connected_components(
     Output: (node, label).
     """
     a = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    adj = a.unionByName(a.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the adjacency ONCE: edges usually arrive as an expensive
+    # pipeline (e.g. the LSH band join), and every propagation round joins
+    # against adj — without this, the whole upstream pipeline re-executes
+    # per round (measured ~2× on the minhash catalog entry at sf0.1).
+    adj = a.unionByName(
+        a.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     nodes = adj.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
     for _ in range(max_iter):
@@ -592,17 +598,22 @@ def ngram_jaccard_pairs(
         .withColumn("sz", F.size("hs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    probes = base.select(
+    # Candidate generation runs SKINNY (doc_id, bucket, sz only): the
+    # bucket join has few distinct keys (length buckets — ~12 at sf0.1),
+    # so parallelism there is capped and skewed; carrying the shingle
+    # arrays through it would move GBs through ≤n_buckets tasks. Arrays
+    # are fetched per side only for ratio-surviving pairs, after a
+    # repartition spreads the intersect work across all cores.
+    skinny = base.select("doc_id", "bucket", "sz")
+    probes = skinny.select(
         "doc_id",
-        "hs",
         "sz",
         F.explode(
             F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
         ).alias("bucket"),
     )
-    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
-    return (
-        base.alias("a")
+    cand = (
+        skinny.alias("a")
         .join(probes.alias("b"), "bucket")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(
@@ -612,7 +623,33 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / (F.col("a.sz") + F.col("b.sz") - inter), 4).alias("jaccard"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .repartition(F.col("doc_a"), F.col("doc_b"))
+    )
+    # Array fetch: broadcast works while the doc dimension is small; at
+    # scale these become shuffle hash joins keyed on doc id — arrays then
+    # move once per surviving pair, never through the bucket join.
+    arrays = base.select("doc_id", "hs")
+    inter = F.size(F.array_intersect(F.col("hsa"), F.col("hsb")))
+    return (
+        cand.join(
+            F.broadcast(arrays).select(
+                F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa")
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(arrays).select(
+                F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / (F.col("sza") + F.col("szb") - inter), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
