@@ -27,6 +27,7 @@ from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.inges
     stream_observations,
 )
 from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.windows import (
+    session_window_stats,
     windowed_observation_stats,
 )
 
@@ -267,3 +268,111 @@ def test_watermark_drops_late_data_across_epochs(spark, tmp_path):
     # The 01:00 window was emitted once with count 2 and never re-emitted:
     w1_rows = [r for r in rows if r.ws == w1]
     assert len(w1_rows) == 1 and w1_rows[0]["count"] == 2
+
+
+def test_streaming_session_window_e2e_with_late_data(spark, tmp_path):
+    """Session windows end-to-end through a real micro-batch stream:
+    sessions close when the watermark passes session_end (append mode), a
+    late row behind the watermark cannot reopen an emitted session, and
+    every emitted session matches the batch twin (both the native
+    session_window batch run and the lag+cumsum sessionize oracle) —
+    closing SURVEY §2.9's last declared capability."""
+    import datetime as dt
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.timeseries import (
+        session_stats,
+    )
+
+    d = tmp_path / "sland"
+    d.mkdir()
+    schema = "data_datetime timestamp, event_type string, value double"
+    sink = str(tmp_path / "ssink")
+    ckpt = str(tmp_path / "sckpt")
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema(schema).json(str(d))
+            .withWatermark("data_datetime", "10 minutes")
+        )
+        agg = session_window_stats(
+            stream, gap="30 minutes", event_time_col="data_datetime",
+            key_cols=("event_type",), value_col="value",
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # pass 1: three events gap-merge into session A [01:00, 01:55); the
+    # 03:00 event advances the watermark to 02:50 > 01:55, finalizing A.
+    (d / "b1.json").write_text(
+        '{"data_datetime": "2024-12-01T01:00:00", "event_type": "click", "value": 1.5}\n'
+        '{"data_datetime": "2024-12-01T01:10:00", "event_type": "click", "value": 2.25}\n'
+        '{"data_datetime": "2024-12-01T01:25:00", "event_type": "click", "value": 3.0}\n'
+        '{"data_datetime": "2024-12-01T03:00:00", "event_type": "click", "value": 1.0}\n'
+    )
+    run_pass()
+    a_start = dt.datetime(2024, 12, 1, 1, 0)
+    out1 = {r.session_start: r for r in spark.read.parquet(sink).collect()}
+    assert set(out1) == {a_start}
+    a = out1[a_start]
+    assert a.session_end == dt.datetime(2024, 12, 1, 1, 55)
+    assert a.n_obs == 3 and a.sum_value == 6.75
+
+    # pass 2: a late row inside session A's span but behind the watermark
+    # is dropped; the 05:00 event pushes the watermark past session B's
+    # end (03:30), emitting it.
+    (d / "b2.json").write_text(
+        '{"data_datetime": "2024-12-01T01:05:00", "event_type": "click", "value": 99.0}\n'
+        '{"data_datetime": "2024-12-01T05:00:00", "event_type": "click", "value": 2.0}\n'
+    )
+    run_pass()
+    rows = spark.read.parquet(sink).collect()
+    by_start = {}
+    for r in rows:
+        assert r.session_start not in by_start, "session emitted twice"
+        by_start[r.session_start] = r
+    b_start = dt.datetime(2024, 12, 1, 3, 0)
+    assert set(by_start) == {a_start, b_start}
+    assert by_start[a_start].n_obs == 3 and by_start[a_start].sum_value == 6.75
+    assert by_start[b_start].n_obs == 1 and by_start[b_start].sum_value == 1.0
+
+    # batch parity on the on-time rows: every EMITTED session must equal
+    # both the native batch session_window result and the lag+cumsum
+    # sessionize composition (the DuckDB-oracle-paired operator).
+    ontime = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 12, 1, 1, 0), "click", 1.5),
+            (dt.datetime(2024, 12, 1, 1, 10), "click", 2.25),
+            (dt.datetime(2024, 12, 1, 1, 25), "click", 3.0),
+            (dt.datetime(2024, 12, 1, 3, 0), "click", 1.0),
+            (dt.datetime(2024, 12, 1, 5, 0), "click", 2.0),
+        ],
+        schema,
+    )
+    batch = {
+        r.session_start: r
+        for r in session_window_stats(
+            ontime, gap="30 minutes", event_time_col="data_datetime",
+            key_cols=("event_type",), value_col="value",
+        ).collect()
+    }
+    for start, r in by_start.items():
+        assert batch[start].n_obs == r.n_obs
+        assert batch[start].sum_value == r.sum_value
+        assert batch[start].session_end == r.session_end
+    lag_based = {
+        r.session_start: r
+        for r in session_stats(
+            ontime, key="event_type", ts="data_datetime",
+            gap_seconds=1800, value_col="value",
+        ).collect()
+    }
+    for start, r in by_start.items():
+        assert lag_based[start].n_events == r.n_obs
+        assert lag_based[start].sum_value == r.sum_value
