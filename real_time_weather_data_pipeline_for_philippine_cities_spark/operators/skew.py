@@ -29,6 +29,7 @@ def salted_join(
     how: str = "inner",
     n_salt: int = 16,
     seed: int = 42,
+    force_shuffle: bool = False,
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread across ``n_salt``
     shuffle partitions. Results are identical to ``big.join(small, on,
@@ -38,6 +39,12 @@ def salted_join(
     sound per-row: inner / left / left_semi / left_anti (the big side is
     the left). Right/full joins would duplicate unmatched small-side rows
     once per salt — use AQE for those.
+
+    ``force_shuffle`` adds a SHUFFLE_HASH hint on the replicated small
+    side: when the small side fits under the broadcast threshold Spark
+    would otherwise broadcast it, making the salt dead weight — the hint
+    keeps the demonstration (and any test asserting salted parallelism)
+    honest. Leave it False when the planner should choose.
     """
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join does not support how={how!r}")
@@ -47,6 +54,8 @@ def salted_join(
     replicated_small = small.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
+    if force_shuffle:
+        replicated_small = replicated_small.hint("shuffle_hash")
     return salted_big.join(replicated_small, [*on, SALT_COL], how).drop(SALT_COL)
 
 

@@ -597,7 +597,50 @@ FROM old o WHERE NOT EXISTS (
 """
 
 
+# -- §4.2: salted shuffle join on a hot low-cardinality key ----------------
+def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per priority tier through operators.skew.salted_join: the
+    join key (o_orderpriority, 5 distinct values) is the canonical hot-key
+    shuffle pathology — unsalted, at most 5 reducers do all the work
+    regardless of cluster size. The salt spreads each hot key over
+    n_salt composite keys; SHUFFLE_HASH keeps the planner from
+    broadcasting the dim (which would silently bypass the salted path).
+    Result-identity with the plain join is pinned in tests/test_skew.py;
+    the salt never changes values, so the oracle is the plain SQL join."""
+    from ..operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    prio_dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("tier", F.substring("o_orderpriority", 1, 1))
+    )
+    joined = salted_join(
+        orders, prio_dim, on=["o_orderpriority"], n_salt=8, force_shuffle=True
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+            "total_revenue"
+        ),
+    )
+
+
+_SALTED_SQL = """
+WITH dim AS (
+  SELECT DISTINCT o_orderpriority, substr(o_orderpriority, 1, 1) AS tier
+  FROM orders)
+SELECT tier, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_revenue
+FROM orders JOIN dim USING (o_orderpriority)
+GROUP BY tier
+"""
+
+
 ENTRIES: dict[str, Q] = {
+    "salted_skew_join_agg": Q(
+        q_salted_priority_revenue, _SALTED_SQL, "salted hot-key shuffle join"
+    ),
     "flagship_latest_obs": Q(q_flagship_latest_obs, _FLAGSHIP_SQL, "latest obs per key ⋈ dims"),
     "pricing_summary": Q(q_pricing_summary, _PRICING_SQL, "TPC-H Q1-shape groupBy agg"),
     "project_rename_cast": Q(q_project_rename_cast, _PROJECT_SQL, "P1-P3,P6"),

@@ -46,3 +46,38 @@ def test_skew_diagnostics(spark, skewed):
     top = top_heavy_keys(fact, ["k"], top=1).collect()
     assert top[0]["k"] == 1 and top[0]["n_rows"] == 900
     assert skew_ratio(fact, ["k"]) > 50  # 900 vs avg ~9.9
+
+
+def test_salted_catalog_query_identity_and_plan(spark):
+    """The salted catalog entry must (a) equal the same aggregation over a
+    plain unsalted join, and (b) actually execute the salted shuffle path
+    — no BroadcastHashJoin swallowing the salt."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import (
+        CATALOG,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    salted = CATALOG["salted_skew_join_agg"].fn(spark, sf)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.base import t
+    from pyspark.sql import functions as F
+
+    orders = t(spark, sf, "orders").select("o_orderpriority", "o_totalprice")
+    dim = (
+        orders.select("o_orderpriority").distinct()
+        .withColumn("tier", F.substring("o_orderpriority", 1, 1))
+    )
+    plain = (
+        orders.join(dim, "o_orderpriority")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+                "total_revenue"
+            ),
+        )
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
