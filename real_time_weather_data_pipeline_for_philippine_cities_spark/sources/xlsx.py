@@ -78,6 +78,93 @@ def read_xlsx_rows(path: str, sheet: str = "xl/worksheets/sheet1.xml") -> list[l
         return [r + [None] * (n - len(r)) for r in rows]
 
 
+def _col_letters(idx: int) -> str:
+    """0-based column index → 'A', 'B', …, 'AA'."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def write_xlsx_snapshot(df: DataFrame, path: str) -> None:
+    """Write a DataFrame back as an xlsx snapshot — the reference's
+    ``to_excel`` step (weather_data_fetcher.py:426) for literal on-disk
+    fidelity (SURVEY.md §2.2 K4).
+
+    Driver-side by design: the snapshot is a bounded DIMENSION (146 rows in
+    the reference); the distributed sink for unbounded data is parquet
+    (sinks/tables.py). Emits inline strings (no sharedStrings table),
+    numbers as numeric cells, booleans as t="b", and OMITS null cells —
+    exactly the layouts ``read_xlsx_rows`` parses, so write→read
+    round-trips losslessly (tested against the reference's real file)."""
+    import zipfile as _zf
+
+    header = df.columns
+    rows = [list(r) for r in df.collect()]
+
+    def cell(ref: str, v: object) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_xml_escape(str(v))}</t></is></c>'
+
+    ns = _NS["m"]
+    sheet_rows = []
+    for ri, vals in enumerate([header, *rows], start=1):
+        cells = "".join(cell(f"{_col_letters(ci)}{ri}", v) for ci, v in enumerate(vals))
+        sheet_rows.append(f'<row r="{ri}">{cells}</row>')
+    sheet = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{ns}"><sheetData>{"".join(sheet_rows)}</sheetData></worksheet>'
+    )
+    rels_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    doc_rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{rels_ns}">'
+        f'<Relationship Id="rId1" Type="{doc_rel}/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{ns}" xmlns:r="{doc_rel}">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{rels_ns}">'
+        f'<Relationship Id="rId1" Type="{doc_rel}/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    with _zf.ZipFile(path, "w", _zf.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
 def read_xlsx_snapshot(
     spark: SparkSession, path: str, schema: str | None = None
 ) -> DataFrame:

@@ -150,3 +150,44 @@ def test_full_pipeline_on_real_snapshot(spark, snapshot):
     # Coordinates replayed through the pipeline match the snapshot's.
     batac = [r for r in dim if r["location_name"] == "City of Batac"][0]
     assert abs(batac["latitude"] - 18.0555035) < 1e-9
+
+
+def test_xlsx_write_back_round_trips_reference_snapshot(spark, snapshot, tmp_path):
+    """K4 literal fidelity (wdf.py:426): the snapshot read from the
+    reference's real xlsx, written back through the stdlib writer, must
+    re-read value-identical — zero-padded PSGC codes, nulls, and special
+    characters included."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.xlsx import (
+        write_xlsx_snapshot,
+    )
+
+    out = str(tmp_path / "snapshot_back.xlsx")
+    write_xlsx_snapshot(snapshot, out)
+    back = read_xlsx_snapshot(spark, out)
+    assert back.columns == snapshot.columns
+    orig_rows = sorted(map(tuple, snapshot.collect()))
+    back_rows = sorted(map(tuple, back.collect()))
+    assert back_rows == orig_rows
+
+
+def test_xlsx_write_back_typed_round_trip(spark, tmp_path):
+    """Mixed types survive write→read: floats stay numeric, booleans stay
+    boolean, nulls stay null, XML-special strings are escaped."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.xlsx import (
+        read_xlsx_rows,
+        write_xlsx_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [("a<&>\"quo", 1.5, True, None), (None, -2.25, False, "ok")],
+        "s string, x double, b boolean, o string",
+    )
+    out = str(tmp_path / "typed.xlsx")
+    write_xlsx_snapshot(df, out)
+    rows = read_xlsx_rows(out)
+    assert rows[0] == ["s", "x", "b", "o"]
+    data = sorted(rows[1:], key=lambda r: str(r[0]))
+    assert data == [
+        [None, -2.25, False, "ok"],
+        ['a<&>"quo', 1.5, True, None],
+    ]
