@@ -71,6 +71,10 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as ex:  # one broken query must not kill the bench
             errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+        # Unpersist hygiene: operators persist intermediate stages (LSH
+        # signatures, blocked bases); freed here so 57 queries' caches
+        # don't accumulate executor memory pressure across the run.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     result = {

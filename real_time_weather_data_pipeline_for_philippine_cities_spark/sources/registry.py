@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 #: All tables the driver generates (TESTDATA.md).
 TABLES = (
@@ -45,6 +45,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         field = df.schema[col]
         if isinstance(field.dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            # micros-NTZ parquet (e.g. DuckDB-written scale-up corpora):
+            # the session timezone is UTC-pinned, so the cast is identity.
+            df = df.withColumn(col, F.col(col).cast(TimestampType()))
         elif not isinstance(field.dataType, TimestampType):
             raise TypeError(f"{name}.{col}: unexpected type {field.dataType}")
     return df
