@@ -598,24 +598,34 @@ def ngram_jaccard_pairs(
         .withColumn("sz", F.size("hs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Candidate generation runs SKINNY (doc_id, bucket, sz only): the
-    # bucket join has few distinct keys (length buckets — ~12 at sf0.1),
-    # so parallelism there is capped and skewed; carrying the shingle
-    # arrays through it would move GBs through ≤n_buckets tasks. Arrays
-    # are fetched per side only for ratio-surviving pairs, after a
-    # repartition spreads the intersect work across all cores.
-    skinny = base.select("doc_id", "bucket", "sz")
-    probes = skinny.select(
-        "doc_id",
-        "sz",
-        F.explode(
-            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
-        ).alias("bucket"),
+    # Candidate generation: the naive ±1 bucket self-join is quadratic per
+    # length bucket — ~12 distinct buckets at sf0.1 means capped, skewed
+    # parallelism and candidate counts that grow n² with corpus size
+    # (measured 91 s at sf≈1). Instead, candidates come from the AllPairs
+    # rarest-shingle prefix join (lossless for jaccard ≥ t — pigeonhole on
+    # the ⌈(1-t)·|A|⌉+1 rarest shingles; see allpairs_jaccard_pairs), with
+    # the ±1 bucket rule and size ratio applied as cheap filters. The
+    # blocked SEMANTIC is unchanged (only ±1-bucket pairs are emitted, the
+    # oracle stays the blocked brute force); only the candidate set
+    # shrinks. Rare shingles give tiny join buckets, so the shuffle is
+    # keyed and skew-free.
+    expl = base.select("doc_id", "bucket", "sz", F.explode("hs").alias("h"))
+    freq = expl.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    prefix = (
+        expl.join(F.broadcast(freq), "h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.ceil(F.lit(1.0 - threshold) * F.col("sz")) + 1)
+        .select("doc_id", "h", "sz", "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (
-        skinny.alias("a")
-        .join(probes.alias("b"), "bucket")
+        prefix.alias("a")
+        .join(prefix.alias("b"), "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.abs(F.col("a.bucket") - F.col("b.bucket")) <= 1)
         .filter(
             F.least(F.col("a.sz"), F.col("b.sz"))
             >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz"))
@@ -626,7 +636,7 @@ def ngram_jaccard_pairs(
             F.col("a.sz").alias("sza"),
             F.col("b.sz").alias("szb"),
         )
-        .repartition(F.col("doc_a"), F.col("doc_b"))
+        .distinct()
     )
     # Array fetch: broadcast works while the doc dimension is small; at
     # scale these become shuffle hash joins keyed on doc id — arrays then
