@@ -174,3 +174,35 @@ def test_blocked_near_dup_handles_more_blocks_than_rows(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = S.near_dup_pairs_cosine_blocked(emb, threshold=0.99, n_blocks=16).collect()
     assert [(r.vec_a, r.vec_b, r.cos_sim) for r in out] == [(0, 3, 1.0)]
+
+
+def test_star_cc_equals_propagation_on_chain_and_random(spark):
+    """large-star/small-star must produce identical components to the
+    min-label propagator — including on a 64-node chain (diameter 63,
+    the adversarial case propagation needs d rounds for) and on a random
+    multi-component graph."""
+    from pyspark.sql import functions as F
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    prop = {
+        (r.node, r.label) for r in D.connected_components(chain, max_iter=100).collect()
+    }
+    star = {
+        (r.node, r.label)
+        for r in D.connected_components_star(chain, max_iter=10).collect()
+    }
+    assert star == prop
+    assert star == {(i, 0) for i in range(64)}
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    g = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]], "doc_a long, doc_b long"
+    )
+    prop = {(r.node, r.label) for r in D.connected_components(g).collect()}
+    star = {(r.node, r.label) for r in D.connected_components_star(g).collect()}
+    assert star == prop
