@@ -160,6 +160,80 @@ def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_pairs_cosine_blocked(emb, threshold=0.45, n_blocks=8)
 
 
+# -- benchmark decontamination (8-gram overlap sweep) ----------------------
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ~37th doc plays the held-out benchmark split; the rest of the
+    corpus is swept for shared word-8-grams — the standard evaluation-
+    contamination check. Benchmark shingle set is broadcast (bounded by
+    definition); corpus side is one scan + keyed join."""
+    from ..operators.decontam import benchmark_overlap
+
+    docs = t(spark, sf_dir, "documents")
+    return benchmark_overlap(docs, F.col("doc_id") % 37 == 0, n=8)
+
+
+def _decontam_oracle() -> str:
+    from ..operators.decontam import benchmark_overlap_sql
+
+    return benchmark_overlap_sql("doc_id % 37 = 0", n=8)
+
+
+# -- TF-IDF top terms per document -----------------------------------------
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by tf·idf with the UNLOGGED idf variant
+    (tf · N / df): every score is a ratio of exact integers, so both
+    engines compute bit-identical doubles — no transcendental whose last
+    ulp could differ between JVM Math.log and libm. Shapes: explode →
+    two map-combined groupBys + one per-doc window; scan-scaling."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # constant-size scalar, like IVF's model state
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " +")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * (SELECT CAST(n_docs AS DOUBLE) FROM n) / df.df, 6) AS tfidf
+  FROM tf JOIN df USING (term)),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 # -- language ID -----------------------------------------------------------
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -256,6 +330,12 @@ ENTRIES: dict[str, Q] = {
         q_near_dup_embeddings,
         S.near_dup_pairs_cosine_sql(EMB_DIM, threshold=0.45),
         "embedding near-dup pairs",
+    ),
+    "decontaminate_overlap": Q(
+        q_decontaminate_overlap, _decontam_oracle(), "benchmark 8-gram decontamination"
+    ),
+    "tfidf_top_terms": Q(
+        q_tfidf_top_terms, _TFIDF_SQL, "per-doc tf-idf top terms (unlogged idf)"
     ),
     "lang_id": Q(q_lang_id, _LANG_ID_SQL, "stopword-profile language ID"),
     "quality_score": Q(q_quality_score, _QUALITY_SQL, "text quality features"),

@@ -206,3 +206,50 @@ def test_star_cc_equals_propagation_on_chain_and_random(spark):
     prop = {(r.node, r.label) for r in D.connected_components(g).collect()}
     star = {(r.node, r.label) for r in D.connected_components_star(g).collect()}
     assert star == prop
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    """A corpus doc sharing one 8-gram with the benchmark split must be
+    flagged with the exact overlap count; a disjoint doc must not."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.decontam import (
+        benchmark_overlap,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    dirty = "prefix words " + "the quick brown fox jumps over the lazy dog"
+    clean = "entirely different tokens with no shared eight gram span here"
+    short = "too short"
+    docs = spark.createDataFrame(
+        [(0, bench_text), (1, dirty), (2, clean), (3, short)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in benchmark_overlap(docs, F.col("doc_id") == 0, n=8).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # dirty shares the two 8-gram windows of the copied 9-token span
+    assert out[1][1] is True and out[1][0] == 2
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)  # < 8 tokens: no shingles, never flagged
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    """A term unique to one doc must outrank corpus-wide terms there."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import (
+        CATALOG,
+    )
+
+    out = CATALOG["tfidf_top_terms"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in list(by_doc.items())[:20]:
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        scores = [r.tfidf for r in sorted(rows, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+        for r in rows:
+            assert r.df >= 1 and r.tf >= 1
