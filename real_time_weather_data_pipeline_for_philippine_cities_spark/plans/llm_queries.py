@@ -234,6 +234,101 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# -- intra-doc repetition score --------------------------------------------
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of a doc's word-3-grams that are repeats — the
+    Gopher-style repetition quality signal. distinct/total are exact
+    integers (shared shingle hashing with the dedup ops), so the ratio is
+    bit-identical cross-engine; pure map-side expressions, scan-scaling."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.lower("text"), " +").alias("t")
+    ).select(
+        "doc_id",
+        F.greatest(F.size("t") - 2, F.lit(0)).alias("n_grams"),
+        F.when(F.size("t") >= 3, F.size(D.shingle_hash_expr("t", 3)))
+        .otherwise(F.lit(0))
+        .alias("n_distinct"),
+    )
+    return base.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+base AS (
+  SELECT doc_id,
+         greatest(len(t) - 2, 0) AS n_grams,
+         CASE WHEN len(t) >= 3 THEN len({D.shingle_hash_sql('t', 3)})
+              ELSE 0 END AS n_distinct
+  FROM toks)
+SELECT doc_id, n_grams, n_distinct,
+       CASE WHEN n_grams > 0
+            THEN round((n_grams - n_distinct) / CAST(n_grams AS DOUBLE), 6)
+            ELSE 0.0 END AS repetition_ratio
+FROM base
+"""
+
+
+# -- training-mixture report -----------------------------------------------
+def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) mixture accounting: doc counts, token and char
+    totals, and each cell's share of the corpus — the bookkeeping a
+    data-mixing stage runs before sampling. One map-combined groupBy plus
+    an unpartitioned window over the tiny aggregated result."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    cells = docs.select(
+        "lang",
+        "source",
+        F.size(F.split(F.lower("text"), " +")).alias("n_tokens"),
+        F.col("n_chars"),
+    ).groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    return cells.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+        F.round(
+            F.col("total_tokens") / F.sum("total_tokens").over(w), 6
+        ).alias("token_share"),
+    )
+
+
+_MIXTURE_SQL = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS n_docs,
+         sum(len(string_split_regex(lower(text), ' +'))) AS total_tokens,
+         sum(n_chars) AS total_chars
+  FROM documents GROUP BY lang, source)
+SELECT lang, source, n_docs, total_tokens, total_chars,
+       round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS doc_share,
+       round(total_tokens / CAST(sum(total_tokens) OVER () AS DOUBLE), 6)
+         AS token_share
+FROM cells
+"""
+
+
 # -- language ID -----------------------------------------------------------
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -336,6 +431,12 @@ ENTRIES: dict[str, Q] = {
     ),
     "tfidf_top_terms": Q(
         q_tfidf_top_terms, _TFIDF_SQL, "per-doc tf-idf top terms (unlogged idf)"
+    ),
+    "repetition_score": Q(
+        q_repetition_score, _REPETITION_SQL, "intra-doc 3-gram repetition ratio"
+    ),
+    "mixture_report": Q(
+        q_mixture_report, _MIXTURE_SQL, "per (lang, source) mixture accounting"
     ),
     "lang_id": Q(q_lang_id, _LANG_ID_SQL, "stopword-profile language ID"),
     "quality_score": Q(q_quality_score, _QUALITY_SQL, "text quality features"),
