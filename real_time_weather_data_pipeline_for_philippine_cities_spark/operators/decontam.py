@@ -34,16 +34,28 @@ def benchmark_overlap(
     (``bench_pred`` selects benchmark rows), plus a ``contaminated``
     flag. Documents shorter than ``n`` tokens carry zero shingles and are
     never contaminated."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.col(text_col)), " +").alias("t"),
-        bench_pred.alias("is_bench"),
-    ).select(
-        "doc_id",
-        "is_bench",
-        F.when(F.size("t") >= n, shingle_hash_expr("t", n))
-        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-        .alias("hs"),
+    from pyspark import StorageLevel
+
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.col(text_col)), " +").alias("t"),
+            bench_pred.alias("is_bench"),
+        )
+        # Spread small-file scans so the md5 shingle pass parallelizes
+        # (single-partition parquet otherwise runs it in one task).
+        .repartition(F.col(id_col))
+        .select(
+            "doc_id",
+            "is_bench",
+            F.when(F.size("t") >= n, shingle_hash_expr("t", n))
+            .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+            .alias("hs"),
+        )
+        # Three consumers (benchmark set, overlap join, doc spine) — an
+        # un-persisted stage re-inlines the md5 shingling into each
+        # (measured 36 s → ~3 s at sf0.1).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bench_sh = (
         base.filter(F.col("is_bench")).select(F.explode("hs").alias("h")).distinct()
