@@ -678,8 +678,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("t") >= n)
         # Spread BEFORE the shingle-hash projection (see
-        # minhash_near_dup_pairs); the probe side broadcasts, so the
-        # pairwise work parallelizes across this side's partitions.
+        # minhash_near_dup_pairs) so the pairwise work parallelizes
+        # across this side's partitions.
         .repartition(F.col("doc_id"))
         .select("doc_id", "bucket", shingle_hash_expr("t", n).alias("hs"))
         .withColumn("sz", F.size("hs"))
@@ -696,13 +696,19 @@ def ngram_jaccard_pairs(
     # oracle stays the blocked brute force); only the candidate set
     # shrinks. Rare shingles give tiny join buckets, so the shuffle is
     # keyed and skew-free.
+    # No broadcast hints anywhere below: the shingle-frequency table is
+    # vocabulary-sized and the doc-array dim is corpus-sized — both grow
+    # with input, so a forced broadcast OOMs at scale. AQE picks broadcast
+    # at small SF on its own (runtime size), and falls back to a shuffled
+    # hash join when the build side is big; tests/test_plan_shape.py pins
+    # that the large-estimate form is NOT a broadcast.
     expl = base.select("doc_id", "bucket", "sz", F.explode("hs").alias("h"))
     freq = expl.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
     prefix = (
-        expl.join(F.broadcast(freq), "h")
+        expl.join(freq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.ceil(F.lit(1.0 - threshold) * F.col("sz")) + 1)
         .select("doc_id", "h", "sz", "bucket")
@@ -725,20 +731,21 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    # Array fetch: broadcast works while the doc dimension is small; at
-    # scale these become shuffle hash joins keyed on doc id — arrays then
-    # move once per surviving pair, never through the bucket join.
+    # Array fetch: keyed joins on doc id — arrays move once per surviving
+    # pair, never through the bucket join. Join strategy is AQE's call:
+    # broadcast while the doc dimension is small, shuffled hash join at
+    # scale (the dim grows with the corpus, so no forced broadcast).
     arrays = base.select("doc_id", "hs")
     inter = F.size(F.array_intersect(F.col("hsa"), F.col("hsb")))
     return (
         cand.join(
-            F.broadcast(arrays).select(
+            arrays.select(
                 F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa")
             ),
             "doc_a",
         )
         .join(
-            F.broadcast(arrays).select(
+            arrays.select(
                 F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb")
             ),
             "doc_b",
@@ -773,7 +780,8 @@ def allpairs_jaccard_pairs(
 
     Plan: one groupBy for global frequencies (map-combined), one window
     per doc for the prefix rank, one equi-join on shingle for candidates,
-    broadcast verification joins. All shuffles are keyed; nothing is
+    keyed verification joins (strategy left to AQE: broadcast at small
+    SF, shuffled hash at scale). All shuffles are keyed; nothing is
     quadratic except verified candidates.
     """
     from pyspark import StorageLevel
@@ -789,11 +797,14 @@ def allpairs_jaccard_pairs(
         .withColumn("sz", F.size("hs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Unhinted joins throughout (same reasoning as ngram_jaccard_pairs):
+    # the frequency table and doc-array dim scale with the corpus, so the
+    # planner must stay free to pick a shuffled hash join at scale.
     expl = base.select("doc_id", "sz", F.explode("hs").alias("h"))
     freq = expl.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
     prefix = (
-        expl.join(F.broadcast(freq), "h")
+        expl.join(freq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.ceil(F.lit(1.0 - threshold) * F.col("sz")) + 1)
         .select("doc_id", "h", "sz")
@@ -814,8 +825,8 @@ def allpairs_jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.col("ha.hs"), F.col("hb.hs")))
     return (
-        cand.join(F.broadcast(base.alias("ha")), F.col("doc_a") == F.col("ha.doc_id"))
-        .join(F.broadcast(base.alias("hb")), F.col("doc_b") == F.col("hb.doc_id"))
+        cand.join(base.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(base.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
         .select(
             "doc_a",
             "doc_b",

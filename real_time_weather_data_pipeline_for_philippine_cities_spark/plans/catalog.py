@@ -24,6 +24,67 @@ for _mod_name in ("function_queries", "llm_queries", "composite_queries", "times
     _mod = import_module(f"{__package__}.{_mod_name}")
     CATALOG.update(_mod.ENTRIES)
 
+# The correctness driver records rows for exactly the FIRST 50 entries of
+# queries(), so catalog order is the proof window. Entries that have never
+# been driver-verified (or whose last driver row was red) MUST load first;
+# the tail that falls outside the window is restricted to queries already
+# proven green in prior rounds (CORRECTNESS_r01/r02), whose proof carries
+# over. Rotate this list each round as proof coverage shifts.
+_PROOF_PRIORITY = [
+    # never driver-checked in any round (composite/timeseries loaded last):
+    "cube_event_stats",
+    "moving_avg_7d",
+    "day_over_day_change",
+    "active_buyer_keys_intersect",
+    "pivot_daily_event_counts",
+    "types_per_user_stragg",
+    "multimodal_features",
+    # red in r01, fixed in code, never re-checked:
+    "sessionize_events",
+    # green in r01 only — re-green under the current catalog:
+    "asof_join",
+    "rollup_revenue",
+    "percentiles_by_type",
+    # red in r02 (HUGEINT-vs-BIGINT oracle type artifact, fixed this round):
+    "mixture_report",
+    # plan changed this round (broadcast gating / in-flow n_docs / conditional
+    # repartition / CC algorithm switch) — must be re-proven under the new plan:
+    "tfidf_top_terms",
+    "decontaminate_overlap",
+    "dedup_ngram_jaccard",
+    "dedup_allpairs_jaccard",
+    "dedup_cluster_assign",
+]
+
+# Queries allowed to fall OUTSIDE the driver's 50-entry window this round:
+# all green in BOTH r01 and r02, none touched by round-3 changes.
+_PROOF_TAIL = [
+    "normalize_city_names",
+    "case_insensitive_match",
+    "coalesce_cascade",
+    "json_extract",
+    "epoch_roundtrip",
+    "date_parts_arith",
+    "fuzzy_name_match",
+    "distinct_users_daily",
+    "dense_ids",
+    "multiset_except_all",
+    "location_refresh_diff",
+]
+
+
+def _ordered(catalog: dict[str, Q]) -> dict[str, Q]:
+    missing = [n for n in (_PROOF_PRIORITY + _PROOF_TAIL) if n not in catalog]
+    if missing:  # a renamed/removed query must fail loudly, not silently reorder
+        raise KeyError(f"proof-order names absent from catalog: {missing}")
+    head = {n: catalog[n] for n in _PROOF_PRIORITY}
+    tail = {n: catalog[n] for n in _PROOF_TAIL}
+    mid = {n: q for n, q in catalog.items() if n not in head and n not in tail}
+    return {**head, **mid, **tail}
+
+
+CATALOG = _ordered(CATALOG)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in CATALOG.items()}

@@ -308,23 +308,28 @@ def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_tokens",
         "total_chars",
-        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
-        F.round(
-            F.col("total_tokens") / F.sum("total_tokens").over(w), 6
-        ).alias("token_share"),
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("doc_share"),
+        (F.col("total_tokens") / F.sum("total_tokens").over(w)).alias(
+            "token_share"
+        ),
     )
 
 
+# Sums are CAST to BIGINT: DuckDB's sum() over BIGINT yields HUGEINT, and the
+# driver's value hash distinguishes the types even when values are identical
+# (the one red r02 row). Shares are UNROUNDED ratios of exact integers — both
+# engines perform the identical single IEEE division, so rounding would only
+# add cross-engine half-even risk, not remove drift.
 _MIXTURE_SQL = """
 WITH cells AS (
   SELECT lang, source, count(*) AS n_docs,
-         sum(len(string_split_regex(lower(text), ' +'))) AS total_tokens,
-         sum(n_chars) AS total_chars
+         CAST(sum(len(string_split_regex(lower(text), ' +'))) AS BIGINT)
+           AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
   FROM documents GROUP BY lang, source)
 SELECT lang, source, n_docs, total_tokens, total_chars,
-       round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS doc_share,
-       round(total_tokens / CAST(sum(total_tokens) OVER () AS DOUBLE), 6)
-         AS token_share
+       n_docs / CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share,
+       total_tokens / CAST(sum(total_tokens) OVER () AS DOUBLE) AS token_share
 FROM cells
 """
 

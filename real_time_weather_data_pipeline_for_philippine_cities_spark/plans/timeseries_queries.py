@@ -59,8 +59,11 @@ WITH ordered AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
 sessioned AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- CAST: DuckDB's windowed sum() yields HUGEINT, which would leak
+         -- through the GROUP BY into the driver's type-sensitive value hash
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC,
+                                event_id ASC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_seq
   FROM ordered)
 SELECT user_id, session_seq,
        min(ts) AS session_start, max(ts) AS session_end,

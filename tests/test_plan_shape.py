@@ -102,6 +102,41 @@ def test_catalog_contract_oracle_or_whitelisted(spark):
         assert callable(q.fn), name
 
 
+@pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "dedup_allpairs_jaccard"])
+def test_jaccard_joins_not_forced_broadcast(spark, sf_dir, name):
+    """The shingle-frequency table and doc-array dim grow with the corpus:
+    a hard-coded F.broadcast would OOM at 100×. With the broadcast
+    threshold forced to -1 (simulating a too-big-to-broadcast estimate)
+    the plan must fall back to a shuffled join — which is only possible if
+    the operator carries no broadcast hint. AQE still picks broadcast at
+    real small SFs; this pins that it remains the *planner's* choice."""
+    thresholds = {
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": None,
+    }
+    for k in thresholds:
+        try:
+            thresholds[k] = spark.conf.get(k)
+        except Exception:
+            thresholds[k] = None
+        spark.conf.set(k, "-1")
+    # Earlier plan-only tests register these queries' persist() subtrees;
+    # the cache manager would splice in an InMemoryRelation planned under
+    # the DEFAULT threshold, hiding the join strategy under test.
+    spark.catalog.clearCache()
+    try:
+        plan = _plan(spark, sf_dir, name)
+    finally:
+        for k, v in thresholds.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "BroadcastHashJoin" not in plan, f"{name}: broadcast hint survives -1 threshold"
+    assert "BroadcastExchange" not in plan, name
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), name
+
+
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_ngram_jaccard", "simhash_near_dup"])
 def test_pairwise_dedup_parallelizes(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)

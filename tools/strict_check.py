@@ -1,0 +1,107 @@
+"""Fresh-process strict correctness check: catalog query vs DuckDB oracle.
+
+Two layers, both must pass:
+  1. EXACT value compare (floats compared bitwise, NaN==NaN, ints==ints);
+  2. pandas DTYPE compare after the driver's column-name sort — this is the
+     layer that catches engine type leaks the value compare can't, e.g.
+     DuckDB sum(BIGINT) -> HUGEINT materializing as float64/object while
+     Spark emits int64 (the one red row of CORRECTNESS_r02).
+
+Usage: python tools/strict_check.py [query_name ...]   (default: all oracled)
+Exit code = number of failing queries.
+"""
+import sys, os, math
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from real_time_weather_data_pipeline_for_philippine_cities_spark.session import get_spark  # noqa: E402
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import CATALOG  # noqa: E402
+from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import TABLES  # noqa: E402
+
+SF = os.environ.get("STRICT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if v is None:
+            return (0, "")
+        if isinstance(v, float):
+            if math.isnan(v):
+                return (1, "NaN")
+            return (2, v)  # exact float compare
+        if isinstance(v, bool):
+            return (4, v)
+        if isinstance(v, int):
+            return (5, v)  # ints stay ints: a HUGEINT->float leak must fail
+        return (3, str(v))
+
+    return sorted(tuple(cell(r[i]) for i in idx) for r in rows)
+
+
+def main() -> int:
+    names = sys.argv[1:] or sorted(
+        n for n, q in CATALOG.items() if q.oracle is not None
+    )
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    fail = 0
+    for name in names:
+        q = CATALOG[name]
+        sdf = q.fn(spark, SF)
+        spdf = sdf.toPandas()
+        ddf = con.execute(q.oracle).df()
+        scols, dcols = sorted(spdf.columns), sorted(ddf.columns)
+        ok_cols = scols == dcols
+        ok_rows = len(spdf) == len(ddf)
+        ok_dtypes, dtype_diff = True, []
+        if ok_cols:
+            import datetime as _dt
+
+            def _datey(s):  # pandas DATE representations the driver tolerates
+                if str(s.dtype).startswith("datetime"):
+                    return True
+                if str(s.dtype) == "object" and len(s):
+                    v = s.dropna()
+                    return len(v) > 0 and isinstance(v.iloc[0], (_dt.date, _dt.datetime))
+                return False
+
+            for c in scols:
+                a, b = str(spdf[c].dtype), str(ddf[c].dtype)
+                # DATE columns: Spark->object(date) vs DuckDB->datetime64 is a
+                # pandas artifact the driver hash tolerates (daily_minmax was
+                # green in r02 with exactly this shape). int-vs-float or
+                # int-vs-object IS a leak (mixture_report's red r02 row).
+                if a != b and not (_datey(spdf[c]) and _datey(ddf[c])):
+                    ok_dtypes = False
+                    dtype_diff.append((c, a, b))
+        srows = [tuple(r) for r in sdf.collect()]
+        drows = con.execute(q.oracle).fetchall()
+        ns, nd = norm_rows(list(sdf.columns), srows), norm_rows(
+            [d[0] for d in con.execute(q.oracle).description], drows
+        )
+        mism = [(a, b) for a, b in zip(ns, nd) if a != b] if ok_rows else []
+        ok = ok_cols and ok_rows and ok_dtypes and not mism
+        status = "OK" if ok else "FAIL"
+        detail = ""
+        if not ok_cols:
+            detail = f" cols spark={scols} duck={dcols}"
+        elif not ok_rows:
+            detail = f" rows {len(spdf)}/{len(ddf)}"
+        elif dtype_diff:
+            detail = f" dtypes {dtype_diff}"
+        elif mism:
+            detail = f" values {mism[:2]}"
+        print(f"{name}: {status}{detail} ({len(spdf)} rows)")
+        if not ok:
+            fail += 1
+    return fail
+
+
+if __name__ == "__main__":
+    sys.exit(main())
