@@ -36,16 +36,21 @@ def benchmark_overlap(
     never contaminated."""
     from pyspark import StorageLevel
 
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " +").alias("t"),
+        bench_pred.alias("is_bench"),
+    )
+    # Spread small-file scans so the md5 shingle pass parallelizes
+    # (single-partition parquet otherwise runs it in one task) — but only
+    # when the input is actually under-parallel: at scale the scan already
+    # arrives in thousands of partitions and an unconditional repartition
+    # would be a free-standing full shuffle of the corpus.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(F.col("doc_id"))
     base = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.split(F.lower(F.col(text_col)), " +").alias("t"),
-            bench_pred.alias("is_bench"),
-        )
-        # Spread small-file scans so the md5 shingle pass parallelizes
-        # (single-partition parquet otherwise runs it in one task).
-        .repartition(F.col(id_col))
-        .select(
+        src.select(
             "doc_id",
             "is_bench",
             F.when(F.size("t") >= n, shingle_hash_expr("t", n))

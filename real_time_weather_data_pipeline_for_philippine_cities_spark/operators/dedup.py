@@ -449,14 +449,32 @@ def dedup_cluster_assign(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Full-corpus cluster assignment from a near-dup pair list.
 
     Every document gets a ``cluster_id`` (min doc id of its component;
     singletons cluster with themselves) and ``is_canonical`` marks the one
     survivor per cluster — the row a dedup pass keeps.
+
+    ``algorithm`` selects the component solver — both return identical
+    labels (property-tested, including on a deep chain graph):
+
+      * ``"propagation"`` (default): min-label propagation, rounds =
+        graph diameter. Near-dup graphs are shallow (converges in ~2
+        rounds on the catalog corpus), and each round is one join +
+        min-agg — the cheaper shape for the common case.
+      * ``"star"``: alternating large-star/small-star (Kiveris et al.),
+        O(log d) rounds — the scale path for adversarially deep graphs
+        (e.g. chained templated spam at 100 TB, where diameter-many
+        propagation rounds would dominate the job).
     """
-    comp = connected_components(pairs, src, dst)
+    if algorithm == "propagation":
+        comp = connected_components(pairs, src, dst)
+    elif algorithm == "star":
+        comp = connected_components_star(pairs, src, dst)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'propagation' or 'star'")
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp, F.col("doc_id") == comp.node, "left")

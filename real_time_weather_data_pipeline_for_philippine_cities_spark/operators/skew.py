@@ -66,8 +66,11 @@ def top_heavy_keys(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
     return counts.orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys]).limit(top)
 
 
-def skew_ratio(df: DataFrame, keys: list[str]) -> Column:
-    """max/avg key-group size as a single-row aggregate (≫1 ⇒ skewed)."""
+def skew_ratio(df: DataFrame, keys: list[str]) -> float:
+    """max/avg key-group size, collected to a scalar (≫1 ⇒ skewed).
+
+    Diagnostic-only: runs a job and returns a driver-side float — never
+    call it inside a query plan."""
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     return counts.agg(
         (F.max("n") / F.avg("n")).alias("skew_ratio")

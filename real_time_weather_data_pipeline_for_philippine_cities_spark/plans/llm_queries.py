@@ -187,11 +187,21 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf · N / df): every score is a ratio of exact integers, so both
     engines compute bit-identical doubles — no transcendental whose last
     ulp could differ between JVM Math.log and libm. Shapes: explode →
-    two map-combined groupBys + one per-doc window; scan-scaling."""
+    two map-combined groupBys + one per-doc window; scan-scaling.
+
+    N flows through the plan as a 1-row aggregate broadcast-joined onto
+    the scored terms — no eager ``docs.count()`` on the driver, so the
+    query is a single job and `documents` is scanned once, not twice
+    (at 100 TB a second full pass just to fetch a scalar is real money).
+    """
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # constant-size scalar, like IVF's model state
+    # 1-row aggregate with a constant join key: broadcasts as a keyed hash
+    # join (a keyless join would plan as the banned BroadcastNestedLoopJoin).
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).withColumn(
+        "__k", F.lit(1)
+    )
     terms = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " +")).alias("term")
     )
@@ -202,9 +212,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(df, "term")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(n), "__k")
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6),
+            F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOP_K)

@@ -105,7 +105,14 @@ def write_xlsx_snapshot(df: DataFrame, path: str) -> None:
     (sinks/tables.py). Emits inline strings (no sharedStrings table),
     numbers as numeric cells, booleans as t="b", and OMITS null cells —
     exactly the layouts ``read_xlsx_rows`` parses, so write→read
-    round-trips losslessly (tested against the reference's real file)."""
+    round-trips losslessly (tested against the reference's real file).
+
+    The lossless claim is enforced, not assumed: non-finite floats
+    (NaN/inf have no numeric-cell representation — Excel itself cannot
+    store them) and cell types outside str/int/float/bool/None raise
+    ``ValueError`` instead of silently degrading to an unreadable numeric
+    cell or a stringified inline value."""
+    import math as _math
     import zipfile as _zf
 
     header = df.columns
@@ -116,9 +123,20 @@ def write_xlsx_snapshot(df: DataFrame, path: str) -> None:
             return ""
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, float) and not _math.isfinite(v):
+            raise ValueError(
+                f"cell {ref}: non-finite float {v!r} has no xlsx numeric "
+                "representation; filter or null it out before snapshotting"
+            )
         if isinstance(v, (int, float)):
             return f'<c r="{ref}"><v>{v!r}</v></c>'
-        return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_xml_escape(str(v))}</t></is></c>'
+        if isinstance(v, str):
+            return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_xml_escape(v)}</t></is></c>'
+        raise ValueError(
+            f"cell {ref}: unsupported type {type(v).__name__} — the xlsx "
+            "snapshot round-trips only str/int/float/bool/None; cast "
+            "datetimes/decimals to string or double in the DataFrame first"
+        )
 
     ns = _NS["m"]
     sheet_rows = []

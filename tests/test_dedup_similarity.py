@@ -208,6 +208,30 @@ def test_star_cc_equals_propagation_on_chain_and_random(spark):
     assert star == prop
 
 
+def test_cluster_assign_star_option_matches_default(spark, sf_dir):
+    """dedup_cluster_assign(algorithm='star') must assign the identical
+    clusters as the propagation default on the real near-dup pair
+    pipeline — the deep-graph solver is a drop-in, not a variant
+    semantic."""
+    import pytest
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.base import t
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs)
+    default = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in D.dedup_cluster_assign(docs, pairs).collect()
+    }
+    star = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in D.dedup_cluster_assign(docs, pairs, algorithm="star").collect()
+    }
+    assert star == default
+    with pytest.raises(ValueError):
+        D.dedup_cluster_assign(docs, pairs, algorithm="bogus")
+
+
 def test_decontamination_flags_planted_overlap(spark):
     """A corpus doc sharing one 8-gram with the benchmark split must be
     flagged with the exact overlap count; a disjoint doc must not."""
@@ -236,8 +260,40 @@ def test_decontamination_flags_planted_overlap(spark):
     assert out[3] == (0, False)  # < 8 tokens: no shingles, never flagged
 
 
+def test_tfidf_planted_unique_term_outranks_common(spark):
+    """idf-direction truth table on a planted corpus: a doc-unique term
+    must take rank 1 in its doc over a higher-tf corpus-wide term — an
+    idf inversion (tf·df instead of tf·N/df) fails this, which the
+    real-corpus shape checks below cannot detect."""
+    import real_time_weather_data_pipeline_for_philippine_cities_spark.plans.llm_queries as L
+
+    docs = spark.createDataFrame(
+        [
+            # 'zygote' appears ONCE in doc 0; 'common' floods every doc
+            # (tf 3 in doc 0, so raw tf would rank it first).
+            (0, "common common common zygote filler"),
+            (1, "common common filler filler pad"),
+            (2, "common filler pad pad pad"),
+            (3, "common pad filler pad filler"),
+        ],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = L.q_tfidf_top_terms(spark, d).collect()
+    doc0 = sorted((r for r in out if r.doc_id == 0), key=lambda r: r.rank)
+    assert doc0[0].term == "zygote", [(r.term, r.tfidf, r.rank) for r in doc0]
+    assert doc0[0].df == 1
+    # and the corpus-wide term scores tf*N/df = 3*4/4 = 3 < zygote's 1*4/1 = 4
+    common = next(r for r in doc0 if r.term == "common")
+    assert common.tfidf < doc0[0].tfidf
+
+
 def test_tfidf_ranks_distinctive_terms_first(spark):
-    """A term unique to one doc must outrank corpus-wide terms there."""
+    """Shape checks on the real corpus: contiguous ranks, descending
+    scores, sane tf/df."""
     from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import (
         CATALOG,
     )

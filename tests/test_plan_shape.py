@@ -102,6 +102,37 @@ def test_catalog_contract_oracle_or_whitelisted(spark):
         assert callable(q.fn), name
 
 
+def test_no_eager_actions_in_plan_modules():
+    """Catalog query functions must be one deferred plan: a driver-side
+    .count()/.collect() inside a query is an extra full pass over the
+    input per invocation (at 100 TB, a second corpus scan to fetch a
+    scalar). Training-time collects live in operators/ (IVF seed/refine,
+    frozen out of the serving path), never in plans/."""
+    import ast
+    import pathlib
+
+    import real_time_weather_data_pipeline_for_philippine_cities_spark.plans as plans
+
+    banned = {"count", "collect", "toPandas", "first", "head", "take"}
+    offenders = []
+    for path in pathlib.Path(plans.__path__[0]).glob("*.py"):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in banned
+                # F.count(...)/F.first(...) are aggregate *expressions*,
+                # not driver actions — skip calls on the functions module.
+                and not (
+                    isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "F"
+                )
+            ):
+                offenders.append(f"{path.name}:{node.lineno} .{node.func.attr}()")
+    assert not offenders, f"eager driver actions in plan modules: {offenders}"
+
+
 @pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "dedup_allpairs_jaccard"])
 def test_jaccard_joins_not_forced_broadcast(spark, sf_dir, name):
     """The shingle-frequency table and doc-array dim grow with the corpus:

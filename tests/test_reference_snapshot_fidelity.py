@@ -191,3 +191,29 @@ def test_xlsx_write_back_typed_round_trip(spark, tmp_path):
         [None, -2.25, False, "ok"],
         ['a<&>"quo', 1.5, True, None],
     ]
+
+
+def test_xlsx_write_back_rejects_unrepresentable_cells(spark, tmp_path):
+    """The lossless round-trip contract is enforced: NaN/inf floats and
+    unsupported cell types (datetime) raise instead of silently writing
+    a cell read_xlsx_rows/Excel cannot parse back."""
+    import pytest
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.xlsx import (
+        write_xlsx_snapshot,
+    )
+
+    nan_df = spark.createDataFrame([(float("nan"),)], "x double")
+    with pytest.raises(ValueError, match="non-finite"):
+        write_xlsx_snapshot(nan_df, str(tmp_path / "nan.xlsx"))
+    inf_df = spark.createDataFrame([(float("inf"),)], "x double")
+    with pytest.raises(ValueError, match="non-finite"):
+        write_xlsx_snapshot(inf_df, str(tmp_path / "inf.xlsx"))
+
+    import datetime
+
+    dt_df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1),)], "ts timestamp"
+    )
+    with pytest.raises(ValueError, match="unsupported type"):
+        write_xlsx_snapshot(dt_df, str(tmp_path / "dt.xlsx"))

@@ -44,9 +44,13 @@ def main() -> None:
                  ("events", "event_id"), ("documents", "doc_id"),
                  ("embeddings", "vec_id")]:
         off[t] = con.execute(f"SELECT max({k}) + 1 FROM {t}").fetchone()[0]
-    # events.user_id shares the customer key domain (intersect queries)
+    # events.user_id shares the customer key domain (intersect/asof
+    # queries), so BOTH customer keys and user_id must shift by the SAME
+    # stride — otherwise user↔customer joins only match in copy 0 and the
+    # scaled corpus silently deflates match density ~N_COPIES×.
     ucap = con.execute("SELECT max(user_id) + 1 FROM events").fetchone()[0]
-    off["user"] = max(off["customer"], ucap)
+    off["customer"] = max(off["customer"], ucap)
+    off["user"] = off["customer"]
 
     copies = f"range(0, {N_COPIES}) c(i)"
     jobs = {

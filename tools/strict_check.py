@@ -72,14 +72,16 @@ def main() -> int:
                 return False
 
             for c in scols:
-                a, b = str(spdf[c].dtype), str(ddf[c].dtype)
+                # Compare dtype KIND, not width: int32-vs-int64 passed the
+                # driver hash in r02 (tfidf rank), while a kind change like
+                # int64-vs-float64 failed it (mixture_report's HUGEINT).
+                a, b = spdf[c].dtype.kind, ddf[c].dtype.kind
                 # DATE columns: Spark->object(date) vs DuckDB->datetime64 is a
                 # pandas artifact the driver hash tolerates (daily_minmax was
-                # green in r02 with exactly this shape). int-vs-float or
-                # int-vs-object IS a leak (mixture_report's red r02 row).
+                # green in r02 with exactly this shape).
                 if a != b and not (_datey(spdf[c]) and _datey(ddf[c])):
                     ok_dtypes = False
-                    dtype_diff.append((c, a, b))
+                    dtype_diff.append((c, str(spdf[c].dtype), str(ddf[c].dtype)))
         srows = [tuple(r) for r in sdf.collect()]
         drows = con.execute(q.oracle).fetchall()
         ns, nd = norm_rows(list(sdf.columns), srows), norm_rows(
