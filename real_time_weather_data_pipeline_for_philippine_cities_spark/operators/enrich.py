@@ -28,6 +28,15 @@ from pyspark.sql.types import StructType
 #: filtered downstream per SURVEY.md §2.11).
 Fetcher = Callable[[dict[str, Any]], dict[str, Any]]
 
+#: Token-bucket timestamps that outlive one mapInPandas invocation: keyed
+#: by bucket name, stored in the Python *worker* process, which Spark
+#: reuses across tasks and streaming micro-batches
+#: (spark.python.worker.reuse, on by default). Without this, each epoch's
+#: first fetch would ignore the spacing owed to the previous epoch's last
+#: fetch and a streaming enrichment would burst-exceed the provider limit
+#: at every micro-batch boundary.
+_BUCKET_LAST: dict[str, float] = {}
+
 
 def enrich_map_in_pandas(
     df: DataFrame,
@@ -35,6 +44,7 @@ def enrich_map_in_pandas(
     result_schema: StructType,
     rate_per_sec: float | None = None,
     single_partition: bool = False,
+    bucket: str | None = None,
 ) -> DataFrame:
     """Append fetcher-produced columns to every row.
 
@@ -42,12 +52,17 @@ def enrich_map_in_pandas(
     ``single_partition=True`` reproduces the reference's strictly-global
     rate limit; otherwise each partition gets the full ``rate_per_sec``
     budget (callers divide by parallelism when the limit is truly global).
+
+    ``bucket`` names a persistent rate-limit bucket: the last-fetch
+    timestamp is kept in worker-process state so the global interval holds
+    ACROSS streaming micro-batches, not just within one (requires
+    ``single_partition=True`` to be truly global — one task at a time).
     """
     new_fields = [f.name for f in result_schema.fields if f.name not in df.columns]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         min_interval = 1.0 / rate_per_sec if rate_per_sec else 0.0
-        last = 0.0
+        last = _BUCKET_LAST.get(bucket, 0.0) if bucket else 0.0
         for pdf in batches:
             out_cols: dict[str, list] = {name: [] for name in new_fields}
             for row in pdf.to_dict("records"):
@@ -56,6 +71,8 @@ def enrich_map_in_pandas(
                     if wait > 0:
                         time.sleep(wait)
                     last = time.monotonic()
+                    if bucket:
+                        _BUCKET_LAST[bucket] = last
                 got = fetcher(row) or {}
                 for name in new_fields:
                     out_cols[name].append(got.get(name))

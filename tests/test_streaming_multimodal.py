@@ -97,6 +97,93 @@ def test_streaming_matches_batch_windows(spark, sf_dir, landing, tmp_path):
     assert gset == bset
 
 
+def test_streaming_rate_source_global_rate_limit_across_epochs(spark, tmp_path):
+    """SURVEY §4.3's last untested fidelity claim: the token-bucket
+    enrichment keeps the reference's GLOBAL request spacing (wdf.py:419,
+    1 req/s) when driven from a stream — including ACROSS micro-batch
+    boundaries, where a per-invocation bucket would burst. Uses the
+    rate-micro-batch source (deterministic rows per epoch) at 20 req/s so
+    the test runs in ~1 s."""
+    import time as _time
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.enrich import (
+        enrich_map_in_pandas,
+    )
+
+    rate = 20.0  # req/s — interval 50 ms
+    rows_per_batch = 4
+    out_schema = StructType(
+        [
+            StructField("timestamp", TimestampType()),
+            StructField("value", LongType()),
+            StructField("fetched_at", DoubleType()),
+        ]
+    )
+
+    def fetcher(row):
+        return {"fetched_at": _time.monotonic()}
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 1)
+        .load()
+    )
+    sink = str(tmp_path / "rate_sink")
+    ckpt = str(tmp_path / "rate_ckpt")
+    epoch_fn = foreach_batch_pipeline(
+        lambda df: enrich_map_in_pandas(
+            df,
+            fetcher,
+            out_schema,
+            rate_per_sec=rate,
+            single_partition=True,
+            bucket="test-global-rate",
+        ),
+        sink,
+    )
+    q = (
+        stream.writeStream.foreachBatch(epoch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            done = 0
+            try:
+                done = spark.read.parquet(sink).count()
+            except Exception:
+                pass
+            if done >= 3 * rows_per_batch:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(sink).orderBy("fetched_at").collect()
+    assert len(got) >= 3 * rows_per_batch
+    epochs = {r.epoch_id for r in got}
+    assert len(epochs) >= 2, "need multiple micro-batches to test the boundary"
+    times = [r.fetched_at for r in got]
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    # every consecutive fetch, INCLUDING across epoch boundaries, must be
+    # spaced by ≥ the interval (5% tolerance for sleep/clock slop)
+    min_interval = 1.0 / rate
+    assert min(gaps) >= min_interval * 0.95, (
+        f"burst detected: min gap {min(gaps)*1000:.1f} ms < {min_interval*1000:.0f} ms"
+    )
+
+
 def test_streaming_restart_is_incremental(spark, landing, tmp_path):
     """A second availableNow run over the same checkpoint must process
     nothing new (the xlsx-snapshot-state analog, done right)."""
