@@ -375,6 +375,8 @@ def ivf_topk(
     test corpora). Pass ``centroids`` to reuse a trained index — the
     serving pattern: train once, assign/probe many times.
     """
+    from pyspark import StorageLevel
+
     cents = centroids or ivf_train_centroids(emb, n_centroids, n_iter, id_col, emb_col)
     base = (
         emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
@@ -384,6 +386,11 @@ def ivf_topk(
         .withColumn("u", F.expr("transform(v, (x, i) -> x / nrm)"))
         .withColumn("bucket", _nearest_centroid_col("u", cents))
         .select("vid", "u", "bucket")
+        # Two consumers (probe side + scoring join): without persist the
+        # Arrow assignment UDF runs over the full corpus TWICE (measured
+        # ~2× at sf≈1 — the same re-inlining pathology as the minhash
+        # signature stage).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     q = base.filter(query_pred).select(
         F.col("vid").alias("query_id"),

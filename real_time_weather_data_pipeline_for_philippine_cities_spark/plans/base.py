@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import tune
 from ..sources.registry import load_table
@@ -35,3 +36,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table with runtime tuning applied to the session."""
     tune(spark)
     return load_table(spark, sf_dir, name)
+
+
+def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition an under-parallel scan before expression-heavy
+    map work.
+
+    Single-file parquet written with one row group cannot be split, so a
+    50k-row `documents` scan otherwise runs its md5/HOF chain in ONE task
+    (measured 24.5 s single-task vs ~2 s spread, simhash at sf≈1). The
+    shuffle is conditional: at real scale the scan already arrives in
+    thousands of splits and this is a no-op — the same contract as the
+    decontamination operator's conditional repartition."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(F.col(key))
+    return df

@@ -54,6 +54,9 @@ _PROOF_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_allpairs_jaccard",
     "dedup_cluster_assign",
+    # new in round 3 — never driver-checked yet:
+    "sequence_packing",
+    "chunk_documents",
 ]
 
 # Queries allowed to fall OUTSIDE the driver's 50-entry window this round:
@@ -70,6 +73,8 @@ _PROOF_TAIL = [
     "dense_ids",
     "multiset_except_all",
     "location_refresh_diff",
+    "priority_count_semi",
+    "promo_revenue_share",
 ]
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import similarity as S
-from .base import Q, t
+from .base import Q, spread, t
 
 EMB_DIM = 64
 
@@ -47,7 +47,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- simhash signatures ----------------------------------------------------
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", F.split(F.lower("text"), " +").alias("t"))
         .withColumn("hs32", D.token_hash32_expr("t"))
@@ -264,7 +264,7 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher-style repetition quality signal. distinct/total are exact
     integers (shared shingle hashing with the dedup ops), so the ratio is
     bit-identical cross-engine; pure map-side expressions, scan-scaling."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id", F.split(F.lower("text"), " +").alias("t")
     ).select(
@@ -360,7 +360,7 @@ FROM cells
 
 # -- language ID -----------------------------------------------------------
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -377,7 +377,7 @@ FROM documents
 
 # -- quality scoring -------------------------------------------------------
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     feats = T.quality_features(F.col("text"))
     return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
@@ -391,7 +391,7 @@ _QUALITY_SQL = (
 
 # -- token counting --------------------------------------------------------
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     counts = T.token_counts(F.col("text"))
     return docs.select("doc_id", "n_chars", *[c.alias(n) for n, c in counts.items()])
 
@@ -405,12 +405,115 @@ _TOKEN_COUNT_SQL = (
 
 # -- document fingerprint --------------------------------------------------
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
 _FINGERPRINT_SQL = f"""
 SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint FROM documents
+"""
+
+
+# -- greedy sequence packing into fixed token windows ----------------------
+PACK_WINDOW_TOKENS = 2048
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to a training-context pack: docs are laid out
+    in deterministic (source, doc_id) order and cut into
+    ``PACK_WINDOW_TOKENS``-sized bins by running token count — the
+    sequential packing step a pretraining pipeline runs before writing
+    example shards. Pure integer arithmetic (windowed sum + integer
+    division), so both engines agree bit-for-bit; one keyed shuffle on
+    ``source``, then map-side math — scan-scaling at 100 TB."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower("text"), " +")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.withColumn("cum_tokens", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {PACK_WINDOW_TOKENS}").alias("pack_id"),
+    )
+
+
+_PACKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(text), ' +')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         -- CAST: DuckDB windowed sum() yields HUGEINT (driver-hash leak)
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM toks)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       CAST((cum_tokens - n_tokens) // {PACK_WINDOW_TOKENS} AS BIGINT) AS pack_id
+FROM cum
+"""
+
+
+# -- overlapping token-window chunking -------------------------------------
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping ``CHUNK_TOKENS``-token
+    windows advancing by ``CHUNK_STRIDE`` — the chunking step feeding
+    context-window training or a RAG index. Entirely map-side (sequence +
+    explode + slice inside codegen; zero shuffles), so it scan-scales.
+    Chunk text is emitted as an md5 fingerprint to keep the result
+    row-bounded; token counts stay exact integers."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " +").alias("tk")
+    ).withColumn("n", F.size("tk"))
+    starts = toks.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice("tk", F.col("s") + 1, F.lit(CHUNK_TOKENS))
+    return starts.select(
+        "doc_id",
+        F.expr(f"s div {CHUNK_STRIDE}").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), ' +') AS tk,
+         len(string_split_regex(lower(text), ' +')) AS n
+  FROM documents),
+starts AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS s
+  FROM toks)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(tk, s + 1, s + {CHUNK_TOKENS})) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(list_aggregate(list_slice(tk, s + 1, s + {CHUNK_TOKENS}),
+                          'string_agg', ' ')) AS chunk_hash
+FROM starts
 """
 
 
@@ -471,4 +574,10 @@ ENTRIES: dict[str, Q] = {
     "quality_score": Q(q_quality_score, _QUALITY_SQL, "text quality features"),
     "token_count": Q(q_token_count, _TOKEN_COUNT_SQL, "ws + BPE-ish token counts"),
     "doc_fingerprint": Q(q_doc_fingerprint, _FINGERPRINT_SQL, "rolling-hash fingerprint"),
+    "sequence_packing": Q(
+        q_sequence_packing, _PACKING_SQL, "greedy context-window packing"
+    ),
+    "chunk_documents": Q(
+        q_chunk_documents, _CHUNK_SQL, "overlapping token-window chunking"
+    ),
 }
