@@ -58,15 +58,14 @@ def get_spark(app_name: str = "rtw-spark", master: str | None = None) -> SparkSe
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        # 128 MB broadcast budget: this harness runs one 128 GiB JVM, so a
-        # ~100 MB build side (e.g. the shingle-frequency table at sf≈1) is
-        # cheap to broadcast and saves a sort-merge of the far bigger
-        # exploded probe side (ngram jaccard at sf≈1: 15.3 s → 12.3 s).
-        # The limit is a SIZE ESTIMATE gate evaluated per-plan by
-        # Catalyst/AQE — on a memory-constrained cluster deploys set it
-        # per-executor-heap; no operator forces a broadcast (tests pin the
-        # -1-threshold shape).
-        .config("spark.sql.autoBroadcastJoinThreshold", str(128 * 1024 * 1024))
+        # 32 MB broadcast budget. A 128 MB experiment shaved ~3 s off
+        # ngram jaccard at sf≈1 (shingle-frequency table broadcast) but
+        # cost 3-16x on the minhash/band pipelines at sf0.1 — the larger
+        # gate let Catalyst broadcast big EXPLODED intermediates whose
+        # driver-side build dwarfs the shuffle they replace. Measured,
+        # reverted; AQE still upgrades to broadcast per-plan when the
+        # runtime size estimate is genuinely small.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
