@@ -18,7 +18,13 @@ CATALOG.update(relational_queries.ENTRIES)
 
 # All plan modules ship in-tree: an import failure is a real bug and must
 # be loud — a silent skip would shrink the driver's query contract.
-for _mod_name in ("function_queries", "llm_queries", "composite_queries", "timeseries_queries"):
+for _mod_name in (
+    "function_queries",
+    "llm_queries",
+    "composite_queries",
+    "timeseries_queries",
+    "corpus_queries",
+):
     from importlib import import_module
 
     _mod = import_module(f"{__package__}.{_mod_name}")
@@ -57,6 +63,10 @@ _PROOF_PRIORITY = [
     # new in round 3 — never driver-checked yet:
     "sequence_packing",
     "chunk_documents",
+    "inverted_index_stats",
+    "canonical_doc_assign",
+    "pii_scan",
+    "embedding_quantize_error",
 ]
 
 # Queries allowed to fall OUTSIDE the driver's 50-entry window this round:
@@ -75,6 +85,10 @@ _PROOF_TAIL = [
     "location_refresh_diff",
     "priority_count_semi",
     "promo_revenue_share",
+    "daily_minmax",
+    "revenue_by_nation",
+    "topk_orders_per_segment",
+    "full_outer_reconciliation",
 ]
 
 

@@ -1,0 +1,267 @@
+"""Corpus-curation queries: inverted index, canonical-copy selection,
+PII scanning, embedding quantization.
+
+These extend the LLM-data-pipeline surface (SURVEY.md §7.6) with the
+remaining curation steps a pretraining corpus pass runs: build a term
+index for retrieval/attribution, pick one canonical copy per duplicate
+cluster, scan/redact PII, and int8-quantize embeddings for a compact ANN
+index. Every query is pure Catalyst expressions (zero Python in the row
+path) with a DuckDB oracle twin.
+
+Cross-engine determinism contracts (see plans/base.py and the
+operators/similarity.py fold conventions):
+  * ranking ties are resolved via INTEGER key encoding (``v * K - id``),
+    never via float comparison or engine-specific argmax;
+  * float reductions use the shared sequential ascending fold and are
+    rounded to 6 dp on both sides; elementwise IEEE double ops
+    (widen/multiply/divide/round) are bit-identical across engines so
+    intermediate values need no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    _fold_sum_duck,
+    _fold_sum_spark,
+    vec_double_col,
+    vec_double_sql,
+)
+from .base import Q, spread, t
+
+#: doc_id / vec_id upper bound used for integer rank-key encoding; testdata
+#: ids stay far below this even at the 10x scaled corpus.
+ID_CAP = 10_000_000_000
+EMB_DIM = 64
+
+
+# -- inverted index statistics ---------------------------------------------
+def q_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list statistics per term: document frequency, total term
+    frequency, and the top document (highest tf, ties -> lowest doc_id).
+
+    The top document comes from ``max(tf * ID_CAP - doc_id)`` — a pure
+    integer encoding, so no window, no float argmax, and the whole query
+    is two map-combinable groupBys (term,doc) -> (term): the classic
+    scan-scaling index build. 100 TB: stopword terms produce hot
+    reduce keys for the *count*, which partial aggregation absorbs
+    map-side; nothing materializes a posting list wider than one row.
+    """
+    docs = spread(t(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " +")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    agg = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.max(F.col("tf") * F.lit(ID_CAP) - F.col("doc_id")).alias("topkey"),
+    )
+    return agg.select(
+        "term",
+        "df",
+        "total_tf",
+        F.expr(f"(topkey + {ID_CAP} - 1) div {ID_CAP}").alias("top_tf"),
+        F.expr(
+            f"((topkey + {ID_CAP} - 1) div {ID_CAP}) * {ID_CAP} - topkey"
+        ).alias("top_doc_id"),
+    )
+
+
+_INVERTED_INDEX_SQL = f"""
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS term
+        FROM documents)
+  GROUP BY term, doc_id),
+agg AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf,
+         max(tf * {ID_CAP} - doc_id) AS topkey
+  FROM tf GROUP BY term)
+SELECT term, df, total_tf,
+       CAST((topkey + {ID_CAP} - 1) // {ID_CAP} AS BIGINT) AS top_tf,
+       CAST(((topkey + {ID_CAP} - 1) // {ID_CAP}) * {ID_CAP} - topkey
+            AS BIGINT) AS top_doc_id
+FROM agg
+"""
+
+
+# -- canonical-copy selection within exact-duplicate clusters ---------------
+def q_canonical_doc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every document, the canonical copy of its exact-duplicate
+    cluster (same md5(text)): the member with the MOST characters, ties ->
+    lowest doc_id — the "keep the richest copy" dedup policy, vs
+    dedup_exact's keep-any.
+
+    Shape: one keyed groupBy on the text hash plus one join back to the
+    doc spine — both map-combinable / equi-keyed, no window over
+    unbounded clusters. The integer key ``n_chars * ID_CAP - doc_id``
+    makes the winner engine-independent."""
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (F.col("n_chars") * F.lit(ID_CAP) - F.col("doc_id")).alias("k"),
+    )
+    groups = keyed.groupBy("h").agg(
+        F.count("*").alias("group_size"),
+        F.max("k").alias("winkey"),
+    )
+    return (
+        keyed.join(groups, "h")
+        .select(
+            "doc_id",
+            F.expr(
+                f"((winkey + {ID_CAP} - 1) div {ID_CAP}) * {ID_CAP} - winkey"
+            ).alias("canonical_doc_id"),
+            "group_size",
+        )
+        .withColumn(
+            "is_canonical", (F.col("doc_id") == F.col("canonical_doc_id"))
+        )
+    )
+
+
+_CANONICAL_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, md5(text) AS h, n_chars * {ID_CAP} - doc_id AS k
+  FROM documents),
+groups AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS group_size, max(k) AS winkey
+  FROM keyed GROUP BY h)
+SELECT doc_id,
+       CAST(((winkey + {ID_CAP} - 1) // {ID_CAP}) * {ID_CAP} - winkey
+            AS BIGINT) AS canonical_doc_id,
+       group_size,
+       doc_id = CAST(((winkey + {ID_CAP} - 1) // {ID_CAP}) * {ID_CAP} - winkey
+                     AS BIGINT) AS is_canonical
+FROM keyed JOIN groups USING (h)
+"""
+
+
+# -- PII scan / redaction accounting ---------------------------------------
+# Patterns stay inside the regex dialect intersection of Java (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \\d, word boundary.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d -]{7,}\d",
+}
+
+
+def pii_columns(text_col: str = "text") -> dict[str, F.Column]:
+    """Per-category match counts plus the redacted length (text length
+    after removing every match, categories applied in dict order)."""
+    cols: dict[str, F.Column] = {}
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        cols[f"n_{name}"] = F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        redacted = F.regexp_replace(redacted, pat, "")
+    cols["redacted_len"] = F.length(redacted).cast("long")
+    return cols
+
+
+def pii_sql_exprs(text_col: str = "text") -> list[str]:
+    exprs = []
+    redacted = text_col
+    for name, pat in PII_PATTERNS.items():
+        exprs.append(
+            f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        redacted = f"regexp_replace({redacted}, '{pat}', '', 'g')"
+    exprs.append(f"CAST(len({redacted}) AS BIGINT) AS redacted_len")
+    return exprs
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + redact PII patterns (email / IPv4 / phone) per document.
+    Pure regexp expressions inside codegen — scan-scaling; the synthetic
+    corpus is PII-free by construction, so the catalog run proves the
+    cross-engine regex-dialect contract while the planted-structure test
+    (tests/test_corpus_queries.py) proves detection."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    cols = pii_columns("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+_PII_SQL = f"""
+SELECT doc_id, {", ".join(pii_sql_exprs("text"))}
+FROM documents
+"""
+
+
+# -- int8 embedding quantization + reconstruction error --------------------
+def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of each embedding
+    (``q_i = round(x_i * 127 / max|x|)``) with reconstruction-error stats —
+    the compression step before shipping an ANN index. Elementwise IEEE
+    double math is bit-identical across engines (same parquet floats
+    widened, same op order), the integer checksum pins the full quantized
+    vector, and the float error sums use the shared ascending fold + 6 dp
+    rounding. Map-side only: zero shuffles, scan-scaling."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id"), vec_double_col("embedding").alias("v")
+    ).withColumn("s", F.expr("array_max(transform(v, x -> abs(x)))"))
+    q = v.withColumn(
+        "qv",
+        F.expr("transform(v, x -> CAST(round(x * 127.0D / s) AS BIGINT))"),
+    )
+    err = "zip_with(v, qv, (x, q) -> abs(x - q * s / 127.0D))"
+    checksum = (
+        f"aggregate(zip_with(qv, sequence(1, {EMB_DIM}), (q, i) -> q * i), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return q.select(
+        "vec_id",
+        F.col("s").alias("scale"),
+        F.expr(checksum).alias("q_checksum"),
+        F.round(F.expr(_fold_sum_spark(err)), 6).alias("sum_abs_err"),
+        F.round(F.expr(f"array_max({err})"), 6).alias("max_abs_err"),
+    )
+
+
+_QUANT_ERR_DUCK = (
+    "list_transform(range(1, {dim}), i -> abs(v[i] - qv[i] * s / 127.0))"
+).format(dim=EMB_DIM + 1)
+
+_QUANTIZE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, {vec_double_sql('embedding')} AS v
+  FROM embeddings),
+scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s
+  FROM base),
+quant AS (
+  SELECT vec_id, v, s,
+         list_transform(v, x -> CAST(round(x * 127.0 / s) AS BIGINT)) AS qv
+  FROM scaled)
+SELECT vec_id,
+       s AS scale,
+       CAST({_fold_sum_duck(f"list_transform(range(1, {EMB_DIM + 1}), i -> qv[i] * i)")}
+            AS BIGINT) AS q_checksum,
+       round({_fold_sum_duck(_QUANT_ERR_DUCK)}, 6) AS sum_abs_err,
+       round(list_max({_QUANT_ERR_DUCK}), 6) AS max_abs_err
+FROM quant
+"""
+
+
+ENTRIES: dict[str, Q] = {
+    "inverted_index_stats": Q(
+        q_inverted_index_stats, _INVERTED_INDEX_SQL, "posting-list stats per term"
+    ),
+    "canonical_doc_assign": Q(
+        q_canonical_doc_assign, _CANONICAL_SQL, "richest-copy canonical selection"
+    ),
+    "pii_scan": Q(q_pii_scan, _PII_SQL, "PII counts + redacted length"),
+    "embedding_quantize_error": Q(
+        q_embedding_quantize_error, _QUANTIZE_SQL, "int8 quantization + error stats"
+    ),
+}

@@ -1,0 +1,131 @@
+"""Planted-structure tests for the corpus-curation queries
+(plans/corpus_queries.py).
+
+The synthetic testdata corpus is PII-free word-soup with unique texts, so
+the catalog/oracle runs there prove cross-engine determinism but not
+*detection*. These tests plant the structure each query claims to find —
+PII strings, exact-duplicate clusters, a doc-unique top term, a known
+quantization vector — in tiny parquet corpora and assert the query sees
+it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.corpus_queries import (
+    q_canonical_doc_assign,
+    q_embedding_quantize_error,
+    q_inverted_index_stats,
+    q_pii_scan,
+)
+
+
+def _write_docs(path, rows):
+    """rows: list of (doc_id, text). Schema mirrors the driver's documents
+    table; lang/source are irrelevant to these queries but kept for shape."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["test"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    return str(path)
+
+
+def test_pii_scan_detects_planted_pii(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "contact alice@example.com or bob.smith+x@mail.co today"),
+            (2, "server at 10.0.0.1 and backup 192.168.1.254 online"),
+            (3, "call +1 555 123-4567 now"),
+            (4, "clean document with no sensitive content at all"),
+            (5, "mixed: eve@corp.io from 8.8.8.8 dialing +44 20 7946 0958"),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in q_pii_scan(spark, sf).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_ipv4"] == 0
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["n_phone"] == 1
+    assert got[4] == {"doc_id": 4, "n_email": 0, "n_ipv4": 0, "n_phone": 0,
+                      "redacted_len": len("clean document with no sensitive content at all")}
+    assert got[5]["n_email"] == 1 and got[5]["n_ipv4"] == 1 and got[5]["n_phone"] == 1
+    # redaction removes exactly the matched spans
+    assert got[1]["redacted_len"] == len("contact  or  today")
+    assert got[3]["redacted_len"] == len("call  now")
+
+
+def test_canonical_doc_assign_keeps_richest_copy(spark, tmp_path):
+    # cluster A: identical text -> same md5 -> same n_chars, tie broken by
+    # LOWEST doc_id; cluster B: single doc is its own canonical.
+    sf = _write_docs(
+        tmp_path,
+        [
+            (10, "same exact duplicated body"),
+            (11, "same exact duplicated body"),
+            (12, "same exact duplicated body"),
+            (20, "a unique singleton document"),
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in q_canonical_doc_assign(spark, sf).collect()}
+    for d in (10, 11, 12):
+        assert rows[d]["canonical_doc_id"] == 10
+        assert rows[d]["group_size"] == 3
+        assert rows[d]["is_canonical"] == (d == 10)
+    assert rows[20]["canonical_doc_id"] == 20 and rows[20]["is_canonical"]
+
+
+def test_inverted_index_top_doc_by_tf_then_lowest_id(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "apple apple banana"),
+            (2, "apple apple apple"),  # top doc for apple: tf=3
+            (3, "banana cherry"),      # banana tf=1 ties doc 1 (tf=1)? no: doc1 tf=1, doc3 tf=1 -> lowest id wins
+        ],
+    )
+    rows = {r["term"]: r.asDict() for r in q_inverted_index_stats(spark, sf).collect()}
+    assert rows["apple"]["df"] == 2 and rows["apple"]["total_tf"] == 5
+    assert rows["apple"]["top_tf"] == 3 and rows["apple"]["top_doc_id"] == 2
+    # tf tie between doc 1 and doc 3 -> lowest doc_id
+    assert rows["banana"]["top_tf"] == 1 and rows["banana"]["top_doc_id"] == 1
+    assert rows["cherry"]["df"] == 1 and rows["cherry"]["top_doc_id"] == 3
+
+
+def test_embedding_quantize_error_known_vector(spark, tmp_path):
+    dim = 64
+    v = [0.0] * dim
+    v[0], v[1], v[2] = 1.0, -0.5, 0.25  # scale = 1.0
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([7], pa.int64()),
+                "embedding": pa.array([v], pa.list_(pa.float32())),
+                "label": pa.array([0], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    row = q_embedding_quantize_error(spark, str(tmp_path)).collect()[0].asDict()
+    assert row["vec_id"] == 7
+    assert row["scale"] == 1.0
+    # q = round(x*127): [127, -64 (round-half-even would give -64? no: -63.5
+    # rounds half-up in Spark/DuckDB to -64), 32 (31.75 -> 32), 0...]
+    q0, q1, q2 = 127, -64, 32
+    checksum = q0 * 1 + q1 * 2 + q2 * 3
+    assert row["q_checksum"] == checksum
+    errs = [abs(1.0 - 127 / 127.0), abs(-0.5 - q1 / 127.0), abs(0.25 - q2 / 127.0)]
+    assert row["max_abs_err"] == pytest.approx(max(errs), abs=1e-6)
+    assert row["sum_abs_err"] == pytest.approx(sum(errs), abs=1e-6)
+    assert math.isfinite(row["sum_abs_err"])
