@@ -67,6 +67,8 @@ _PROOF_PRIORITY = [
     "canonical_doc_assign",
     "pii_scan",
     "embedding_quantize_error",
+    "mixture_resample",
+    "quality_filter",
 ]
 
 # Queries allowed to fall OUTSIDE the driver's 50-entry window this round:
@@ -89,6 +91,8 @@ _PROOF_TAIL = [
     "revenue_by_nation",
     "topk_orders_per_segment",
     "full_outer_reconciliation",
+    "latest_event_per_user",
+    "pricing_summary",
 ]
 
 

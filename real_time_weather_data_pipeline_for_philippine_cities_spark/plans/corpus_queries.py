@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import quality_features, quality_features_sql
 from ..operators.similarity import (
     _fold_sum_duck,
     _fold_sum_spark,
@@ -253,6 +254,142 @@ FROM quant
 """
 
 
+# -- mixture resampling to equal per-cell quotas ---------------------------
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward EQUAL (lang, source) cell sizes: each
+    cell's acceptance rate is ``min(1, target/count)`` with
+    ``target = total div n_cells``, and a document is kept iff its salted
+    md5 bucket falls under the rate — the deterministic counterpart of the
+    mixture-weighting step a data-mixing stage runs after
+    ``mixture_report``.
+
+    All rates are INTEGER basis points (``(target*10000) div n_g``), so
+    both engines compute identical thresholds with no float division; the
+    hash-bucket keep-set is a pure function of doc_id (rerun/repartition
+    stable — the same contract as ``stratified_sample``,
+    operators/dedup.py:240). Shape: one map-combined groupBy over the tiny
+    cell lattice, a window over that lattice (dozens of rows), and one
+    broadcast-sized join back to the doc spine. 100 TB: the only
+    corpus-scale pass is the final filter scan."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+        .withColumn("target", F.expr("sum(n_g) OVER () div count(1) OVER ()"))
+        .select(
+            "lang",
+            "source",
+            F.when(F.col("n_g") <= F.col("target"), F.lit(10000).cast("long"))
+            .otherwise(F.expr("(target * 10000) div n_g"))
+            .alias("rate_bp"),
+        )
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat('mix', CAST(doc_id AS STRING))), 1, 7),"
+        " 16, 10) AS LONG) % 10000"
+    )
+    return (
+        docs.join(F.broadcast(cells), ["lang", "source"])
+        .where(bucket < F.col("rate_bp"))
+        .select("doc_id", "lang", "source", "rate_bp")
+    )
+
+
+_MIXTURE_RESAMPLE_SQL = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS n_g FROM documents GROUP BY lang, source),
+rates AS (
+  SELECT lang, source,
+         CAST(CASE WHEN n_g <= sum(n_g) OVER () // count(*) OVER ()
+                   THEN 10000
+                   ELSE ((sum(n_g) OVER () // count(*) OVER ()) * 10000) // n_g
+              END AS BIGINT) AS rate_bp
+  FROM cells)
+SELECT doc_id, lang, source, rate_bp
+FROM documents JOIN rates USING (lang, source)
+WHERE ('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      % 10000 < rate_bp
+"""
+
+
+# -- quality-filter decision ------------------------------------------------
+#: (bit, name) -> the reason a document is dropped. Thresholds compare the
+#: 4-dp-rounded features from functions/text.py::quality_features, so the
+#: booleans are engine-identical by construction.
+QUALITY_RULES: tuple[tuple[int, str], ...] = (
+    (0, "too_short"),       # n_tokens < 10
+    (1, "too_long"),        # n_tokens > 5000
+    (2, "low_ttr"),         # ttr < 0.30
+    (3, "low_stopword"),    # stop_ratio < 0.02
+    (4, "high_punct"),      # punct_ratio > 0.20
+    (5, "bad_tok_len"),     # mean token length outside [2.5, 12]
+)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep/drop decision per document with a reason
+    bitmask — the actionable form of ``quality_score``: ``keep`` is true
+    iff no rule fires, and ``reasons`` says exactly which fired (bit i =
+    QUALITY_RULES[i]). Pure map-side codegen expressions, scan-scaling."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    qf = quality_features(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        qf["n_tokens"].alias("n_tokens"),
+        qf["ttr"].alias("ttr"),
+        qf["stop_ratio"].alias("stop_ratio"),
+        qf["punct_ratio"].alias("punct_ratio"),
+        F.round(F.col("n_chars") / qf["n_tokens"], 4).alias("mean_tok_len"),
+    )
+    flags = [
+        F.col("n_tokens") < 10,
+        F.col("n_tokens") > 5000,
+        F.col("ttr") < 0.30,
+        F.col("stop_ratio") < 0.02,
+        F.col("punct_ratio") > 0.20,
+        (F.col("mean_tok_len") < 2.5) | (F.col("mean_tok_len") > 12.0),
+    ]
+    reasons = None
+    for bit, flag in enumerate(flags):
+        term = F.when(flag, F.lit(1 << bit)).otherwise(F.lit(0))
+        reasons = term if reasons is None else reasons + term
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        reasons.cast("long").alias("reasons"),
+        (reasons == 0).alias("keep"),
+    )
+
+
+_QF = quality_features_sql("text")
+_QUALITY_FILTER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST({_QF['n_tokens']} AS BIGINT) AS n_tokens,
+         {_QF['ttr']} AS ttr,
+         {_QF['stop_ratio']} AS stop_ratio,
+         {_QF['punct_ratio']} AS punct_ratio,
+         round(n_chars / CAST({_QF['n_tokens']} AS DOUBLE), 4) AS mean_tok_len
+  FROM documents),
+scored AS (
+  SELECT doc_id, n_tokens, mean_tok_len,
+         CAST(  (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_tokens > 5000 THEN 2 ELSE 0 END)
+              + (CASE WHEN ttr < 0.30 THEN 4 ELSE 0 END)
+              + (CASE WHEN stop_ratio < 0.02 THEN 8 ELSE 0 END)
+              + (CASE WHEN punct_ratio > 0.20 THEN 16 ELSE 0 END)
+              + (CASE WHEN mean_tok_len < 2.5 OR mean_tok_len > 12.0
+                      THEN 32 ELSE 0 END) AS BIGINT) AS reasons
+  FROM base)
+SELECT doc_id, n_tokens, mean_tok_len, reasons, reasons = 0 AS keep
+FROM scored
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "inverted_index_stats": Q(
         q_inverted_index_stats, _INVERTED_INDEX_SQL, "posting-list stats per term"
@@ -263,5 +400,13 @@ ENTRIES: dict[str, Q] = {
     "pii_scan": Q(q_pii_scan, _PII_SQL, "PII counts + redacted length"),
     "embedding_quantize_error": Q(
         q_embedding_quantize_error, _QUANTIZE_SQL, "int8 quantization + error stats"
+    ),
+    "mixture_resample": Q(
+        q_mixture_resample,
+        _MIXTURE_RESAMPLE_SQL,
+        "deterministic rebalance to equal mixture cells",
+    ),
+    "quality_filter": Q(
+        q_quality_filter, _QUALITY_FILTER_SQL, "keep/drop decision + reason bitmask"
     ),
 }

@@ -21,7 +21,9 @@ from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.corpus_qu
     q_canonical_doc_assign,
     q_embedding_quantize_error,
     q_inverted_index_stats,
+    q_mixture_resample,
     q_pii_scan,
+    q_quality_filter,
 )
 
 
@@ -101,6 +103,63 @@ def test_inverted_index_top_doc_by_tf_then_lowest_id(spark, tmp_path):
     # tf tie between doc 1 and doc 3 -> lowest doc_id
     assert rows["banana"]["top_tf"] == 1 and rows["banana"]["top_doc_id"] == 1
     assert rows["cherry"]["df"] == 1 and rows["cherry"]["top_doc_id"] == 3
+
+
+def test_mixture_resample_downsamples_overrepresented_cell(spark, tmp_path):
+    # two cells: ("en","web") with 40 docs, ("de","book") with 2 docs.
+    # total=42, n_cells=2 -> target=21: the big cell gets rate
+    # (21*10000)//40 = 5250 bp, the small cell keeps everything (10000).
+    rows = [(i, f"en web doc {i}") for i in range(40)] + [
+        (100, "de book doc a"),
+        (101, "de book doc b"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(
+                    ["en"] * 40 + ["de"] * 2, pa.string()
+                ),
+                "source": pa.array(["web"] * 40 + ["book"] * 2, pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_mixture_resample(spark, str(tmp_path)).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault((r["lang"], r["source"]), []).append(r)
+    assert all(r["rate_bp"] == 10000 for r in by_cell[("de", "book")])
+    assert len(by_cell[("de", "book")]) == 2  # under target: fully kept
+    en = by_cell[("en", "web")]
+    assert all(r["rate_bp"] == 5250 for r in en)
+    assert 0 < len(en) < 40  # genuinely downsampled
+    # rerun-stable: the keep-set is a pure function of doc_id
+    again = sorted(r["doc_id"] for r in q_mixture_resample(spark, str(tmp_path)).collect())
+    assert again == sorted(r["doc_id"] for r in out)
+
+
+def test_quality_filter_reason_bits(spark, tmp_path):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps in a warm corner of the old house near the river bank"
+    )
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, good),                      # passes every rule
+            (2, "tiny doc"),                # bit 0: too short
+            (3, " ".join(["word"] * 50)),   # bit 2: ttr -> also bit 3 (no stopwords)
+            (4, " ".join(["!!!"] * 12) + " the and of to in is a dog"),  # punct-heavy
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in q_quality_filter(spark, sf).collect()}
+    assert rows[1]["keep"] and rows[1]["reasons"] == 0
+    assert not rows[2]["keep"] and rows[2]["reasons"] & 1
+    assert not rows[3]["keep"] and rows[3]["reasons"] & 4 and rows[3]["reasons"] & 8
+    assert not rows[4]["keep"] and rows[4]["reasons"] & 16
 
 
 def test_embedding_quantize_error_known_vector(spark, tmp_path):
