@@ -3,6 +3,14 @@
 JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}``.
 
+The JSON line is the ONLY stdout this process emits (Spark console
+progress is disabled, log level ERROR), and the same payload is written to
+``BENCH.json`` next to this file so the result survives even if a harness
+truncates stdout. Each query is timed best-of-N (default 2 reps,
+$SPARK_GRAFT_BENCH_REPS) so a single GC/JIT spike cannot masquerade as a
+plan regression; per-query ``{min,max}`` spreads are reported under
+``"variance"`` so noise claims are machine-checkable.
+
 Each query is forced with a ``noop``-format write so the full plan executes
 on the executors without driver-side collect overhead dominating the
 measurement. Session reuse across queries amortizes JVM startup; the first
@@ -17,6 +25,7 @@ import os
 import re
 import sys
 import time
+from pathlib import Path
 
 from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import CATALOG
 from real_time_weather_data_pipeline_for_philippine_cities_spark.session import get_spark
@@ -29,6 +38,7 @@ def _force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -63,18 +73,30 @@ def main() -> None:
     _force(spark.range(0, 32, 1, 32).select(_warm_py("id")))
 
     timings: dict[str, float] = {}
+    variance: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            _force(CATALOG[name].fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as ex:  # one broken query must not kill the bench
-            errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
-        # Unpersist hygiene: operators persist intermediate stages (LSH
-        # signatures, blocked bases); freed here so 57 queries' caches
-        # don't accumulate executor memory pressure across the run.
-        spark.catalog.clearCache()
+        reps_sec: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                _force(CATALOG[name].fn(spark, sf_dir))
+                reps_sec.append(time.perf_counter() - t0)
+            except Exception as ex:  # one broken query must not kill the bench
+                errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+                break
+            finally:
+                # Unpersist hygiene: operators persist intermediate stages
+                # (LSH signatures, blocked bases); freed here so 69 queries
+                # × reps of caches don't accumulate executor memory
+                # pressure across the run.
+                spark.catalog.clearCache()
+        if reps_sec:
+            timings[name] = round(min(reps_sec), 4)
+            variance[name] = {
+                "min": round(min(reps_sec), 4),
+                "max": round(max(reps_sec), 4),
+            }
 
     total = round(sum(timings.values()), 4)
     result = {
@@ -83,10 +105,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": reps,
+        "variance": variance,
     }
     if errors:
         result["errors"] = errors
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # Durable copy: survives any stdout truncation by the harness.
+    (Path(__file__).resolve().parent / "BENCH.json").write_text(line + "\n")
+    print(line)
     sys.stdout.flush()
     spark.stop()
 

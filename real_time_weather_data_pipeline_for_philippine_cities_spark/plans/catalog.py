@@ -6,6 +6,9 @@ oracle twin. ``__spark_entry__.py`` re-exports these to the driver.
 
 from __future__ import annotations
 
+import json
+import re
+from pathlib import Path
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,79 +34,85 @@ for _mod_name in (
     CATALOG.update(_mod.ENTRIES)
 
 # The correctness driver records rows for exactly the FIRST 50 entries of
-# queries(), so catalog order is the proof window. Entries that have never
-# been driver-verified (or whose last driver row was red) MUST load first;
-# the tail that falls outside the window is restricted to queries already
-# proven green in prior rounds (CORRECTNESS_r01/r02), whose proof carries
-# over. Rotate this list each round as proof coverage shifts.
-_PROOF_PRIORITY = [
-    # never driver-checked in any round (composite/timeseries loaded last):
-    "cube_event_stats",
-    "moving_avg_7d",
-    "day_over_day_change",
-    "active_buyer_keys_intersect",
-    "pivot_daily_event_counts",
-    "types_per_user_stragg",
-    "multimodal_features",
-    # red in r01, fixed in code, never re-checked:
-    "sessionize_events",
-    # green in r01 only — re-green under the current catalog:
-    "asof_join",
-    "rollup_revenue",
-    "percentiles_by_type",
-    # red in r02 (HUGEINT-vs-BIGINT oracle type artifact, fixed this round):
-    "mixture_report",
-    # plan changed this round (broadcast gating / in-flow n_docs / conditional
-    # repartition / CC algorithm switch) — must be re-proven under the new plan:
-    "tfidf_top_terms",
-    "decontaminate_overlap",
-    "dedup_ngram_jaccard",
-    "dedup_allpairs_jaccard",
+# queries(), so catalog order is the proof window. The order is COMPUTED
+# from the driver's own CORRECTNESS_r*.json artifacts rather than
+# hand-rotated lists (which went stale between rounds): queries that were
+# never driver-checked or whose most recent driver row was red sort first,
+# then greens by oldest last-green round, so the stalest proof always
+# rotates back into the window. ``_PLAN_CHANGED`` force-fronts queries
+# whose plan was edited this round — a green row for the OLD plan proves
+# nothing about the new one, and the artifact files can't see the diff.
+_PLAN_CHANGED: list[str] = [
+    # round 4: propagation CC seeded with min-neighbor + update-count
+    # termination (operators/dedup.py) — re-prove under the new loop.
     "dedup_cluster_assign",
-    # new in round 3 — never driver-checked yet:
-    "sequence_packing",
-    "chunk_documents",
-    "inverted_index_stats",
-    "canonical_doc_assign",
-    "pii_scan",
-    "embedding_quantize_error",
-    "mixture_resample",
-    "quality_filter",
+    # round 4: multimodal decode is now a real PPM/BMP decoder feeding the
+    # same Arrow kernel — re-prove feature extraction end-to-end.
+    "multimodal_features",
 ]
 
-# Queries allowed to fall OUTSIDE the driver's 50-entry window this round:
-# all green in BOTH r01 and r02, none touched by round-3 changes.
-_PROOF_TAIL = [
-    "normalize_city_names",
-    "case_insensitive_match",
-    "coalesce_cascade",
-    "json_extract",
-    "epoch_roundtrip",
-    "date_parts_arith",
-    "fuzzy_name_match",
-    "distinct_users_daily",
-    "dense_ids",
-    "multiset_except_all",
-    "location_refresh_diff",
-    "priority_count_semi",
-    "promo_revenue_share",
-    "daily_minmax",
-    "revenue_by_nation",
-    "topk_orders_per_segment",
-    "full_outer_reconciliation",
-    "latest_event_per_user",
-    "pricing_summary",
-]
+
+def _proof_green(rec: dict) -> bool:
+    """A driver row counts as proof only if every check it ran passed."""
+    return bool(
+        rec.get("err") is None
+        and rec.get("rows_match")
+        and rec.get("schema_match") is not False
+        and rec.get("hash_match") is not False
+    )
+
+
+def _load_correctness_rounds(root: Path) -> list[tuple[int, dict]]:
+    rounds: list[tuple[int, dict]] = []
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue  # a corrupt artifact must not break query loading
+        if isinstance(data, dict):
+            rounds.append((int(m.group(1)), data))
+    return rounds
+
+
+def proof_sort_key(
+    name: str,
+    rounds: list[tuple[int, dict]],
+    plan_changed: tuple[str, ...] = (),
+) -> tuple[int, int, str]:
+    """Ordering key: smaller sorts earlier (= more urgent to re-prove).
+
+    Tier 0: plan changed this round (old proof void).
+    Tier 1: never driver-checked, or the latest driver row was red.
+    Tier 2: green — ordered by last-green round, oldest (stalest) first.
+    Name is the deterministic tie-break throughout.
+    """
+    if name in plan_changed:
+        return (0, 0, name)
+    last_checked = 0
+    last_green = 0
+    for rnd, data in rounds:
+        if name in data:
+            if rnd > last_checked:
+                last_checked = rnd
+            if _proof_green(data[name]) and rnd > last_green:
+                last_green = rnd
+    if last_checked == 0 or last_green < last_checked:
+        return (1, 0, name)
+    return (2, last_green, name)
 
 
 def _ordered(catalog: dict[str, Q]) -> dict[str, Q]:
-    missing = [n for n in (_PROOF_PRIORITY + _PROOF_TAIL) if n not in catalog]
+    missing = [n for n in _PLAN_CHANGED if n not in catalog]
     if missing:  # a renamed/removed query must fail loudly, not silently reorder
-        raise KeyError(f"proof-order names absent from catalog: {missing}")
-    head = {n: catalog[n] for n in _PROOF_PRIORITY}
-    tail = {n: catalog[n] for n in _PROOF_TAIL}
-    mid = {n: q for n, q in catalog.items() if n not in head and n not in tail}
-    return {**head, **mid, **tail}
+        raise KeyError(f"plan-changed names absent from catalog: {missing}")
+    root = Path(__file__).resolve().parents[2]
+    rounds = _load_correctness_rounds(root)
+    changed = tuple(_PLAN_CHANGED)
+    names = sorted(catalog, key=lambda n: proof_sort_key(n, rounds, changed))
+    return {n: catalog[n] for n in names}
 
 
 CATALOG = _ordered(CATALOG)

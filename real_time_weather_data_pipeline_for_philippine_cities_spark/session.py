@@ -58,6 +58,10 @@ def get_spark(app_name: str = "rtw-spark", master: str | None = None) -> SparkSe
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # No \r progress spam on stdout: bench.py's JSON line must be the
+        # only stdout the harness captures (BENCH_r03 was truncated to
+        # unparseability by console-progress output).
+        .config("spark.ui.showConsoleProgress", "false")
         # 32 MB broadcast budget. A 128 MB experiment shaved ~3 s off
         # ngram jaccard at sf≈1 (shingle-frequency table broadcast) but
         # cost 3-16x on the minhash/band pipelines at sf0.1 — the larger
