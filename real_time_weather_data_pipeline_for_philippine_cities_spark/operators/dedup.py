@@ -295,26 +295,41 @@ WHERE ('0x' || substring(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 7))::BIG
 # --------------------------------------------------------------------------
 
 
+class ConvergenceError(RuntimeError):
+    """Min-label propagation did not reach a fixpoint within max_iter."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    strict: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
     Each node's label converges to the minimum node id reachable from it —
-    the canonical cluster id. Per round: one join of the undirected
-    adjacency against current labels + a min-aggregate; lineage is
+    the canonical cluster id. Labels are SEEDED with
+    ``min(node, min(neighbors))`` — one aggregate over the adjacency — so
+    star-shaped near-dup clusters (the common case: many copies pointing at
+    one canonical minimum) are already at the fixpoint before the loop and
+    pay a single confirming round. Per round: one join of the undirected
+    adjacency against current labels + a min-aggregate; the convergence
+    check is the round's own update count (a filter over the just-
+    checkpointed result — no separate verification join). Lineage is
     truncated with localCheckpoint every round so the plan stays flat.
-    Rounds needed = graph diameter (near-dup clusters are shallow; the
-    driver-side convergence check stops early). At extreme scale swap in
-    the large-star/small-star algorithm (Kiveris et al.) — same DataFrame
-    substrate, fewer rounds on high-diameter graphs.
+    Rounds needed ≈ graph diameter; for adversarially deep graphs use
+    ``connected_components_star`` (O(log d) rounds) or ``algorithm="auto"``
+    on :func:`dedup_cluster_assign`, which falls back to it automatically.
 
     The fixpoint is unique regardless of iteration count, so results are
     engine-reproducible (the DuckDB oracle computes the same labels via a
     recursive transitive-closure CTE).
+
+    ``strict=True`` raises :class:`ConvergenceError` if the fixpoint is not
+    reached within ``max_iter`` (labels would be an under-propagated
+    intermediate state); the default returns the last iterate, matching the
+    previous behavior.
 
     Output: (node, label).
     """
@@ -326,33 +341,42 @@ def connected_components(
     adj = a.unionByName(
         a.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
-    nodes = adj.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    # Seed: label = min(node, Γ(node)). F.first("a") is exact — "a" is the
+    # grouping key. Covers every node (adj is bidirected).
+    labels = (
+        adj.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.first("a")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             adj.join(labels, adj.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
+        # Update count over the checkpointed result: the termination signal
+        # costs one in-memory filter+count, not an extra labels⋈labels job.
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("node", "label")
+        if changed == 0:
+            converged = True
             break
+    if strict and not converged:
+        raise ConvergenceError(
+            f"min-label propagation not at fixpoint after {max_iter} rounds"
+        )
     return labels
 
 
@@ -449,7 +473,8 @@ def dedup_cluster_assign(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
-    algorithm: str = "propagation",
+    algorithm: str = "auto",
+    auto_rounds: int = 6,
 ) -> DataFrame:
     """Full-corpus cluster assignment from a near-dup pair list.
 
@@ -457,24 +482,37 @@ def dedup_cluster_assign(
     singletons cluster with themselves) and ``is_canonical`` marks the one
     survivor per cluster — the row a dedup pass keeps.
 
-    ``algorithm`` selects the component solver — both return identical
+    ``algorithm`` selects the component solver — all return identical
     labels (property-tested, including on a deep chain graph):
 
-      * ``"propagation"`` (default): min-label propagation, rounds =
-        graph diameter. Near-dup graphs are shallow (converges in ~2
-        rounds on the catalog corpus), and each round is one join +
-        min-agg — the cheaper shape for the common case.
+      * ``"auto"`` (default): min-label propagation bounded to
+        ``auto_rounds`` rounds; if the fixpoint isn't reached (deep
+        graph), falls back to large-star/small-star. Shallow near-dup
+        graphs — the overwhelmingly common shape — pay only the cheap
+        seeded-propagation path (~1-2 rounds); adversarially deep graphs
+        pay a bounded probe plus the O(log d) solver, never
+        diameter-many rounds.
+      * ``"propagation"``: min-label propagation, rounds = graph
+        diameter. Each round is one join + min-agg — the cheapest shape
+        when the graph is known shallow.
       * ``"star"``: alternating large-star/small-star (Kiveris et al.),
         O(log d) rounds — the scale path for adversarially deep graphs
         (e.g. chained templated spam at 100 TB, where diameter-many
         propagation rounds would dominate the job).
     """
-    if algorithm == "propagation":
+    if algorithm == "auto":
+        try:
+            comp = connected_components(pairs, src, dst, max_iter=auto_rounds, strict=True)
+        except ConvergenceError:
+            comp = connected_components_star(pairs, src, dst)
+    elif algorithm == "propagation":
         comp = connected_components(pairs, src, dst)
     elif algorithm == "star":
         comp = connected_components_star(pairs, src, dst)
     else:
-        raise ValueError(f"unknown algorithm {algorithm!r}: use 'propagation' or 'star'")
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: use 'auto', 'propagation' or 'star'"
+        )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp, F.col("doc_id") == comp.node, "left")

@@ -228,8 +228,51 @@ def test_cluster_assign_star_option_matches_default(spark, sf_dir):
         for r in D.dedup_cluster_assign(docs, pairs, algorithm="star").collect()
     }
     assert star == default
+    prop = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in D.dedup_cluster_assign(docs, pairs, algorithm="propagation").collect()
+    }
+    assert prop == default
     with pytest.raises(ValueError):
         D.dedup_cluster_assign(docs, pairs, algorithm="bogus")
+
+
+def test_cluster_assign_auto_falls_back_on_deep_chain(spark):
+    """algorithm='auto' must detect an unconverged bounded propagation
+    (strict mode raises) and hand the graph to the O(log d) star solver —
+    correct labels on a 64-node chain even with a 3-round probe budget."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(D.ConvergenceError):
+        D.connected_components(chain, max_iter=3, strict=True)
+    docs = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    auto = {
+        (r.doc_id, r.cluster_id)
+        for r in D.dedup_cluster_assign(
+            docs, chain, algorithm="auto", auto_rounds=3
+        ).collect()
+    }
+    assert auto == {(i, 0) for i in range(64)}
+
+
+def test_seeded_propagation_converges_in_one_round_on_star_graph(spark):
+    """The min-neighbor seed puts star-shaped clusters (the common
+    near-dup shape) at the fixpoint immediately: strict propagation with
+    max_iter=1 must succeed — the single round only confirms zero
+    updates."""
+    star_graph = spark.createDataFrame(
+        [(0, i) for i in range(1, 20)] + [(100, 101), (100, 102)],
+        "doc_a long, doc_b long",
+    )
+    labels = {
+        (r.node, r.label)
+        for r in D.connected_components(star_graph, max_iter=1, strict=True).collect()
+    }
+    expected = {(i, 0) for i in range(20)} | {(n, 100) for n in (100, 101, 102)}
+    assert labels == expected
 
 
 def test_decontamination_flags_planted_overlap(spark):
