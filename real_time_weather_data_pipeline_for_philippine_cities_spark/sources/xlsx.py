@@ -95,7 +95,13 @@ def _xml_escape(s: str) -> str:
     )
 
 
-def write_xlsx_snapshot(df: DataFrame, path: str) -> None:
+#: Hard cap on rows the driver-side xlsx writer will collect. The writer
+#: exists for the reference's 146-row locations dimension; routing a fact
+#: table through it would silently pull the table into driver memory.
+XLSX_MAX_ROWS = 100_000
+
+
+def write_xlsx_snapshot(df: DataFrame, path: str, max_rows: int = XLSX_MAX_ROWS) -> None:
     """Write a DataFrame back as an xlsx snapshot — the reference's
     ``to_excel`` step (weather_data_fetcher.py:426) for literal on-disk
     fidelity (SURVEY.md §2.2 K4).
@@ -111,12 +117,25 @@ def write_xlsx_snapshot(df: DataFrame, path: str) -> None:
     (NaN/inf have no numeric-cell representation — Excel itself cannot
     store them) and cell types outside str/int/float/bool/None raise
     ``ValueError`` instead of silently degrading to an unreadable numeric
-    cell or a stringified inline value."""
+    cell or a stringified inline value.
+
+    ``max_rows`` guards the ``collect()``: this is a DIMENSION snapshot
+    writer, and anything larger than the cap is almost certainly a fact
+    table routed to the wrong sink — raise instead of OOMing the driver
+    (use sinks/tables.py parquet for unbounded data)."""
     import math as _math
     import zipfile as _zf
 
     header = df.columns
-    rows = [list(r) for r in df.collect()]
+    # limit(max_rows + 1): detect overflow with a bounded fetch — never
+    # materialize the oversized table just to count it.
+    rows = [list(r) for r in df.limit(max_rows + 1).collect()]
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_xlsx_snapshot is a driver-side dimension writer "
+            f"(> {max_rows} rows collected); use the distributed parquet "
+            "sink (sinks/tables.py) for fact-sized data"
+        )
 
     def cell(ref: str, v: object) -> str:
         if v is None:
