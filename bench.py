@@ -72,31 +72,37 @@ def main() -> None:
 
     _force(spark.range(0, 32, 1, 32).select(_warm_py("id")))
 
-    timings: dict[str, float] = {}
-    variance: dict[str, dict[str, float]] = {}
+    # Reps are INTERLEAVED (full catalog pass per rep, min per query across
+    # passes) rather than back-to-back: a transient host-noise window then
+    # inflates at most one rep of any query instead of all of them —
+    # back-to-back reps recorded a 3x-consistent phantom regression for
+    # whichever query sat inside the window.
+    samples: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
-    for name in names:
-        reps_sec: list[float] = []
-        for _ in range(reps):
+    for _rep in range(reps):
+        for name in names:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
             try:
                 _force(CATALOG[name].fn(spark, sf_dir))
-                reps_sec.append(time.perf_counter() - t0)
+                samples[name].append(time.perf_counter() - t0)
             except Exception as ex:  # one broken query must not kill the bench
                 errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
-                break
             finally:
                 # Unpersist hygiene: operators persist intermediate stages
                 # (LSH signatures, blocked bases); freed here so 69 queries
                 # × reps of caches don't accumulate executor memory
                 # pressure across the run.
                 spark.catalog.clearCache()
-        if reps_sec:
-            timings[name] = round(min(reps_sec), 4)
-            variance[name] = {
-                "min": round(min(reps_sec), 4),
-                "max": round(max(reps_sec), 4),
-            }
+    timings = {
+        n: round(min(s), 4) for n, s in samples.items() if s
+    }
+    variance = {
+        n: {"min": round(min(s), 4), "max": round(max(s), 4)}
+        for n, s in samples.items()
+        if s
+    }
 
     total = round(sum(timings.values()), 4)
     result = {

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_fake_media, extract_features
+from ..operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+    extract_image_features,
+)
 from .base import Q, t
 from .pipeline import run_pipeline
 
@@ -220,11 +224,71 @@ FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
 """
 
 
+def q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the Arrow kernel, fully oracle-paired:
+    each document becomes a 4x3 P6 PPM whose 36 pixel bytes are md5-derived
+    from its text (deterministic, reproducible in SQL), every 17th doc gets
+    a truncated blob to exercise the corrupt-media NULL path, and
+    extract_image_features decodes inside mapInPandas — dims + per-channel
+    means. DuckDB recomputes the same bytes from the same hex and averages
+    the same stride-3 positions, so values hash-match bit-exactly
+    (12 ints summed in float64, /12, round 6 — identical on both engines).
+
+    Scale shape: one scan, one mapInPandas stage, no shuffle — the decode
+    cost is the payload, exactly as it would be on a 100 TB media corpus.
+    """
+    docs = t(spark, sf_dir, "documents")
+    hx = F.concat(
+        F.md5("text"),
+        F.md5(F.concat(F.col("text"), F.lit("a"))),
+        F.md5(F.concat(F.col("text"), F.lit("b"))),
+    )
+    pixels = F.substring(F.unhex(hx), 1, 36)
+    # every 17th doc: truncated pixel payload -> decoder raises -> NULLs
+    pixels = F.when(F.col("doc_id") % 17 == 0, F.substring(F.unhex(hx), 1, 10)).otherwise(
+        pixels
+    )
+    blob = F.concat(F.encode(F.lit("P6\n4 3\n255\n"), "utf-8"), pixels)
+    media = docs.select("doc_id", blob.alias("media_bytes"))
+    return extract_image_features(media).select(
+        "doc_id", "img_width", "img_height", "mean_r", "mean_g", "mean_b"
+    )
+
+
+# DuckDB twin: same 96-hex-char string, byte i = hex pair [2i, 2i+2);
+# channel means average the 12 stride-3 positions per channel. Corrupt
+# (truncated) rows are the doc_id % 17 = 0 lattice on both sides.
+_IMAGE_DECODE_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx
+  FROM documents),
+px AS (
+  SELECT doc_id,
+    list_transform(range(0, 12),
+      i -> CAST(('0x' || substr(hx, CAST(6 * i + 1 AS INTEGER), 2)) AS INTEGER)) AS r,
+    list_transform(range(0, 12),
+      i -> CAST(('0x' || substr(hx, CAST(6 * i + 3 AS INTEGER), 2)) AS INTEGER)) AS g,
+    list_transform(range(0, 12),
+      i -> CAST(('0x' || substr(hx, CAST(6 * i + 5 AS INTEGER), 2)) AS INTEGER)) AS b
+  FROM h)
+SELECT doc_id,
+  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(4 AS INTEGER) END AS img_width,
+  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(3 AS INTEGER) END AS img_height,
+  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE round(list_avg(r), 6) END AS mean_r,
+  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE round(list_avg(g), 6) END AS mean_g,
+  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE round(list_avg(b), 6) END AS mean_b
+FROM px
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "weather_pipeline_e2e": Q(
         q_weather_pipeline_e2e, _PIPELINE_SQL, "§3 full pipeline composite"
     ),
     "multimodal_features": Q(
         q_multimodal_features, _MULTIMODAL_SQL, "binary cols + mapInPandas"
+    ),
+    "image_decode_features": Q(
+        q_image_decode_features, _IMAGE_DECODE_SQL, "real PPM decode in Arrow kernel"
     ),
 }
