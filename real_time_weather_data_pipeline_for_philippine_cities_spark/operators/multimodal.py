@@ -282,7 +282,68 @@ def extract_image_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Plumbing for a resize stage: passes blobs through and records the
-    requested geometry in metadata (real resize needs a decoder)."""
-    return df.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+def encode_ppm(img) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a binary P6 PPM blob."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def resize_image(img, width: int, height: int):
+    """Nearest-neighbor resample of an (H, W, 3) array to (height, width).
+
+    Pure numpy index mapping — the standard pixel-center rule
+    ``src = floor((dst + 0.5) * src_dim / dst_dim)`` so up- and
+    down-scaling both pick the geometrically nearest source pixel."""
+    import numpy as np
+
+    sh, sw = img.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * sh / height).astype(np.int64), sh - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * sw / width).astype(np.int64), sw - 1)
+    return img[rows][:, cols]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    blob_col: str = "media_bytes",
+    decoder: Callable[[bytes, str], "object"] | None = None,
+) -> DataFrame:
+    """Real resize stage: decode each blob (PPM/BMP via
+    :func:`decode_image`, or an injected ``decoder``), nearest-neighbor
+    resample to ``width``x``height``, and re-encode as P6 PPM in place.
+    Undecodable blobs pass through unchanged with NULL output geometry —
+    corrupt media must not fail a corpus-scale stage.
+
+    ``width``/``height`` columns record the ACTUAL output geometry (NULL
+    when the blob was skipped), replacing the old metadata-only stub. One
+    mapInPandas pass, partition-preserving, no shuffle — scan-scaling at
+    100 TB like every other media kernel here."""
+    dec = decoder or decode_image
+    keep = [f for f in df.schema.fields if f.name not in ("width", "height")]
+    out_schema = StructType(
+        keep + [StructField("width", IntegerType()), StructField("height", IntegerType())]
+    )
+    names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, ws, hs = [], [], []
+            for blob in pdf[blob_col]:
+                try:
+                    img = dec(bytes(blob), "auto")
+                except (ValueError, TypeError):
+                    blobs.append(blob)
+                    ws.append(None)
+                    hs.append(None)
+                    continue
+                blobs.append(encode_ppm(resize_image(img, width, height)))
+                ws.append(width)
+                hs.append(height)
+            out = pdf[names].copy()
+            out[blob_col] = blobs
+            out["width"] = pd.array(ws, dtype="Int32")
+            out["height"] = pd.array(hs, dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -317,6 +317,43 @@ def test_decode_rejects_compressed_and_corrupt():
         decode_image(b"")
 
 
+def test_resize_images_real(spark):
+    """Real resize: decode -> nearest-neighbor resample -> P6 re-encode,
+    all inside the Arrow kernel; corrupt blobs pass through untouched with
+    NULL geometry."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+    )
+
+    rows = [
+        (1, _encode_ppm_p6(_PIXELS)),  # 3x2 -> 6x4
+        (2, _encode_bmp_24(_PIXELS)),  # BMP in, PPM out
+        (3, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_bytes binary")
+    out = {r.doc_id: r for r in resize_images(df, 6, 4).collect()}
+
+    for doc_id in (1, 2):
+        r = out[doc_id]
+        assert (r.width, r.height) == (6, 4)
+        img = decode_image(bytes(r.media_bytes))
+        assert img.shape == (4, 6, 3)
+        # 2x integer upscale: each source pixel becomes a 2x2 block
+        for y in range(4):
+            for x in range(6):
+                assert tuple(int(c) for c in img[y, x]) == _PIXELS[y // 2][x // 2]
+    assert out[3].width is None and bytes(out[3].media_bytes) == b"not an image"
+
+    # downscale to 1x1 picks the geometrically nearest (center-rule) pixel
+    one = resize_images(
+        spark.createDataFrame(rows[:1], "doc_id long, media_bytes binary"), 1, 1
+    ).collect()[0]
+    img1 = decode_image(bytes(one.media_bytes))
+    assert img1.shape == (1, 1, 3)
+    assert tuple(int(c) for c in img1[0, 0]) == _PIXELS[1][1]
+
+
 def test_image_feature_extraction_e2e(spark, tmp_path):
     """Generated PPM/BMP files through the Arrow kernel end-to-end:
     dims + channel means for decodable blobs, NULL features for corrupt
