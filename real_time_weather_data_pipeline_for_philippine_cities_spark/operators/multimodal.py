@@ -227,6 +227,116 @@ def extract_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def decode_wav(blob: bytes):
+    """Decode a RIFF/WAVE PCM blob to (samples, sample_rate, n_channels).
+
+    Pure stdlib+numpy: 16-bit (int16 -> float in [-1, 1)) and 8-bit
+    (unsigned, rebased) PCM, any channel count; samples come back as an
+    (n_frames, n_channels) float64 array. Compressed codecs (format tag
+    != 1) raise ValueError — no audio libraries ship in this container.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, n_ch, rate, _byterate, _align, bits = fmt
+    if tag != 1:
+        raise ValueError(f"only PCM WAV supported (format tag {tag})")
+    if n_ch < 1 or rate <= 0:
+        raise ValueError(f"bad WAV geometry: channels={n_ch} rate={rate}")
+    if bits == 16:
+        raw = np.frombuffer(data, np.int16, count=len(data) // 2)
+        samples = raw.astype(np.float64) / 32768.0
+    elif bits == 8:
+        raw = np.frombuffer(data, np.uint8)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM width {bits}")
+    n_frames = samples.size // n_ch
+    return samples[: n_frames * n_ch].reshape(n_frames, n_ch), rate, n_ch
+
+
+#: Decoded-audio features appended by extract_audio_features.
+AUDIO_FEATURE_FIELDS = [
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("duration_s", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("peak", DoubleType()),
+]
+
+
+def extract_audio_features(
+    df: DataFrame,
+    blob_col: str = "media_bytes",
+    decoder: Callable[[bytes], "object"] | None = None,
+) -> DataFrame:
+    """Decode WAV blobs inside the Arrow kernel and append audio features:
+    sample rate, channel count, duration, RMS and peak amplitude (6dp,
+    float64 accumulate over all channels). Undecodable blobs yield NULL
+    features — same corrupt-media contract as the image kernel. One
+    mapInPandas pass, partition-preserving, scan-scaling."""
+    import math
+
+    dec = decoder or decode_wav
+    out_schema = StructType(list(df.schema.fields) + AUDIO_FEATURE_FIELDS)
+
+    def round6(x: float) -> float:
+        # HALF-AWAY-FROM-ZERO at 6dp (x >= 0 here), the rounding DuckDB's
+        # round() and Spark's F.round use — NOT Python's banker's round():
+        # PCM amplitudes are binary fractions (k/32768) that land EXACTLY
+        # on 6dp halves (e.g. 121/128 = 0.9453125), where the two rules
+        # genuinely diverge and break the value hash.
+        y = x * 1e6
+        f = math.floor(y)
+        return (f + 1 if y - f >= 0.5 else f) / 1e6
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, chans, durs, rmss, peaks = [], [], [], [], []
+            for blob in pdf[blob_col]:
+                try:
+                    samples, rate, n_ch = dec(bytes(blob))
+                except (ValueError, TypeError):
+                    rates.append(None)
+                    chans.append(None)
+                    durs.append(None)
+                    rmss.append(None)
+                    peaks.append(None)
+                    continue
+                rates.append(int(rate))
+                chans.append(int(n_ch))
+                durs.append(round6(samples.shape[0] / rate))
+                flat = samples.reshape(-1)
+                # DETERMINISTIC summation contract (cf. entropy above):
+                # squares vectorized in numpy, accumulated by builtin
+                # sum() — a sequential left fold, the same order DuckDB's
+                # list_avg uses — NOT numpy mean(), whose pairwise
+                # summation can drift a ulp across the 6dp boundary.
+                sq = (flat * flat).tolist()
+                rmss.append(round6(math.sqrt(sum(sq) / len(sq))) if sq else 0.0)
+                peaks.append(round6(float(abs(flat).max())) if flat.size else 0.0)
+            pdf["sample_rate"] = pd.array(rates, dtype="Int32")
+            pdf["n_channels"] = pd.array(chans, dtype="Int32")
+            pdf["duration_s"], pdf["rms"], pdf["peak"] = durs, rmss, peaks
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 #: Decoded-image features appended by extract_image_features.
 IMAGE_FEATURE_FIELDS = [
     StructField("img_width", IntegerType()),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     attach_fake_media,
+    extract_audio_features,
     extract_features,
     extract_image_features,
 )
@@ -281,6 +282,61 @@ FROM px
 """
 
 
+def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the Arrow kernel, fully oracle-paired:
+    each document becomes a minimal mono 16-bit 8 kHz PCM WAV whose 8
+    samples are the 16 md5(text) bytes little-endian, every 13th doc gets
+    a truncated header (corrupt-media NULL path), and
+    extract_audio_features decodes inside mapInPandas — rate/channels/
+    duration/RMS/peak. The RMS fold is sequential on both engines
+    (kernel: builtin sum; oracle: list_avg), so values hash-match
+    bit-exactly. One scan, one mapInPandas stage, no shuffle.
+    """
+    docs = t(spark, sf_dir, "documents")
+    # RIFF(52) WAVE fmt(16: PCM,mono,8kHz,16-bit) data(16)
+    header_hex = (
+        "52494646" "34000000" "57415645"               # RIFF 52 WAVE
+        "666d7420" "10000000" "0100" "0100"            # fmt 16 PCM mono
+        "401f0000" "803e0000" "0200" "1000"            # 8000Hz 16000Bps 2 16
+        "64617461" "10000000"                          # data 16
+    )
+    wav = F.concat(F.unhex(F.lit(header_hex)), F.unhex(F.md5("text")))
+    blob = F.when(F.col("doc_id") % 13 == 0, F.substring(wav, 1, 10)).otherwise(wav)
+    media = docs.select("doc_id", blob.alias("media_bytes"))
+    return extract_audio_features(media).select(
+        "doc_id", "sample_rate", "n_channels", "duration_s", "rms", "peak"
+    )
+
+
+# DuckDB twin: sample i = int16-LE from md5 hex bytes [2i, 2i+1], scaled
+# by 1/32768; RMS = sqrt(list_avg(squares)) — the same sequential fold the
+# kernel uses. Corrupt rows are the doc_id % 13 = 0 lattice on both sides.
+_AUDIO_DECODE_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx FROM documents),
+u AS (
+  SELECT doc_id,
+    list_transform(range(0, 8),
+      i -> CAST(('0x' || substr(hx, CAST(4 * i + 1 AS INTEGER), 2)) AS INTEGER)
+           + 256 * CAST(('0x' || substr(hx, CAST(4 * i + 3 AS INTEGER), 2)) AS INTEGER)) AS uv
+  FROM h),
+s AS (
+  SELECT doc_id,
+    list_transform(uv,
+      v -> CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS DOUBLE) / 32768.0) AS sv
+  FROM u)
+SELECT doc_id,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(8000 AS INTEGER) END AS sample_rate,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(1 AS INTEGER) END AS n_channels,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(0.001 AS DOUBLE) END AS duration_s,
+  CASE WHEN doc_id % 13 = 0 THEN NULL
+       ELSE round(sqrt(list_avg(list_transform(sv, x -> x * x))), 6) END AS rms,
+  CASE WHEN doc_id % 13 = 0 THEN NULL
+       ELSE round(list_max(list_transform(sv, x -> abs(x))), 6) END AS peak
+FROM s
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "weather_pipeline_e2e": Q(
         q_weather_pipeline_e2e, _PIPELINE_SQL, "§3 full pipeline composite"
@@ -290,5 +346,8 @@ ENTRIES: dict[str, Q] = {
     ),
     "image_decode_features": Q(
         q_image_decode_features, _IMAGE_DECODE_SQL, "real PPM decode in Arrow kernel"
+    ),
+    "audio_decode_features": Q(
+        q_audio_decode_features, _AUDIO_DECODE_SQL, "real WAV decode in Arrow kernel"
     ),
 }

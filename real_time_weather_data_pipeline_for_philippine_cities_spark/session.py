@@ -36,6 +36,22 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+# Per-query shuffle sizing is delegated to AQE: every shuffle STARTS at
+# 256 pre-coalesce partitions and AQE merges down to its advisory byte
+# size per exchange — tiny-lattice windows coalesce to a handful of tasks
+# while pair-join heavies keep real parallelism, with no hand-tuned
+# per-query partition counts (the 100 TB posture: initial = a few x total
+# cores, coalesce does the rest). Measured at sf1 (70 queries, 48g heap):
+# 108.2 s at the flat 32 -> 96.5 s at 256, sf0.1 neutral (52.6 vs 53.8 s);
+# the one consistent loser is ivf_cosine_topk's collect-anchored training
+# rounds (+2 s at sf1), dwarfed by the near_dup/simhash/ngram gains.
+# Override with $SPARK_GRAFT_INITIAL_PARTS (0/empty disables).
+_initial_parts = os.environ.get("SPARK_GRAFT_INITIAL_PARTS", "256")
+if _initial_parts and _initial_parts != "0":
+    _RUNTIME_CONFS[
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    ] = _initial_parts
+
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-provided session (idempotent)."""

@@ -81,7 +81,13 @@ def test_semi_join_stays_semi(spark, sf_dir):
 
 # Queries allowed to run Python at all — Arrow-batched only (pandas_udf /
 # mapInPandas). Row-at-a-time BatchEvalPython is banned everywhere.
-ARROW_PYTHON_OK = {"multimodal_features", "ivf_cosine_topk", "weather_pipeline_e2e"}
+ARROW_PYTHON_OK = {
+    "multimodal_features",
+    "image_decode_features",  # real PPM decode, mapInPandas kernel
+    "audio_decode_features",  # real WAV decode, mapInPandas kernel
+    "ivf_cosine_topk",
+    "weather_pipeline_e2e",
+}
 
 
 def test_no_row_at_a_time_python_udfs(spark, sf_dir):

@@ -317,6 +317,60 @@ def test_decode_rejects_compressed_and_corrupt():
         decode_image(b"")
 
 
+def _encode_wav_pcm16(samples_int16, rate=8000, channels=1) -> bytes:
+    """Minimal RIFF/WAVE PCM16 encoder for fixtures."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples_int16)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_wav_roundtrip():
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    samples, rate, n_ch = decode_wav(_encode_wav_pcm16([0, 16384, -32768, 32767]))
+    assert (rate, n_ch) == (8000, 1)
+    assert samples.shape == (4, 1)
+    assert [round(v, 6) for v in samples[:, 0]] == [0.0, 0.5, -1.0, 0.999969]
+    # stereo: interleaved frames split into channels
+    st, _, ch2 = decode_wav(_encode_wav_pcm16([1, 2, 3, 4], channels=2))
+    assert ch2 == 2 and st.shape == (2, 2)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AIFF")
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS compressed audio")
+
+
+def test_audio_feature_extraction_e2e(spark):
+    """WAV blobs through the Arrow kernel: rate/duration/RMS/peak for
+    decodable blobs, NULLs for corrupt ones."""
+    import math
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rows = [
+        (1, _encode_wav_pcm16([16384, -16384, 16384, -16384])),  # square wave
+        (2, b"not audio at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_bytes binary")
+    out = {r.doc_id: r for r in extract_audio_features(df).collect()}
+    r = out[1]
+    assert (r.sample_rate, r.n_channels) == (8000, 1)
+    assert r.duration_s == round(4 / 8000, 6)
+    assert r.rms == 0.5 and r.peak == 0.5
+    assert math.isnan(r.rms) is False
+    assert out[2].sample_rate is None and out[2].rms is None
+
+
 def test_resize_images_real(spark):
     """Real resize: decode -> nearest-neighbor resample -> P6 re-encode,
     all inside the Arrow kernel; corrupt blobs pass through untouched with
