@@ -392,6 +392,75 @@ def extract_image_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def split_ppm_frames(blob: bytes) -> list[bytes]:
+    """Split a 'video' blob — a back-to-back concatenation of P6 PPM
+    frames (the container-free uncompressed form; think y4m without the
+    wrapper) — into per-frame blobs. Raises ValueError on anything that
+    is not a clean whole-frame concatenation."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(blob):
+        sub = blob[pos:]
+        if sub[:2] != b"P6":
+            raise ValueError(f"frame {len(frames)}: not a P6 header")
+        toks, off = _ppm_header(sub, 4)
+        w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+        if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+            raise ValueError(f"frame {len(frames)}: bad geometry")
+        end = off + 1 + w * h * 3
+        if end > len(sub):
+            raise ValueError(f"frame {len(frames)}: truncated pixel data")
+        frames.append(sub[:end])
+        pos += end
+    if not frames:
+        raise ValueError("empty video blob")
+    return frames
+
+
+def sample_frames(
+    df: DataFrame,
+    every_k: int,
+    blob_col: str = "media_bytes",
+    splitter: Callable[[bytes], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame sampling for video columns (SURVEY.md §7.6 frame-sample):
+    explode every ``every_k``-th frame (0, k, 2k, ...) of each video blob
+    into its own row carrying ``frame_idx`` + ``frame_bytes``.
+
+    Corrupt videos contribute ZERO rows — at corpus scale a bad file must
+    not fail the stage, and downstream per-frame work simply never sees
+    it (corrupt accounting belongs to a scan-side quality query, not the
+    sampler). One mapInPandas pass; the fan-out is rows-per-row, still
+    partition-preserving — no shuffle. On 100 TB the sampled-frame volume
+    is output-bound (n_frames/k), which is the point of sampling before
+    any expensive per-frame featurization."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    split = splitter or split_ppm_frames
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("frame_idx", IntegerType()), StructField("frame_bytes", BinaryType())]
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                rec = dict(zip(names, row))
+                try:
+                    frames = split(bytes(rec[blob_col]))
+                except (ValueError, TypeError):
+                    continue
+                for idx in range(0, len(frames), every_k):
+                    out_rows.append({**rec, "frame_idx": idx, "frame_bytes": frames[idx]})
+            out = pd.DataFrame(out_rows, columns=names + ["frame_idx", "frame_bytes"])
+            out["frame_idx"] = out["frame_idx"].astype("Int32")
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def encode_ppm(img) -> bytes:
     """Encode an (H, W, 3) uint8 array as a binary P6 PPM blob."""
     h, w = img.shape[:2]

@@ -21,6 +21,7 @@ from ..operators.multimodal import (
     extract_audio_features,
     extract_features,
     extract_image_features,
+    sample_frames,
 )
 from .base import Q, t
 from .pipeline import run_pipeline
@@ -337,6 +338,72 @@ FROM s
 """
 
 
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over 'video' columns, fully oracle-paired: each
+    document becomes a 6-frame video (back-to-back 4x3 P6 frames, frame
+    ``i``'s 36 pixel bytes md5-derived from text + ':f{i}'), every 19th
+    doc is truncated mid-frame (corrupt videos contribute ZERO rows), and
+    ``sample_frames(every_k=2)`` keeps frames 0/2/4 — each sampled frame
+    then flows through the REAL image decoder for channel means.
+    DuckDB rebuilds the same frames from the same hex, so the exploded
+    (doc, frame) lattice and all features hash-match bit-exactly.
+
+    Scale shape: two chained mapInPandas stages (sample, then decode),
+    both partition-preserving — no shuffle anywhere; output volume is
+    n_frames/k of the input, the economics of sampling before featurize.
+    """
+    docs = t(spark, sf_dir, "documents")
+
+    def frame(i: int):
+        tag = F.concat(F.col("text"), F.lit(f":f{i}"))
+        px = F.substring(
+            F.unhex(
+                F.concat(
+                    F.md5(tag),
+                    F.md5(F.concat(tag, F.lit("a"))),
+                    F.md5(F.concat(tag, F.lit("b"))),
+                )
+            ),
+            1,
+            36,
+        )
+        return F.concat(F.encode(F.lit("P6\n4 3\n255\n"), "utf-8"), px)
+
+    video = F.concat(*[frame(i) for i in range(6)])
+    # truncate INSIDE frame 4: frames 0-3 parse, the tail fails -> the
+    # splitter rejects the whole blob (whole-file integrity contract)
+    video = F.when(
+        F.col("doc_id") % 19 == 0, F.substring(video, 1, 4 * 47 + 20)
+    ).otherwise(video)
+    media = docs.select("doc_id", video.alias("media_bytes"))
+    sampled = sample_frames(media, every_k=2).select(
+        "doc_id", "frame_idx", F.col("frame_bytes").alias("media_bytes")
+    )
+    return extract_image_features(sampled).select(
+        "doc_id", "frame_idx", "mean_r", "mean_g", "mean_b"
+    )
+
+
+# DuckDB twin: frames 0/2/4 per non-corrupt doc; frame i's hex is the
+# md5 triple of text||':fi'; channel means average the 12 stride-3 bytes.
+_VIDEO_SAMPLE_SQL = """
+WITH f AS (
+  SELECT doc_id, unnest([0, 2, 4]) AS frame_idx,
+         unnest(list_transform([0, 2, 4], i ->
+           md5(text || ':f' || i) || md5(text || ':f' || i || 'a')
+             || md5(text || ':f' || i || 'b'))) AS hx
+  FROM documents WHERE doc_id % 19 <> 0)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+  round(list_avg(list_transform(range(0, 12),
+    i -> CAST(('0x' || substr(hx, CAST(6 * i + 1 AS INTEGER), 2)) AS INTEGER))), 6) AS mean_r,
+  round(list_avg(list_transform(range(0, 12),
+    i -> CAST(('0x' || substr(hx, CAST(6 * i + 3 AS INTEGER), 2)) AS INTEGER))), 6) AS mean_g,
+  round(list_avg(list_transform(range(0, 12),
+    i -> CAST(('0x' || substr(hx, CAST(6 * i + 5 AS INTEGER), 2)) AS INTEGER))), 6) AS mean_b
+FROM f
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "weather_pipeline_e2e": Q(
         q_weather_pipeline_e2e, _PIPELINE_SQL, "§3 full pipeline composite"
@@ -349,5 +416,8 @@ ENTRIES: dict[str, Q] = {
     ),
     "audio_decode_features": Q(
         q_audio_decode_features, _AUDIO_DECODE_SQL, "real WAV decode in Arrow kernel"
+    ),
+    "video_frame_sample": Q(
+        q_video_frame_sample, _VIDEO_SAMPLE_SQL, "frame sampling + per-frame decode"
     ),
 }

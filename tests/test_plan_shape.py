@@ -85,6 +85,7 @@ ARROW_PYTHON_OK = {
     "multimodal_features",
     "image_decode_features",  # real PPM decode, mapInPandas kernel
     "audio_decode_features",  # real WAV decode, mapInPandas kernel
+    "video_frame_sample",  # frame sampler + per-frame decode, two mapInPandas stages
     "ivf_cosine_topk",
     "weather_pipeline_e2e",
 }

@@ -317,6 +317,37 @@ def test_decode_rejects_compressed_and_corrupt():
         decode_image(b"")
 
 
+def test_sample_frames_video(spark):
+    """Frame sampling: every_k-th frame of a concatenated-P6 video blob
+    explodes into its own row; corrupt videos contribute zero rows."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.multimodal import (
+        decode_image,
+        sample_frames,
+        split_ppm_frames,
+    )
+
+    frames = [
+        _encode_ppm_p6([[(f * 10 + c, 0, 0) for c in range(3)] for _ in range(2)])
+        for f in range(5)
+    ]
+    video = b"".join(frames)
+    assert split_ppm_frames(video) == frames
+    with pytest.raises(ValueError):
+        split_ppm_frames(video[:-5])  # truncated final frame
+    with pytest.raises(ValueError):
+        split_ppm_frames(b"")
+
+    rows = [(1, video), (2, video[: len(video) - 3]), (3, frames[0])]
+    df = spark.createDataFrame(rows, "doc_id long, media_bytes binary")
+    out = sample_frames(df, every_k=2).collect()
+    got = sorted((r.doc_id, r.frame_idx) for r in out)
+    assert got == [(1, 0), (1, 2), (1, 4), (3, 0)]  # doc 2 corrupt -> no rows
+    by = {(r.doc_id, r.frame_idx): bytes(r.frame_bytes) for r in out}
+    assert by[(1, 2)] == frames[2]
+    img = decode_image(by[(1, 4)])
+    assert int(img[0, 1, 0]) == 41  # frame 4, pixel col 1, red channel
+
+
 def _encode_wav_pcm16(samples_int16, rate=8000, channels=1) -> bytes:
     """Minimal RIFF/WAVE PCM16 encoder for fixtures."""
     import struct
