@@ -269,7 +269,11 @@ def ivf_train_centroids(
 
     vecs = (
         emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
-        .repartition(F.col(id_col))
+        # Pin the persisted training set to cluster parallelism: an
+        # unpinned repartition(col) inherits AQE's pre-coalesce width
+        # (256), and caching 256 tiny partitions taxes every Lloyd-round
+        # scan with per-task overhead (measured ~2x cold at sf1).
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .withColumn("nrm", norm_col("v"))
         .filter(F.col("nrm") > 0)
         .withColumn("u", F.expr("transform(v, (x, i) -> x / nrm)"))
