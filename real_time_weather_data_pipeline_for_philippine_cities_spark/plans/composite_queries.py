@@ -23,7 +23,7 @@ from ..operators.multimodal import (
     extract_image_features,
     sample_frames,
 )
-from .base import Q, t
+from .base import Q, spread, t
 from .pipeline import run_pipeline
 
 #: One fixed op order everywhere: (h / 2^28) * span - offset.
@@ -183,7 +183,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully oracle-paired: the byte features are md5-derived and
     fold-order-deterministic, so DuckDB reproduces them bit-exactly from
     the same utf-8 blobs (see _MULTIMODAL_SQL)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     media = attach_fake_media(docs)
     return extract_features(media).select(
         "doc_id", "media_type", "format", "n_bytes", "byte_entropy", "checksum"
@@ -239,7 +239,7 @@ def q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, one mapInPandas stage, no shuffle — the decode
     cost is the payload, exactly as it would be on a 100 TB media corpus.
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     hx = F.concat(
         F.md5("text"),
         F.md5(F.concat(F.col("text"), F.lit("a"))),
@@ -293,7 +293,7 @@ def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kernel: builtin sum; oracle: list_avg), so values hash-match
     bit-exactly. One scan, one mapInPandas stage, no shuffle.
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     # RIFF(52) WAVE fmt(16: PCM,mono,8kHz,16-bit) data(16)
     header_hex = (
         "52494646" "34000000" "57415645"               # RIFF 52 WAVE
@@ -352,7 +352,7 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     both partition-preserving — no shuffle anywhere; output volume is
     n_frames/k of the input, the economics of sampling before featurize.
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
 
     def frame(i: int):
         tag = F.concat(F.col("text"), F.lit(f":f{i}"))
