@@ -317,6 +317,44 @@ def test_decode_rejects_compressed_and_corrupt():
         decode_image(b"")
 
 
+def test_streaming_image_decode_e2e(spark, tmp_path):
+    """The REAL image decoder under Structured Streaming: binary-encoded
+    parquet blobs stream through extract_image_features (availableNow) —
+    decode runs inside the micro-batch Arrow kernel, corrupt blobs yield
+    NULL features, and the sink carries pixel-true channel means."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    src = str(tmp_path / "media_src")
+    rows = [
+        (1, _encode_ppm_p6(_PIXELS)),
+        (2, _encode_bmp_24(_PIXELS)),
+        (3, b"\x89PNG corrupt"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, media_bytes binary").write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, media_bytes binary").parquet(src)
+    feats = extract_image_features(stream)
+    sink, ckpt = str(tmp_path / "feat_sink"), str(tmp_path / "feat_ckpt")
+    q = (
+        feats.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = {r.doc_id: r for r in spark.read.parquet(sink).collect()}
+    for doc_id in (1, 2):
+        assert (out[doc_id].img_width, out[doc_id].img_height) == (3, 2)
+        assert (out[doc_id].mean_r, out[doc_id].mean_g, out[doc_id].mean_b) == (
+            62.5, 67.5, 72.5,
+        )
+    assert out[3].img_width is None and out[3].mean_r is None
+
+
 def test_sample_frames_video(spark):
     """Frame sampling: every_k-th frame of a concatenated-P6 video blob
     explodes into its own row; corrupt videos contribute zero rows."""
