@@ -390,6 +390,106 @@ FROM scored
 """
 
 
+# -- cross-document repeated substrings ------------------------------------
+#: Shingle width for substring-duplication detection: 8 consecutive words
+#: at EVERY word position (stride 1 in word space). Stride 1 is what makes
+#: the guarantee real: any run of >= 8 shared consecutive words contains an
+#: identical shingle in both documents regardless of where the run starts.
+#: A fixed-stride character grid (the tempting cheaper variant) silently
+#: misses cross-doc runs whose offsets differ by a non-multiple of the
+#: stride — alignment is content-defined, not grid-defined.
+SHINGLE_WORDS = 8
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring accounting — the shingle-hash
+    form of substring-level dedup ('dedup training data at the substring
+    level') done distributively: every document explodes into word-level
+    8-gram shingles at every position, shingles hash with md5, and a
+    shingle instance is SHARED when its hash occurs in >= 2 distinct
+    documents. Output per doc: shingle count, shared count, shared ratio
+    (4dp) — the per-doc duplication profile a curation pass thresholds on.
+
+    Scale shape: the explode is a x(words-7) row fan-out computed
+    map-side (no shuffle); distinct (hash, doc) pairs then one
+    map-combinable count per hash; the per-doc rollup joins shingles back
+    on the uniformly-distributed md5 key — the same keyed-equi-join form
+    as the decontamination and MinHash shingle pipelines. Hot stop-phrase
+    hashes skew the join, which AQE skew-join absorbs.
+    """
+    docs = spread(t(spark, sf_dir, "documents"))
+    # Explode the start index FIRST and hash row-wise: md5/concat_ws then
+    # run inside WholeStageCodegen. The tempting one-expression form —
+    # transform(sequence(...), i -> md5(...)) — evaluates the lambda body
+    # interpreted (HOF closures sit outside codegen) and measures ~4x
+    # slower for identical output. wins is consumed twice (hash counts +
+    # per-doc rollup); the re-run of this cheap map stage costs less than
+    # persisting a corpus-scale shingle stream would.
+    wins = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.lit(1), F.size("ts") - (SHINGLE_WORDS - 1))
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.expr(f"slice(ts, i, {SHINGLE_WORDS})"))).alias("h"),
+        )
+    )
+    hash_docs = (
+        wins.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+    )
+    return (
+        wins.join(hash_docs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_windows"), 4).alias("shared_ratio"),
+        )
+    )
+
+
+# DuckDB twin: 1-based inclusive list slice ts[s : s+7] == Spark
+# slice(toks, s, 8) (both clamp short tails; docs under 8 words produce
+# exactly one whole-doc shingle on each engine).
+_SUBSTR_DUP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(1, len(ts) - {SHINGLE_WORDS - 1}) + 1),
+           s -> md5(list_aggregate(
+                  ts[CAST(s AS INTEGER):CAST(s + {SHINGLE_WORDS - 1} AS INTEGER)],
+                  'string_agg', ' ')))) AS h
+  FROM tok),
+hash_docs AS (
+  SELECT h, count(*) AS nd
+  FROM (SELECT DISTINCT h, doc_id FROM wins) GROUP BY h)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS shared_ratio
+FROM wins w JOIN hash_docs hd USING (h)
+GROUP BY w.doc_id
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "inverted_index_stats": Q(
         q_inverted_index_stats, _INVERTED_INDEX_SQL, "posting-list stats per term"
@@ -408,5 +508,10 @@ ENTRIES: dict[str, Q] = {
     ),
     "quality_filter": Q(
         q_quality_filter, _QUALITY_FILTER_SQL, "keep/drop decision + reason bitmask"
+    ),
+    "substring_dup_spans": Q(
+        q_substring_dup_spans,
+        _SUBSTR_DUP_SQL,
+        "windowed rolling-hash substring-dup accounting",
     ),
 }

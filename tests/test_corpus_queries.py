@@ -24,6 +24,7 @@ from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.corpus_qu
     q_mixture_resample,
     q_pii_scan,
     q_quality_filter,
+    q_substring_dup_spans,
 )
 
 
@@ -188,3 +189,29 @@ def test_embedding_quantize_error_known_vector(spark, tmp_path):
     assert row["max_abs_err"] == pytest.approx(max(errs), abs=1e-6)
     assert row["sum_abs_err"] == pytest.approx(sum(errs), abs=1e-6)
     assert math.isfinite(row["sum_abs_err"])
+
+
+def test_substring_dup_spans_finds_planted_shared_run(spark, tmp_path):
+    """Docs 1 and 2 share an exact 10-word run at DIFFERENT offsets (3 vs
+    5 words in — the misalignment a fixed-stride grid would miss); doc 3
+    is unique. 10 shared words = 3 shared 8-gram shingles in each doc;
+    doc 4 is shorter than one shingle and must still produce one window."""
+    shared = "the quick brown fox jumps over the lazy sleeping dog"  # 10 words
+    assert len(shared.split()) == 10
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "intro text before " + shared + " and a unique tail here one"),
+            (2, "a very different opening clause " + shared + " other ending words"),
+            (3, "unique document with its own vocabulary nothing repeated across "
+                "documents at all more padding tokens to get enough windows"),
+            (4, "tiny doc"),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in q_substring_dup_spans(spark, sf).collect()}
+    assert got[1]["n_shared"] == 3 and got[2]["n_shared"] == 3
+    assert got[3]["n_shared"] == 0 and got[3]["shared_ratio"] == 0.0
+    assert got[4]["n_windows"] == 1 and got[4]["n_shared"] == 0
+    for r in got.values():
+        assert r["n_windows"] >= 1
+        assert 0.0 <= r["shared_ratio"] <= 1.0
