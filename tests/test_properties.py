@@ -95,3 +95,36 @@ def test_dense_ids_are_dense_and_deterministic(spark, rows):
     assert ids == list(range(1, len(ids) + 1))  # dense 1..N, no gaps
     again = dense_ids(df, [F.col("a").asc(), F.col("b").asc()], id_col="id")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+# -- media decoder total robustness ----------------------------------------
+# The corrupt-media contract every Arrow kernel relies on: a decoder either
+# returns a decoded object or raises ValueError — NEVER any other exception
+# (an IndexError/struct.error on adversarial bytes would fail a whole
+# corpus-scale stage instead of NULLing one row). Pure-Python property, no
+# Spark session involved.
+media_blob_st = st.one_of(
+    st.binary(max_size=300),
+    # bias toward magic-byte prefixes so the format-specific parsers run
+    st.binary(max_size=280).map(lambda b: b"P6" + b),
+    st.binary(max_size=280).map(lambda b: b"P3" + b),
+    st.binary(max_size=280).map(lambda b: b"BM" + b),
+    st.binary(max_size=280).map(lambda b: b"RIFF" + b),
+    st.binary(max_size=280).map(lambda b: b"RIFF\x00\x01\x00\x00WAVE" + b),
+)
+
+
+@given(blob=media_blob_st)
+@settings(max_examples=300, deadline=None)
+def test_media_decoders_raise_only_valueerror(blob):
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.multimodal import (
+        decode_image,
+        decode_wav,
+        split_ppm_frames,
+    )
+
+    for fn in (decode_image, decode_wav, split_ppm_frames):
+        try:
+            fn(blob)
+        except ValueError:
+            pass  # the one permitted failure mode
