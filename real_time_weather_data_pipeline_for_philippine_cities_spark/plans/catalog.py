@@ -47,8 +47,12 @@ _PLAN_CHANGED: list[str] = [
     # termination (operators/dedup.py) — re-prove under the new loop.
     "dedup_cluster_assign",
     # round 4: multimodal decode is now a real PPM/BMP decoder feeding the
-    # same Arrow kernel — re-prove feature extraction end-to-end.
+    # same Arrow kernel, and the documents scan is spread() before it —
+    # re-prove feature extraction end-to-end.
     "multimodal_features",
+    # round 4: IVF training-set repartition pinned to defaultParallelism
+    # (operators/similarity.py) — re-prove under the new cache layout.
+    "ivf_cosine_topk",
 ]
 
 
