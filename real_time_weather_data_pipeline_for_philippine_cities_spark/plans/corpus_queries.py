@@ -197,6 +197,46 @@ FROM documents
 """
 
 
+# -- URL / domain accounting ------------------------------------------------
+#: Dialect-intersection URL pattern (Java + RE2): non-capturing groups only
+#: — a capturing group would change what regexp_extract_all returns.
+URL_PATTERN = r"https?://[a-zA-Z0-9.-]+(?:/[^ ]*)?"
+_DOMAIN_PATTERN = r"https?://([a-zA-Z0-9.-]+)"
+
+
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document URL accounting — the web-corpus curation scan that
+    feeds domain blocklists and per-domain mixture caps: URL match count
+    and distinct lower-cased domain count, pure regexp/array expressions
+    (scan-scaling, like the PII scan). The synthetic corpus is URL-free,
+    so the catalog run proves the cross-engine regex/array contract on
+    the zero lattice; the planted-structure test proves detection and
+    domain normalization."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    urls = F.regexp_extract_all(F.col("text"), F.lit(URL_PATTERN), F.lit(0))
+    domains = F.array_distinct(
+        F.transform(
+            urls, lambda u: F.lower(F.regexp_extract(u, _DOMAIN_PATTERN, 1))
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(urls).cast("long").alias("n_urls"),
+        F.size(domains).cast("long").alias("n_domains"),
+    )
+
+
+_URL_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{URL_PATTERN}')) AS BIGINT) AS n_urls,
+       CAST(len(list_distinct(list_transform(
+              regexp_extract_all(text, '{URL_PATTERN}'),
+              u -> lower(regexp_extract(u, '{_DOMAIN_PATTERN}', 1)))))
+            AS BIGINT) AS n_domains
+FROM documents
+"""
+
+
 # -- int8 embedding quantization + reconstruction error --------------------
 def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of each embedding
@@ -513,5 +553,8 @@ ENTRIES: dict[str, Q] = {
         q_substring_dup_spans,
         _SUBSTR_DUP_SQL,
         "windowed rolling-hash substring-dup accounting",
+    ),
+    "url_domain_stats": Q(
+        q_url_domain_stats, _URL_SQL, "URL match + distinct-domain accounting"
     ),
 }

@@ -215,3 +215,25 @@ def test_substring_dup_spans_finds_planted_shared_run(spark, tmp_path):
     for r in got.values():
         assert r["n_windows"] >= 1
         assert 0.0 <= r["shared_ratio"] <= 1.0
+
+
+def test_url_domain_stats_planted_urls(spark, tmp_path):
+    """URL detection + domain normalization: mixed-case domains collapse
+    (lower-cased), repeated domains dedupe, path/bare forms both match."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.corpus_queries import (
+        q_url_domain_stats,
+    )
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "see https://Example.COM/a and http://example.com/b?q=1 plus "
+                "https://other.org trailing words"),
+            (2, "no links in this document at all"),
+            (3, "bare http://single.net end"),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in q_url_domain_stats(spark, sf).collect()}
+    assert got[1]["n_urls"] == 3 and got[1]["n_domains"] == 2  # example.com dedup
+    assert got[2] == {"doc_id": 2, "n_urls": 0, "n_domains": 0}
+    assert got[3]["n_urls"] == 1 and got[3]["n_domains"] == 1
