@@ -74,6 +74,66 @@ def test_dedup_stream_batch_twin_semantics(spark):
     assert sorted(r.text for r in out.collect()) == ["x", "y"]
 
 
+def test_streaming_neardup_across_and_within_epochs(spark, tmp_path):
+    """Streaming near-dup: epoch 1 ingests A and its within-epoch near-dup
+    A2; epoch 2 ingests A3 (near-dup of A, arriving later) and a unique
+    doc. Expected verified pairs: (A,A2) from the intra-batch join in
+    epoch 1, and (A,A3)+(A2,A3) from the store join in epoch 2 — the
+    unique doc matches nothing. Restart safety: epoch 2 runs as a SECOND
+    availableNow query on the same checkpoint."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.neardup import (
+        neardup_epoch_fn,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the old river "
+            "bank while birds sing in the tall green trees above")
+    a2 = base.replace("green", "golden")          # one token differs
+    a3 = base.replace("birds", "crickets")        # another near-dup of base
+    uniq = ("completely unrelated content about parquet metrics pipelines "
+            "and shuffle partitions in a distributed analytics engine")
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "e1.json").write_text(
+        '{"doc_id": 1, "text": "%s"}\n{"doc_id": 2, "text": "%s"}\n' % (base, a2)
+    )
+    schema = "doc_id long, text string"
+    store = str(tmp_path / "store")
+    matches = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    epoch_fn = neardup_epoch_fn(spark, store, matches, threshold=0.5)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .json(str(d))
+            .writeStream.foreachBatch(epoch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {
+        (r.doc_id_a, r.doc_id_b) for r in spark.read.parquet(matches).collect()
+    }
+    assert got1 == {(1, 2)}
+
+    (d / "e2.json").write_text(
+        '{"doc_id": 3, "text": "%s"}\n{"doc_id": 4, "text": "%s"}\n' % (a3, uniq)
+    )
+    run_once()
+    out = spark.read.parquet(matches).collect()
+    got2 = {(r.doc_id_a, r.doc_id_b) for r in out}
+    assert got2 == {(1, 2), (1, 3), (2, 3)}
+    assert all(r.jaccard >= 0.5 for r in out)
+    assert not any(4 in (r.doc_id_a, r.doc_id_b) for r in out)
+    # store holds every ingested doc's signature exactly once
+    sigs = spark.read.parquet(str(tmp_path / "store" / "sigs"))
+    assert sorted(r.doc_id for r in sigs.collect()) == [1, 2, 3, 4]
+
+
 def test_stream_and_batch_dedup_survivor_sets_agree(spark, tmp_path):
     """Lambda-shape pin (VERDICT r03 #8): a corpus pushed through the
     streaming path (availableNow, shared md5 content key) and through the
