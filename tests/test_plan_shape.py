@@ -48,6 +48,26 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "IsNotNull(value)" in plan
 
 
+def test_column_pruning_on_corpus_scans(spark, sf_dir):
+    """The round-4 curation queries read exactly (doc_id, text) from the
+    5-column documents table — lang/source/n_chars must stay pruned, and
+    the shingle hashing must be row-wise codegen, not an interpreted HOF
+    lambda (measured ~4x slower for identical output)."""
+    for name in ("substring_dup_spans", "url_domain_stats"):
+        plan = _plan(spark, sf_dir, name)
+        scan_lines = [l for l in plan.splitlines() if "FileScan" in l and "documents" in l]
+        assert scan_lines, f"{name}: no documents scan found"
+        read_schema = scan_lines[0].split("ReadSchema:")[-1]
+        assert "doc_id" in read_schema and "text" in read_schema, name
+        for col in ("lang", "source", "n_chars"):
+            assert col not in read_schema, f"{name}: {col} not pruned"
+    # row-wise hashing: md5 appears in a Project (codegen), not inside a
+    # transform(...) lambda
+    plan = _plan(spark, sf_dir, "substring_dup_spans")
+    assert "md5" in plan
+    assert "lambdafunction(md5" not in plan.replace(" ", "")
+
+
 def test_column_pruning_on_wide_fact(spark, sf_dir):
     plan = _plan(spark, sf_dir, "revenue_by_nation")
     # lineitem has 11 columns; the rollup needs exactly 4.
