@@ -49,6 +49,44 @@ def symmetric_difference(
     return anti(left, right, "left_only").unionByName(anti(right, left, "right_only"))
 
 
+def global_order_positions(
+    df: DataFrame,
+    key: Column,
+    tiebreak: str,
+    pos_col: str = "position",
+) -> DataFrame:
+    """Dense 1..N positions over a global key order — the CORPUS-SCALE
+    counterpart of :func:`dense_ids` (whose single global ``row_number``
+    is documented as dimension-only). Two phases, no global sort:
+
+      1. bucket rows by the key's leading two hex chars (256 buckets —
+         a prefix of the key itself, so bucket order IS key order) and
+         ``row_number`` WITHIN each bucket: one corpus shuffle, 256-way
+         parallel windows instead of one;
+      2. cumulative bucket counts over the 256-row lattice (trivially a
+         one-partition window — it is 256 rows at any corpus size)
+         broadcast back as offsets; position = offset + within-rank.
+
+    ``tiebreak`` (a unique column) appends to the order so equal keys
+    cannot produce engine-dependent ranks. This is the deterministic
+    training-order / epoch-shuffle primitive: key = md5(salt || id)
+    gives a reproducible pseudo-random permutation of the corpus.
+    """
+    keyed = df.withColumn("__k", key).withColumn("__b", F.substring("__k", 1, 2))
+    wb = Window.partitionBy("__b").orderBy("__k", tiebreak)
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off")
+    )
+    return (
+        keyed.withColumn("__r", F.row_number().over(wb))
+        .join(F.broadcast(offsets), "__b")
+        .withColumn(pos_col, (F.col("__off") + F.col("__r")).cast("long"))
+        .drop("__k", "__b", "__r", "__off")
+    )
+
+
 def dense_ids(
     df: DataFrame,
     order_by: Sequence[str | Column],

@@ -517,7 +517,41 @@ FROM starts
 """
 
 
+#: Salt for the training-order permutation: changing it is a new epoch.
+TRAIN_ORDER_SALT = "epoch1:"
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order assignment — the epoch-shuffle step a
+    data loader consumes: every doc gets a dense 1..N position in the
+    pseudo-random order md5(salt || doc_id), via the two-phase
+    ``global_order_positions`` operator (bucket-parallel windows + a
+    256-row offset lattice) instead of a single global row_number, so the
+    permutation is computable at corpus scale with ONE shuffle. Rerun- and
+    engine-reproducible: position is a pure function of (salt, doc_id).
+    """
+    from ..operators.relational import global_order_positions
+
+    docs = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(TRAIN_ORDER_SALT), F.col("doc_id").cast("string")))
+    return global_order_positions(
+        docs.select("doc_id"), key, "doc_id", "position"
+    ).select("doc_id", "position")
+
+
+_TRAIN_ORDER_SQL = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('{TRAIN_ORDER_SALT}' || CAST(doc_id AS VARCHAR)) ASC,
+                  doc_id ASC) AS BIGINT) AS position
+FROM documents
+"""
+
+
 ENTRIES: dict[str, Q] = {
+    "training_order": Q(
+        q_training_order, _TRAIN_ORDER_SQL, "scalable epoch-shuffle positions"
+    ),
     "dedup_exact": Q(q_dedup_exact, _DEDUP_EXACT_SQL, "hash-groupBy exact dedup"),
     "dedup_minhash_lsh": Q(
         q_dedup_minhash_lsh, D.minhash_near_dup_sql(), "minhash+LSH band join"

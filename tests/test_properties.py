@@ -128,3 +128,23 @@ def test_media_decoders_raise_only_valueerror(blob):
             fn(blob)
         except ValueError:
             pass  # the one permitted failure mode
+
+
+@given(rows=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True))
+@SETTINGS
+def test_global_order_positions_equals_single_window_rank(spark, rows):
+    """The two-phase bucket-parallel ranking must produce EXACTLY the
+    positions a single global row_number would — dense 1..N, ordered by
+    (key, tiebreak) — for any id set."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.relational import (
+        global_order_positions,
+    )
+
+    df = spark.createDataFrame([(i,) for i in rows], "doc_id long")
+    key = F.md5(F.col("doc_id").cast("string"))
+    out = global_order_positions(df, key, "doc_id").collect()
+    got = {r.doc_id: r.position for r in out}
+    expected_order = sorted(
+        rows, key=lambda i: (__import__("hashlib").md5(str(i).encode()).hexdigest(), i)
+    )
+    assert got == {i: p + 1 for p, i in enumerate(expected_order)}
