@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.rangejoin import point_in_interval_join
 from ..operators.timeseries import asof_join_backward, session_stats
 from .base import Q, t
 
@@ -277,6 +278,56 @@ FROM events GROUP BY user_id
 """
 
 
+# -- binned range join: in-transit inventory per calendar day ---------------
+# Transit window length is 2..14 days (2 * l_linenumber, l_linenumber in
+# 1..7); a 16-day bin keeps interval replication at <= 2 bins per row while
+# each bin still sees only ~2 weeks of shipments.
+TRANSIT_BIN_DAYS = 16
+
+
+def q_range_join_transit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key): order dates vs shipment transit
+    intervals ``[l_shipdate, l_shipdate + 2*l_linenumber days]``. Naive
+    Spark gives BroadcastNestedLoopJoin — O(|dates| x |lineitem|); the
+    operator's bin blocking turns it into a hash equi-join on the 16-day
+    bin, which is what survives both sides scaling (the oracle is DuckDB's
+    native IEJoin on the same predicate)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("ship"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"), (F.col("l_linenumber") * 2).cast("int")
+        ).alias("arrive"),
+        "l_quantity",
+    )
+    pts = (
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("day"))
+        .distinct()
+    )
+    joined = point_in_interval_join(
+        pts, li, point_col="day", start_col="ship", end_col="arrive",
+        bin_days=TRANSIT_BIN_DAYS,
+    )
+    return joined.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_in_transit"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_in_transit"),
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH iv AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship,
+         CAST(l_shipdate AS DATE) + 2*l_linenumber AS arrive,
+         l_quantity
+  FROM lineitem),
+pts AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
+SELECT day, count(*) AS n_in_transit,
+       sum(CAST(l_quantity AS BIGINT)) AS qty_in_transit
+FROM pts JOIN iv ON day BETWEEN ship AND arrive
+GROUP BY day
+"""
+
+
 # -- INTERSECT set op -------------------------------------------------------
 def q_active_buyer_keys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keys appearing on BOTH sides: users with purchase events ∩ customers
@@ -300,6 +351,9 @@ SELECT o_custkey AS key FROM orders
 
 ENTRIES: dict[str, Q] = {
     "asof_join": Q(q_asof_join, _ASOF_SQL, "backward as-of join, one shuffle"),
+    "range_join_transit": Q(
+        q_range_join_transit, _RANGE_JOIN_SQL, "binned point-in-interval range join"
+    ),
     "sessionize_events": Q(q_sessionize_events, _SESSIONIZE_SQL, "gap sessionization"),
     "rollup_revenue": Q(q_rollup_revenue, _ROLLUP_SQL, "rollup subtotals"),
     "percentiles_by_type": Q(q_percentiles_by_type, _PERCENTILES_SQL, "exact percentiles"),

@@ -87,6 +87,20 @@ def test_dimension_joins_are_broadcast(spark, sf_dir):
         assert "SortMergeJoin" not in plan, f"{name}: dim join degraded to SMJ"
 
 
+def test_range_join_is_bin_keyed_equi_join(spark, sf_dir):
+    """The pure-range predicate (day BETWEEN ship AND arrive) must join on
+    the exploded 16-day bin key — a hash join carrying the range as its
+    residual condition — never a nested-loop over the raw predicate. The
+    global no-BNLJ test would catch the fallback; this pins the intended
+    key so a refactor can't silently swap in some other join column."""
+    plan = _plan(spark, sf_dir, "range_join_transit")
+    join_lines = [
+        l for l in plan.splitlines() if "Join" in l and "__range_bin" in l
+    ]
+    assert join_lines, "no join keyed on __range_bin in plan"
+    assert any("HashJoin" in l or "SortMergeJoin" in l for l in join_lines)
+
+
 def test_pricing_summary_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pricing_summary")
     # Map-side combine before the shuffle: two HashAggregates, partial first.

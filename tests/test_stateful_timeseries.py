@@ -137,3 +137,68 @@ def test_native_session_window_agrees_with_lag_sessionize(spark, sf_dir):
     b = sorted((r.user_id, r.session_start, r.n_obs)
                for r in native.select("user_id", "session_start", "n_obs").collect())
     assert a == b
+
+
+# -- binned range join ------------------------------------------------------
+def _rj_fixture(spark):
+    import datetime as _dt
+
+    d = _dt.date
+    pts = spark.createDataFrame(
+        [(d(1995, 1, 1),), (d(1995, 1, 17),), (d(1969, 12, 25),), (d(1995, 3, 1),)],
+        "day date",
+    )
+    iv = spark.createDataFrame(
+        [
+            # spans a 16-day bin boundary (bins of 1995-01-01 and 1995-01-17 differ)
+            ("a", d(1994, 12, 30), d(1995, 1, 18)),
+            ("b", d(1995, 1, 17), d(1995, 1, 17)),  # single-day interval
+            ("c", d(1969, 12, 20), d(1969, 12, 31)),  # pre-epoch: floor-div bins
+            ("d", d(1995, 2, 1), d(1995, 2, 10)),  # matches nothing
+        ],
+        "iv_id string, start date, end date",
+    )
+    return pts, iv
+
+
+def test_point_in_interval_join_equals_brute_force(spark):
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    pts, iv = _rj_fixture(spark)
+    got = sorted(
+        (r.day, r.iv_id)
+        for r in point_in_interval_join(
+            pts, iv, point_col="day", start_col="start", end_col="end", bin_days=16
+        ).collect()
+    )
+    brute = sorted(
+        (r.day, r.iv_id)
+        for r in pts.crossJoin(iv)
+        .filter((F.col("day") >= F.col("start")) & (F.col("day") <= F.col("end")))
+        .collect()
+    )
+    assert got == brute
+    # boundary-spanning interval 'a' matched twice via DIFFERENT bins but
+    # each (point, interval) pair appears exactly once — no dedup needed
+    assert len(got) == len(set(got))
+    assert (dt.date(1995, 1, 1), "a") in got and (dt.date(1995, 1, 17), "a") in got
+    assert (dt.date(1969, 12, 25), "c") in got  # pre-epoch bins floor correctly
+    assert all(iv_id != "d" for _, iv_id in got)
+
+
+def test_point_in_interval_join_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    pts, iv = _rj_fixture(spark)
+    with _pytest.raises(ValueError, match="bin_days"):
+        point_in_interval_join(pts, iv, "day", "start", "end", bin_days=0)
+    with _pytest.raises(ValueError, match="ambiguous"):
+        point_in_interval_join(
+            pts.withColumnRenamed("day", "start"), iv, "start", "start", "end", 16
+        )
