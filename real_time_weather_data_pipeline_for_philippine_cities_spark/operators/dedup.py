@@ -290,6 +290,107 @@ WHERE ('0x' || substring(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 7))::BIG
 """
 
 
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 200,
+    salt: str = "wsys",
+    pick_col: str = "pick_no",
+) -> DataFrame:
+    """Deterministic sampling with probability proportional to an integer
+    weight (systematic / Madow sampling): order rows by a stable
+    pseudo-random key ``md5(salt || id)``, lay their weights end-to-end on
+    a line of total length W, and keep every row whose weight span crosses
+    one of ``k`` equally spaced thresholds — i.e. keep iff
+    ``floor(cum*k/W) > floor((cum-w)*k/W)`` in exact BIGINT arithmetic.
+    Token-budget subsampling for a training mixture: long documents are
+    proportionally more likely to be kept, the expected kept-token count is
+    W/k per pick, and reruns/repartitions cannot churn the sample (no RNG —
+    same contract as :func:`stratified_sample`).
+
+    Scale shape: the cumulative sum NEVER runs as one global window. Rows
+    bucket by the key's leading two hex chars (bucket order = key order,
+    same trick as ``global_order_positions``); within-bucket cumsums are
+    256-way parallel, and the per-bucket offsets AND the grand total W ride
+    a 256-row lattice broadcast back as an equi-join — one corpus shuffle
+    total, no 1-row cross join. Exactness bound: ``cum * k`` must fit
+    BIGINT, i.e. total-weight x k < 2^63 (a 1-PB-char corpus with k=1000
+    is ~1e18 — inside the bound; beyond that, chunk the corpus first).
+
+    Rows with weight <= 0 can never cross a threshold and are dropped
+    up front. Returns input columns + ``pick_col`` (1-based threshold
+    index; strictly increasing in key order).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    keyed = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__w", F.col(weight_col).cast("long"))
+        .withColumn(
+            "__k", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        )
+        .withColumn("__b", F.substring("__k", 1, 2))
+    )
+    wb = (
+        Window.partitionBy("__b")
+        .orderBy("__k", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sums = keyed.groupBy("__b").agg(F.sum("__w").alias("__c"))
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lattice = sums.select(
+        "__b",
+        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__c").over(wtot).alias("__tot"),
+    )
+    # within-bucket cumsum BEFORE the lattice join: lattice shares lineage
+    # with keyed (a self-join), so post-join references to keyed-only
+    # columns would be ambiguous
+    cumb = keyed.withColumn("__cumb", F.sum("__w").over(wb))
+    scored = (
+        cumb.join(F.broadcast(lattice), "__b")
+        .withColumn("__cum", F.col("__off") + F.col("__cumb"))
+        # integer floor-division keeps the threshold test exact where
+        # double division would lose ulps past 2^53
+        .withColumn("__hi", F.expr(f"(__cum * {k}) div __tot"))
+        .withColumn("__lo", F.expr(f"((__cum - __w) * {k}) div __tot"))
+    )
+    return (
+        scored.filter(F.col("__hi") > F.col("__lo"))
+        .withColumn(pick_col, F.col("__lo") + F.lit(1))
+        .drop("__w", "__k", "__b", "__cumb", "__off", "__tot", "__cum", "__hi", "__lo")
+    )
+
+
+def weighted_systematic_sample_sql(
+    table: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 200,
+    salt: str = "wsys",
+    pick_col: str = "pick_no",
+) -> str:
+    """DuckDB twin: the single-window form of the same arithmetic (the
+    oracle may afford a global window at sf0.01; the Spark side must not)."""
+    return f"""
+WITH keyed AS (
+  SELECT *, CAST({weight_col} AS BIGINT) AS w,
+         md5('{salt}' || CAST({id_col} AS VARCHAR)) AS k
+  FROM {table} WHERE {weight_col} > 0),
+cums AS (
+  SELECT *, sum(w) OVER (ORDER BY k, {id_col} ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER () AS tot
+  FROM keyed)
+SELECT * EXCLUDE (w, k, cum, tot),
+       ((cum - w) * {k}) // tot + 1 AS {pick_col}
+FROM cums WHERE (cum * {k}) // tot > ((cum - w) * {k}) // tot
+"""
+
+
 # --------------------------------------------------------------------------
 # cluster assignment: pairs → connected components → canonical survivor
 # --------------------------------------------------------------------------

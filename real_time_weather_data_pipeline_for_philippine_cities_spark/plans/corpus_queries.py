@@ -530,7 +530,36 @@ GROUP BY w.doc_id
 """
 
 
+# -- weighted systematic sampling: token-budget subsample -------------------
+SAMPLE_K = 150
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick ~150 documents with probability proportional to length
+    (n_chars) — the deterministic token-budget subsample. The operator's
+    bucket-lattice cumsum replaces the oracle's single global window, so
+    the Spark side holds at corpus scale; see
+    operators/dedup.py::weighted_systematic_sample."""
+    from ..operators.dedup import weighted_systematic_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return weighted_systematic_sample(docs, weight_col="n_chars", k=SAMPLE_K)
+
+
+def _weighted_sample_sql() -> str:
+    from ..operators.dedup import weighted_systematic_sample_sql
+
+    return weighted_systematic_sample_sql(
+        "(SELECT doc_id, lang, source, n_chars FROM documents)",
+        weight_col="n_chars",
+        k=SAMPLE_K,
+    )
+
+
 ENTRIES: dict[str, Q] = {
+    "weighted_doc_sample": Q(
+        q_weighted_sample, _weighted_sample_sql(), "length-weighted systematic sample"
+    ),
     "inverted_index_stats": Q(
         q_inverted_index_stats, _INVERTED_INDEX_SQL, "posting-list stats per term"
     ),

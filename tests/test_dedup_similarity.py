@@ -352,3 +352,46 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
         assert scores == sorted(scores, reverse=True)
         for r in rows:
             assert r.df >= 1 and r.tf >= 1
+
+
+# -- weighted systematic sampling -------------------------------------------
+def test_weighted_sample_deterministic_and_weight_proportional(spark):
+    """Invariants of the Madow systematic sampler: at most k picks with
+    distinct strictly-increasing pick numbers, repartition-stability (no
+    RNG), zero/negative weights never sampled, and a row holding >1/k of
+    the total weight is ALWAYS picked (it must cross a threshold)."""
+    rows = [(i, (i * 37) % 100 + 1) for i in range(1, 400)]
+    rows.append((1000, 200_000))  # dominant row: > 1/k of total weight
+    rows.append((1001, 0))        # zero weight: never picked
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    out = D.weighted_systematic_sample(df, "wt", id_col="doc_id", k=50)
+    got = {r.doc_id: r.pick_no for r in out.collect()}
+    assert len(got) <= 50
+    assert 1000 in got
+    assert 1001 not in got
+    picks = sorted(got.values())
+    assert len(picks) == len(set(picks))
+    assert all(1 <= p <= 50 for p in picks)
+
+    reparted = D.weighted_systematic_sample(
+        df.repartition(7), "wt", id_col="doc_id", k=50
+    )
+    assert {r.doc_id for r in reparted.collect()} == set(got)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be positive"):
+        D.weighted_systematic_sample(df, "wt", id_col="doc_id", k=0)
+
+
+def test_weighted_sample_expected_counts_track_weight_share(spark):
+    """Statistical contract: each stratum's pick share tracks its weight
+    share (systematic sampling error < 1 threshold interval per stratum
+    boundary; with interleaved strata the deviation stays small)."""
+    rows = [(i, 10 if i % 2 == 0 else 90) for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    out = D.weighted_systematic_sample(df, "wt", id_col="doc_id", k=100)
+    kept = [r.doc_id for r in out.collect()]
+    heavy = sum(1 for d in kept if d % 2 == 1)
+    # heavy rows hold 90% of the weight: expect ~90 of 100 picks
+    assert heavy >= 75, heavy
