@@ -530,6 +530,48 @@ GROUP BY w.doc_id
 """
 
 
+# -- curriculum binning: per-language length quartiles ----------------------
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document a 1..4 curriculum bin by its length quartile
+    WITHIN its language. The naive encoding — ``ntile(4) OVER (PARTITION BY
+    lang ORDER BY ...)`` — serializes each language's whole corpus through
+    one window task; instead the quartile boundaries are aggregated onto a
+    per-language lattice (rows = |langs|, map-combined percentile),
+    broadcast back, and the bin is a map-side comparison — scan-scaling at
+    any corpus size. Boundaries are rounded to 4dp on both engines so the
+    comparisons agree bitwise."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bounds = docs.groupBy("lang").agg(
+        F.expr(
+            "transform(percentile(n_chars, array(0.25, 0.5, 0.75)), x -> round(x, 4))"
+        ).alias("qs")
+    )
+    return docs.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("qs")[0]).cast("long")
+            + (F.col("n_chars") > F.col("qs")[1]).cast("long")
+            + (F.col("n_chars") > F.col("qs")[2]).cast("long")
+        ).alias("curriculum_bin"),
+    )
+
+
+_CURRICULUM_SQL = """
+WITH b AS (
+  SELECT lang, round(quantile_cont(n_chars, 0.25), 4) AS q1,
+         round(quantile_cont(n_chars, 0.5), 4) AS q2,
+         round(quantile_cont(n_chars, 0.75), 4) AS q3
+  FROM documents GROUP BY lang)
+SELECT doc_id, d.lang, n_chars,
+       1 + CAST(n_chars > q1 AS BIGINT) + CAST(n_chars > q2 AS BIGINT)
+         + CAST(n_chars > q3 AS BIGINT) AS curriculum_bin
+FROM documents d JOIN b USING (lang)
+"""
+
+
 # -- weighted systematic sampling: token-budget subsample -------------------
 SAMPLE_K = 150
 
@@ -557,6 +599,9 @@ def _weighted_sample_sql() -> str:
 
 
 ENTRIES: dict[str, Q] = {
+    "curriculum_bins": Q(
+        q_curriculum_bins, _CURRICULUM_SQL, "per-language length-quartile bins"
+    ),
     "weighted_doc_sample": Q(
         q_weighted_sample, _weighted_sample_sql(), "length-weighted systematic sample"
     ),
