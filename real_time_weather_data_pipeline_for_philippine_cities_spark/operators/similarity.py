@@ -384,7 +384,11 @@ def ivf_topk(
     cents = centroids or ivf_train_centroids(emb, n_centroids, n_iter, id_col, emb_col)
     base = (
         emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
-        .repartition(F.col(id_col))
+        # Pinned width, same rationale as the trainer: an unpinned
+        # repartition(col) inherits AQE's pre-coalesce width and the
+        # persisted assignment stage then pays per-task Arrow-UDF and
+        # cache-partition overhead on every one of its consumers.
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .withColumn("nrm", norm_col("v"))
         .filter(F.col("nrm") > 0)
         .withColumn("u", F.expr("transform(v, (x, i) -> x / nrm)"))
