@@ -530,6 +530,61 @@ GROUP BY w.doc_id
 """
 
 
+# -- vocabulary coverage / OOV rate -----------------------------------------
+VOCAB_SIZE = 100
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's top-V
+    words — the tokenizer-coverage metric a pretraining mixture tracks
+    (high OOV => the doc's token distribution diverges from the corpus).
+
+    Scale shape: the top-V cut is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition top-V merged on the driver —
+    V rows of driver state, NO global sort of the word-frequency table);
+    the vocab is then a bounded broadcast and the OOV accounting is one
+    map-combined groupBy per doc. Ties at the V-th slot break by word
+    ascending on both engines."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select("doc_id", F.explode(F.split(F.lower("text"), " +")).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )
+
+
+_VOCAB_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS w FROM documents),
+vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS cnt FROM words GROUP BY w
+                 ORDER BY cnt DESC, w ASC LIMIT {VOCAB_SIZE}))
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS oov_rate
+FROM words LEFT JOIN vocab v USING (w)
+GROUP BY doc_id
+"""
+
+
 # -- curriculum binning: per-language length quartiles ----------------------
 def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign each document a 1..4 curriculum bin by its length quartile
@@ -599,6 +654,9 @@ def _weighted_sample_sql() -> str:
 
 
 ENTRIES: dict[str, Q] = {
+    "vocab_coverage": Q(
+        q_vocab_coverage, _VOCAB_SQL, "top-V vocabulary coverage / OOV rate"
+    ),
     "curriculum_bins": Q(
         q_curriculum_bins, _CURRICULUM_SQL, "per-language length-quartile bins"
     ),

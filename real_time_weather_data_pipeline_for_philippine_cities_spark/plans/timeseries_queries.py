@@ -328,6 +328,34 @@ GROUP BY day
 """
 
 
+# -- z-order clustering key -------------------------------------------------
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton clustering key over (user_id, event day): the sort key whose
+    range-partitioned layout makes per-file min/max stats selective for
+    predicates on EITHER dimension (functions/zorder.py — Delta OPTIMIZE
+    ZORDER's primitive). Map-only projection; the layout write it feeds is
+    repartitionByRange(zkey) + sortWithinPartitions. The clustering win is
+    measured in tests/test_functions.py (per-chunk bounding-box area vs an
+    unclustered layout)."""
+    from ..functions.zorder import morton_key_col
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_date(F.to_date("ts")).cast("long").alias("day")
+    )
+    return ev.withColumn("zkey", morton_key_col("user_id", "day"))
+
+
+def _zorder_oracle() -> str:
+    from ..functions.zorder import morton_key_sql
+
+    return f"""
+SELECT event_id, user_id,
+       CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+       {morton_key_sql("user_id", "datediff('day', DATE '1970-01-01', CAST(ts AS DATE))")} AS zkey
+FROM events
+"""
+
+
 # -- INTERSECT set op -------------------------------------------------------
 def q_active_buyer_keys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keys appearing on BOTH sides: users with purchase events ∩ customers
@@ -354,6 +382,7 @@ ENTRIES: dict[str, Q] = {
     "range_join_transit": Q(
         q_range_join_transit, _RANGE_JOIN_SQL, "binned point-in-interval range join"
     ),
+    "zorder_key": Q(q_zorder_key, _zorder_oracle(), "Morton clustering key"),
     "sessionize_events": Q(q_sessionize_events, _SESSIONIZE_SQL, "gap sessionization"),
     "rollup_revenue": Q(q_rollup_revenue, _ROLLUP_SQL, "rollup subtotals"),
     "percentiles_by_type": Q(q_percentiles_by_type, _PERCENTILES_SQL, "exact percentiles"),

@@ -104,3 +104,64 @@ def test_match_empty_string_state_is_not_null(spark):
     assert "y" not in _match(spark, rows)
     rows = [("Naga", "Camarines Sur", "", 1, 2.5, 2.5)]
     assert _match(spark, rows)["Naga"] == (1, 2.5, 2.5)
+
+
+# -- z-order clustering key -------------------------------------------------
+def test_morton_key_matches_python_reference_and_is_monotone(spark):
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.zorder import (
+        morton_key_col,
+    )
+
+    def spread_py(x):
+        x &= 0x7FFFFFFF
+        for s, m in [
+            (16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]:
+            x = (x | (x << s)) & m
+        return x
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (2**31 - 1, 2**31 - 1),
+             (12345, 67890), (999999999, 123456789)]
+    df = spark.createDataFrame(cases, "a long, b long").withColumn(
+        "z", morton_key_col("a", "b")
+    )
+    for r in df.collect():
+        want = spread_py(r.a) | (spread_py(r.b) << 1)
+        assert r.z == want, (r.a, r.b)
+        assert r.z >= 0  # 31-bit dims keep the key positive
+    # monotone in each dimension holding the other fixed
+    assert spread_py(5) | (spread_py(9) << 1) < spread_py(6) | (spread_py(9) << 1)
+
+
+def test_zorder_layout_tightens_chunk_bounding_boxes(spark):
+    """The point of the key: split the z-sorted table into chunks ("files")
+    every chunk is bounded in BOTH dimensions — min/max stats can skip
+    chunks for predicates on either column. Row-major chunks span the full
+    y width (span 64), so y-predicates skip nothing; z-order chunks of a
+    64x64 grid are 16x16 squares."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.zorder import (
+        morton_key_col,
+    )
+
+    side = 64
+    grid = spark.createDataFrame(
+        [(i // side, i % side) for i in range(side * side)], "x long, y long"
+    ).withColumn("z", morton_key_col("x", "y"))
+    rows = grid.collect()
+    chunk = side * side // 16
+
+    def max_span(ordered, dim):
+        spans = []
+        for i in range(0, len(ordered), chunk):
+            c = ordered[i : i + chunk]
+            vals = [getattr(r, dim) for r in c]
+            spans.append(max(vals) - min(vals) + 1)
+        return max(spans)
+
+    rm = sorted(rows, key=lambda r: (r.x, r.y))
+    zm = sorted(rows, key=lambda r: r.z)
+    assert max_span(rm, "y") == side  # row-major never skips on y
+    assert max_span(zm, "y") <= side // 2  # z-order: every chunk y-bounded
+    assert max_span(zm, "x") <= side // 2  # ...and x-bounded
