@@ -328,6 +328,110 @@ GROUP BY day
 """
 
 
+# -- ordered funnel: view -> click -> purchase ------------------------------
+FUNNEL_WINDOW = "INTERVAL 24 HOUR"
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel per user with a 24 h conversion window per
+    step: earliest view, earliest click within 24 h AFTER that view,
+    earliest purchase within 24 h AFTER that click; stage = how deep the
+    user got. Three keyed groupBys + left joins, all shuffles on user_id
+    with map-combined mins — no window over the event stream, no per-user
+    event sorting, so the plan is the same at 100 TB (sequence
+    pattern-matching via per-stage conditional minima, not MATCH_RECOGNIZE
+    state machines)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr(FUNNEL_WINDOW))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr(FUNNEL_WINDOW))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("long")
+                + F.col("t_purchase").isNotNull().cast("long")
+            ).alias("funnel_stage"),
+        )
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(ts) AS t_click FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > t_view
+    AND ts <= t_view + {FUNNEL_WINDOW} GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(ts) AS t_purchase FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t_click
+    AND ts <= t_click + {FUNNEL_WINDOW} GROUP BY e.user_id)
+SELECT v.user_id, t_view, t_click, t_purchase,
+       1 + CAST(t_click IS NOT NULL AS BIGINT)
+         + CAST(t_purchase IS NOT NULL AS BIGINT) AS funnel_stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+# -- retention cohorts ------------------------------------------------------
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-active
+    day, counted on each later active day offset. Two keyed shuffles
+    (distinct user-days; first-day mins) + one join on user_id; the output
+    lattice is |days|² — bounded by the calendar, not the corpus."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("long"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+_RETENTION_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT cohort_day, CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+       count(*) AS n_active
+FROM days JOIN first USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
 # -- z-order clustering key -------------------------------------------------
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton clustering key over (user_id, event day): the sort key whose
@@ -383,6 +487,12 @@ ENTRIES: dict[str, Q] = {
         q_range_join_transit, _RANGE_JOIN_SQL, "binned point-in-interval range join"
     ),
     "zorder_key": Q(q_zorder_key, _zorder_oracle(), "Morton clustering key"),
+    "funnel_stages": Q(
+        q_funnel_stages, _FUNNEL_SQL, "ordered view->click->purchase funnel"
+    ),
+    "retention_cohorts": Q(
+        q_retention_cohorts, _RETENTION_SQL, "first-active cohort retention triangle"
+    ),
     "sessionize_events": Q(q_sessionize_events, _SESSIONIZE_SQL, "gap sessionization"),
     "rollup_revenue": Q(q_rollup_revenue, _ROLLUP_SQL, "rollup subtotals"),
     "percentiles_by_type": Q(q_percentiles_by_type, _PERCENTILES_SQL, "exact percentiles"),
