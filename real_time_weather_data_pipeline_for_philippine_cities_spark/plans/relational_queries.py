@@ -637,7 +637,81 @@ GROUP BY tier
 """
 
 
+# -- SCD2 merge plan: classify snapshot vs dim, emit close/insert actions ---
+def q_scd2_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) maintenance as a pure plan: diff
+    the incoming snapshot against the current dimension and emit the MERGE
+    action set — 'close' the old version of changed keys, 'insert' changed
+    and brand-new keys. The incoming snapshot is simulated deterministically
+    from `customer` (every 7th key gets a segment flip + balance bump, every
+    13th key is 'new'). One full-outer equi-join on the business key +
+    map-side comparison — the shape Delta/Iceberg MERGE compiles to, with
+    no row-by-row upsert loop (the reference's per-row insert loop,
+    wdf.py:300-330, is the anti-pattern this replaces)."""
+    cur = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    inc = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("RELOCATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.round(
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 7 == 0, F.lit(100.0)).otherwise(F.lit(0.0)),
+            2,
+        ).alias("acctbal"),
+    )
+    j = cur.alias("d").join(inc.alias("s"), "key", "full_outer")
+    changed = (
+        F.col("d.segment").isNotNull()
+        & F.col("s.segment").isNotNull()
+        & (
+            (F.col("d.segment") != F.col("s.segment"))
+            | (F.col("d.acctbal") != F.col("s.acctbal"))
+        )
+    )
+    new = F.col("d.segment").isNull()
+    actions = j.select(
+        "key",
+        F.coalesce(F.col("s.segment"), F.col("d.segment")).alias("segment"),
+        F.coalesce(F.col("s.acctbal"), F.col("d.acctbal")).alias("acctbal"),
+        F.when(changed, F.lit("close+insert"))
+        .when(new, F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+    return actions
+
+
+_SCD2_SQL = """
+WITH cur AS (
+  SELECT c_custkey AS key, c_mktsegment AS segment, c_acctbal AS acctbal
+  FROM customer WHERE c_custkey % 13 <> 0),
+inc AS (
+  SELECT c_custkey AS key,
+         CASE WHEN c_custkey % 7 = 0 THEN 'RELOCATED' ELSE c_mktsegment END AS segment,
+         round(c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END, 2)
+           AS acctbal
+  FROM customer)
+SELECT COALESCE(cur.key, inc.key) AS key,
+       COALESCE(inc.segment, cur.segment) AS segment,
+       COALESCE(inc.acctbal, cur.acctbal) AS acctbal,
+       CASE WHEN cur.segment IS NOT NULL AND inc.segment IS NOT NULL
+                 AND (cur.segment <> inc.segment OR cur.acctbal <> inc.acctbal)
+            THEN 'close+insert'
+            WHEN cur.segment IS NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM cur FULL OUTER JOIN inc ON cur.key = inc.key
+"""
+
+
 ENTRIES: dict[str, Q] = {
+    "scd2_merge_plan": Q(
+        q_scd2_merge_plan, _SCD2_SQL, "SCD2 snapshot-vs-dim MERGE action set"
+    ),
     "salted_skew_join_agg": Q(
         q_salted_priority_revenue, _SALTED_SQL, "salted hot-key shuffle join"
     ),
