@@ -148,3 +148,44 @@ def test_global_order_positions_equals_single_window_rank(spark, rows):
         rows, key=lambda i: (__import__("hashlib").md5(str(i).encode()).hexdigest(), i)
     )
     assert got == {i: p + 1 for p, i in enumerate(expected_order)}
+
+
+def test_scd2_actions_reconcile_dimension(spark):
+    """Applying the emitted MERGE actions to the current dim must
+    reproduce the incoming snapshot exactly: keep rows unchanged, close
+    the old version of close+insert keys, insert the new version and the
+    brand-new keys. Pins that the classification is complete and
+    non-overlapping — a miscategorized key breaks set equality."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import (
+        CATALOG,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.base import t
+
+    sf_dir = "/root/testdata/sf0.001"
+    actions = CATALOG["scd2_merge_plan"].fn(spark, sf_dir)
+    # reconstructed dim = keep rows + the new versions carried on
+    # insert / close+insert actions (the action row always carries the
+    # incoming attribute values for non-keep rows)
+    rebuilt = actions.filter(F.col("action").isin("keep", "insert", "close+insert")).select(
+        "key", "segment", "acctbal"
+    )
+    cust = t(spark, sf_dir, "customer")
+    incoming = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("RELOCATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.round(
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 7 == 0, F.lit(100.0)).otherwise(F.lit(0.0)),
+            2,
+        ).alias("acctbal"),
+    )
+    got = sorted(tuple(r) for r in rebuilt.collect())
+    want = sorted(tuple(r) for r in incoming.collect())
+    assert got == want
+    # every action class is present in the fixture
+    kinds = {r.action for r in actions.select("action").distinct().collect()}
+    assert kinds == {"keep", "insert", "close+insert"}
