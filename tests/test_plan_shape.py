@@ -101,6 +101,40 @@ def test_range_join_is_bin_keyed_equi_join(spark, sf_dir):
     assert any("HashJoin" in l or "SortMergeJoin" in l for l in join_lines)
 
 
+def test_vocab_topv_is_take_ordered_not_global_sort(spark, sf_dir):
+    """The top-V vocabulary cut must run as TakeOrderedAndProject
+    (per-partition top-V merged on the driver), never a full sort of the
+    word-frequency table."""
+    plan = _plan(spark, sf_dir, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_windows_are_bucket_partitioned(spark, sf_dir):
+    """The sampler's corpus cumsum must run as 256 bucket-parallel windows
+    (partitioned by __b) plus exactly one unpartitioned window over the
+    256-row offset lattice — never a single global window over the
+    corpus."""
+    plan = _plan(spark, sf_dir, "weighted_doc_sample")
+    assert "windowspecdefinition(__b" in plan
+    # two Window operators total: the bucketed cumsum + the tiny lattice
+    assert plan.count("Window [") == 2
+
+
+def test_scd2_is_one_full_outer_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scd2_merge_plan")
+    assert "FullOuter" in plan
+    assert plan.count("Join") >= 1
+
+
+def test_funnel_has_no_event_stream_window(spark, sf_dir):
+    """The funnel is conditional minima over keyed groupBys — a window
+    over the raw event stream (per-user sort) would be the non-scalable
+    encoding."""
+    plan = _plan(spark, sf_dir, "funnel_stages")
+    assert "Window [" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_pricing_summary_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pricing_summary")
     # Map-side combine before the shuffle: two HashAggregates, partial first.
