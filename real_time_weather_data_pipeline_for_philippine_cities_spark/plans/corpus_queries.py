@@ -530,6 +530,50 @@ GROUP BY w.doc_id
 """
 
 
+# -- training shard assignment ----------------------------------------------
+N_SHARDS = 8
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to one of N training shards and report the
+    per-shard balance: round-robin over the deterministic md5 permutation
+    (``global_order_positions`` — 256 bucket-parallel windows, no global
+    sort), so shards are near-balanced in BOTH doc count and token mass
+    without any bin-packing pass, stable under reruns/repartitioning, and
+    any engine with md5 reproduces the same assignment. The per-shard
+    aggregate is the balance report a shard-writer would log before
+    emitting N output files."""
+    from ..operators.relational import global_order_positions
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pos = global_order_positions(
+        docs,
+        key=F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))),
+        tiebreak="doc_id",
+        pos_col="pos",
+    )
+    return (
+        pos.withColumn("shard_id", (F.col("pos") - 1) % N_SHARDS)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("n_chars_total"),
+        )
+    )
+
+
+_SHARDS_SQL = f"""
+WITH p AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY md5('shard' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS pos
+  FROM documents)
+SELECT (pos - 1) % {N_SHARDS} AS shard_id, count(*) AS n_docs,
+       sum(CAST(n_chars AS BIGINT)) AS n_chars_total
+FROM p GROUP BY 1
+"""
+
+
 # -- vocabulary coverage / OOV rate -----------------------------------------
 VOCAB_SIZE = 100
 
@@ -654,6 +698,9 @@ def _weighted_sample_sql() -> str:
 
 
 ENTRIES: dict[str, Q] = {
+    "training_shards": Q(
+        q_training_shards, _SHARDS_SQL, "round-robin shard balance report"
+    ),
     "vocab_coverage": Q(
         q_vocab_coverage, _VOCAB_SQL, "top-V vocabulary coverage / OOV rate"
     ),
