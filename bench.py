@@ -116,6 +116,11 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+    if reps == 1:
+        # Cold first-touch timings: persist-heavy queries run 5-10x their
+        # min-of-N numbers (BASELINE.md round-4 findings) — flag it so a
+        # single-rep artifact is never compared against min-of-N rows.
+        result["note"] = "single-rep cold timings; not comparable to min-of-N rows"
     line = json.dumps(result)
     # Durable copy: survives any stdout truncation by the harness.
     (Path(__file__).resolve().parent / "BENCH.json").write_text(line + "\n")
