@@ -87,3 +87,63 @@ def test_fact_append_and_partitioned_read(spark, derby):
     assert back.rdd.getNumPartitions() == 4  # genuinely a parallel range scan
     assert back.count() == 110
     assert back.where("weather_id < 10").count() == 20  # appended twice
+
+
+def test_streaming_jdbc_append_exactly_once_on_replay(spark, derby, tmp_path):
+    """Lambda completeness: the streaming shell lands epochs in the RDBMS
+    through the same batched JDBC writer as the batch path, and a replayed
+    epoch (same epoch_id re-delivered after a simulated crash) is skipped
+    via the table's epoch high-water mark — no double inserts."""
+    import json
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.ingest import (
+        foreach_batch_jdbc,
+        run_available_now,
+        stream_observations,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sinks.jdbc import (
+        read_jdbc,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = StructType([
+        StructField("city", StringType()),
+        StructField("data_datetime", TimestampType()),
+        StructField("temp", DoubleType()),
+    ])
+    rows = [
+        {"city": "a", "data_datetime": "2024-12-01T00:00:00", "temp": 25.0},
+        {"city": "b", "data_datetime": "2024-12-01T01:00:00", "temp": 26.5},
+    ]
+    with open(landing / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    epoch_fn = foreach_batch_jdbc("obs_stream", derby, num_partitions=2)
+    stream = stream_observations(spark, str(landing), schema)
+    q = run_available_now(stream, epoch_fn, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = read_jdbc(spark, "obs_stream", derby).collect()
+    assert len(got) == 2
+    epoch0 = {r.epoch_id for r in got}
+    assert epoch0 == {0}
+
+    # simulated post-crash replay of the SAME epoch: must be a no-op
+    batch = spark.createDataFrame(
+        [("a", None, 25.0), ("b", None, 26.5)], schema
+    )
+    epoch_fn(batch, 0)
+    assert read_jdbc(spark, "obs_stream", derby).count() == 2
+
+    # a genuinely new epoch still lands
+    epoch_fn(batch, 1)
+    assert read_jdbc(spark, "obs_stream", derby).count() == 4
