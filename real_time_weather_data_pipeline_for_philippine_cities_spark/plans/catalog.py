@@ -27,6 +27,7 @@ for _mod_name in (
     "composite_queries",
     "timeseries_queries",
     "corpus_queries",
+    "curation_queries",
 ):
     from importlib import import_module
 

@@ -1,0 +1,514 @@
+"""Second wave of corpus-curation queries: segment-level duplication
+accounting, per-domain caps, unigram LM scoring, embedding-norm outlier
+detection, incremental (new-batch-vs-corpus) near-dup screening, and
+frequent-n-gram mining.
+
+These are the curation steps a C4/RefinedWeb-style pretraining pass runs
+AFTER document-level dedup: measure how much of each document is made of
+corpus-repeated spans, cap any single domain's contribution, score docs
+under a corpus unigram LM, flag embedding outliers before ANN indexing,
+screen an incoming crawl increment against the existing corpus, and mine
+the corpus's most frequent n-grams (boilerplate detection). Every query is
+pure Catalyst expressions with a DuckDB oracle twin.
+
+Cross-engine determinism (extends the plans/base.py policy):
+  * per-document and per-group sums are computed over INTEGER-QUANTIZED
+    values (``floor(x * 10^k)`` as BIGINT), so aggregation order cannot
+    drift the result — only the per-VALUE quantization touches floats,
+    and those are elementwise-identical doubles on both engines;
+  * the single transcendental (``ln`` in the unigram LM) is evaluated
+    once per DISTINCT TERM (vocabulary-sized, not corpus-sized) before
+    quantization, so the ulp-boundary risk surface is a few dozen values,
+    not millions (cf. the tfidf query, which avoids logs entirely).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import topk_per_group
+from ..operators.similarity import _fold_sum_duck, _fold_sum_spark, vec_double_col
+from .base import Q, spread, t
+
+#: Fixed word-window segment width for span-level duplication accounting.
+#: Non-overlapping (stride == width): the RefinedWeb/C4 "repeated span"
+#: bookkeeping unit. 10 tokens is small enough that near-dup documents
+#: share segments, large enough that chance collisions are negligible.
+SEG_TOKENS = 10
+
+#: Per-domain document cap (domain_cap_sample).
+DOMAIN_CAP = 10
+DOMAIN_CAP_SALT = "cap1:"
+
+#: Incremental-ingest split: doc_id % INC_MOD == 0 plays the "incoming
+#: batch"; the rest is the already-curated base corpus.
+INC_MOD = 5
+
+#: Heavy-hitter n-gram mining: n-gram width and result size.
+HH_N = 3
+HH_TOP = 25
+
+
+def _segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): md5 of each non-overlapping SEG_TOKENS-word window.
+
+    Entirely map-side (split + sequence + explode + slice inside codegen);
+    the trailing partial window is kept, mirroring the oracle.
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " +").alias("tk")
+    ).withColumn("n", F.size("tk"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(SEG_TOKENS))
+        ).alias("s"),
+        "tk",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice("tk", F.col("s") + 1, F.lit(SEG_TOKENS)), " ")
+        ).alias("h"),
+    )
+
+
+_SEGMENTS_SQL = f"""
+  SELECT doc_id,
+         md5(list_aggregate(list_slice(tk, s + 1, s + {SEG_TOKENS}),
+                            'string_agg', ' ')) AS h
+  FROM (SELECT doc_id, tk, unnest(generate_series(0, n - 1, {SEG_TOKENS})) AS s
+        FROM (SELECT doc_id, string_split_regex(lower(text), ' +') AS tk,
+                     len(string_split_regex(lower(text), ' +')) AS n
+              FROM documents))
+"""
+
+
+# -- segment-level duplication fraction ------------------------------------
+def q_segment_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of SEG_TOKENS-word segments that also occur
+    in at least one OTHER document — the span-level duplication signal
+    C4/RefinedWeb-style pipelines threshold on after document-level dedup
+    (a doc that survives near-dup screening can still be 60% boilerplate).
+
+    Shape: map-side segmenting, then three keyed map-combinable
+    aggregations (segment hash -> doc counts -> per-doc rollup) and one
+    hash-keyed join — no windows, no broadcast of anything corpus-sized.
+    100 TB: the segment-hash reduce key space is ~corpus_tokens/10, fully
+    hash-partitioned; hot boilerplate hashes are absorbed by partial
+    aggregation map-side. The dup fraction is a ratio of exact integer
+    counts, so both engines emit bit-identical doubles before rounding.
+    """
+    segs = _segments(spread(t(spark, sf_dir, "documents")))
+    per_dh = segs.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    per_h = per_dh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_dh.join(per_h, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_segments"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_segments"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "dup_segments",
+            F.round(
+                F.col("dup_segments").cast("double") / F.col("n_segments"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+_SEGMENT_DUP_SQL = f"""
+WITH segs AS ({_SEGMENTS_SQL}),
+per_dh AS (SELECT doc_id, h, count(*) AS c FROM segs GROUP BY doc_id, h),
+per_h AS (SELECT h, count(*) AS n_docs FROM per_dh GROUP BY h),
+roll AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_segments,
+         CAST(sum(CASE WHEN n_docs > 1 THEN c ELSE 0 END) AS BIGINT)
+           AS dup_segments
+  FROM per_dh JOIN per_h USING (h) GROUP BY doc_id)
+SELECT doc_id, n_segments, dup_segments,
+       round(CAST(dup_segments AS DOUBLE) / n_segments, 6) AS dup_fraction
+FROM roll
+"""
+
+
+# -- per-domain contribution cap -------------------------------------------
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most DOMAIN_CAP documents per source domain, chosen by the
+    deterministic pseudo-random order md5(salt || doc_id) — the anti-
+    monoculture cap web-corpus curation applies so no single domain
+    dominates the mixture. Rerun-stable and engine-reproducible: the kept
+    set is a pure function of (salt, doc_id), like stratified_sample.
+
+    Shape: one hash shuffle on source + a per-domain top-k window.
+    100 TB: a mega-domain makes a hot window partition; the fix at scale
+    is the same two-phase trick as ``global_order_positions`` (per-task
+    partial top-k then a final per-domain merge, which AQE's skew-join
+    splitting approximates); the semantic — smallest-k-by-hash — is
+    merge-compatible, so the operator parallelizes without semantic
+    change. This catalog entry keeps the direct window form.
+    """
+    docs = t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "source",
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(DOMAIN_CAP_SALT), F.col("doc_id").cast("string"))
+        ).alias("hk"),
+    )
+    kept = topk_per_group(
+        hashed,
+        ["source"],
+        [F.col("hk").asc(), F.col("doc_id").asc()],
+        DOMAIN_CAP,
+        rank_col="rk",
+    )
+    return kept.select("source", "doc_id", "rk")
+
+
+_DOMAIN_CAP_SQL = f"""
+WITH hashed AS (
+  SELECT source, doc_id,
+         md5('{DOMAIN_CAP_SALT}' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY hk ASC, doc_id ASC) AS INT) AS rk
+  FROM hashed)
+SELECT source, doc_id, rk FROM ranked WHERE rk <= {DOMAIN_CAP}
+"""
+
+
+# -- unigram LM log-probability score --------------------------------------
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average per-token log-probability of each document under the
+    corpus's own unigram LM — the classic cheap perplexity proxy used as
+    a quality filter (very low = gibberish/OCR noise, very high =
+    degenerate repetition of common tokens).
+
+    Two passes expressed as one plan: token counts per (doc, term), global
+    term counts, and the corpus total N flowing through as a 1-row
+    broadcast aggregate (same in-flow pattern as tfidf — no driver-side
+    count, one job). ln(c/N) is evaluated per DISTINCT term (vocabulary-
+    sized) and immediately quantized to integer micro-nats
+    (``floor(ln(p) * 1e6)``); the per-doc score is then an exact BIGINT
+    dot product, so summation order cannot drift the result across
+    engines. 100 TB: explode -> two map-combinable groupBys + one
+    term-keyed join; the term dimension is vocabulary-sized, but it is
+    NOT hint-broadcast — AQE picks the strategy from measured size.
+    """
+    docs = spread(t(spark, sf_dir, "documents"))
+    n_total = docs.select(
+        F.explode(F.split(F.lower("text"), " +")).alias("term")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " +")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    lp = cnt.join(F.broadcast(n_total)).select(
+        "term",
+        F.floor(F.log(F.col("c").cast("double") / F.col("n_total")) * 1e6)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        tf.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp_micro")).alias("score_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("score_micro").cast("double") / 1e6 / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_UNIGRAM_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM terms),
+lp AS (
+  SELECT term,
+         CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT n_total FROM n)) * 1e6)
+              AS BIGINT) AS lp_micro
+  FROM cnt),
+roll AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf * lp_micro) AS BIGINT) AS score_micro
+  FROM tf JOIN lp USING (term) GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(CAST(score_micro AS DOUBLE) / 1e6 / n_tokens, 6) AS avg_logprob
+FROM roll
+"""
+
+
+# -- embedding-norm outlier report -----------------------------------------
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics with a 2-sigma outlier count — the
+    sanity pass run on an embedding table before ANN indexing (zero/huge
+    norms break cosine geometry; a label whose norms spread wildly usually
+    means a broken encoder batch).
+
+    Norms come from the shared deterministic sequential fold, then are
+    integer-quantized (micro for the mean, milli for the second moment) so
+    every aggregate is an exact BIGINT sum: mean, std, and the 2-sigma
+    threshold are bit-identical doubles on both engines, making the
+    outlier COUNT itself deterministic — no float-boundary flakiness.
+    Shape: scan -> map-combinable groupBy (label cardinality is bounded),
+    a label-keyed join of the tiny stats row back onto the scan, and a
+    second bounded groupBy. 100 TB: two corpus passes over a cached
+    scan-scaling plan; the stats side is label-sized, joined without a
+    hint (AQE will broadcast it).
+    """
+    emb = spread(t(spark, sf_dir, "embeddings"), key="vec_id")
+    norm = F.expr(
+        f"sqrt({_fold_sum_spark('transform(v, x -> x * x)')})"
+    )
+    scaled = emb.select(
+        "vec_id", "label", vec_double_col("embedding").alias("v")
+    ).select(
+        "vec_id",
+        "label",
+        F.floor(norm * 1e6).cast("long").alias("nu"),
+        F.floor(norm * 1e3).cast("long").alias("nm"),
+    )
+    stats = (
+        scaled.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nu").alias("su"),
+            F.sum(F.col("nm") * F.col("nm")).alias("sq"),
+        )
+        .select(
+            "label",
+            "n",
+            (F.col("su").cast("double") / 1e6 / F.col("n")).alias("mean"),
+            F.sqrt(
+                F.greatest(
+                    F.col("sq").cast("double") / 1e6 / F.col("n")
+                    - (F.col("su").cast("double") / 1e6 / F.col("n"))
+                    * (F.col("su").cast("double") / 1e6 / F.col("n")),
+                    F.lit(0.0),
+                )
+            ).alias("std"),
+        )
+    )
+    outl = (
+        scaled.join(stats, "label")
+        .filter(
+            F.abs(F.col("nm") / 1e3 - F.col("mean")) > 2 * F.col("std")
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(outl, "label", "left")
+        .select(
+            "label",
+            "n",
+            F.round("mean", 6).alias("avg_norm"),
+            F.round("std", 6).alias("std_norm"),
+            F.coalesce("n_outliers", F.lit(0).cast("long")).alias("n_outliers"),
+        )
+    )
+
+
+_NORM_OUTLIER_SQL = f"""
+WITH s AS (
+  SELECT vec_id, label,
+         CAST(floor(sqrt({_fold_sum_duck("list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)")}) * 1e6) AS BIGINT) AS nu,
+         CAST(floor(sqrt({_fold_sum_duck("list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)")}) * 1e3) AS BIGINT) AS nm
+  FROM embeddings),
+st AS (
+  SELECT label, count(*) AS n,
+         CAST(sum(nu) AS DOUBLE) AS su, CAST(sum(nm * nm) AS DOUBLE) AS sq
+  FROM s GROUP BY label),
+st2 AS (
+  SELECT label, n, su / 1e6 / n AS mean,
+         sqrt(greatest(sq / 1e6 / n - (su / 1e6 / n) * (su / 1e6 / n), 0.0))
+           AS std
+  FROM st),
+o AS (
+  SELECT s.label, count(*) AS n_outliers
+  FROM s JOIN st2 USING (label)
+  WHERE abs(nm / 1e3 - mean) > 2 * std
+  GROUP BY s.label)
+SELECT label, n, round(mean, 6) AS avg_norm, round(std, 6) AS std_norm,
+       CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers
+FROM st2 LEFT JOIN o USING (label)
+"""
+
+
+# -- incremental near-dup screening ----------------------------------------
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen an incoming document batch against the EXISTING corpus by
+    shared SEG_TOKENS-word segments — the incremental-ingest form of
+    near-dup detection (a fresh crawl epoch is checked against the curated
+    corpus, not against itself). Incoming = doc_id % INC_MOD == 0; base =
+    the rest. Per incoming doc: segment count, how many of its segments
+    already occur in the base, the overlap fraction, and the smallest
+    matching base doc_id (NULL = genuinely novel).
+
+    Shape: one map-side segmenting pass, the base side reduced to one row
+    per distinct segment hash (min doc_id — map-combinable), then a
+    hash-keyed LEFT join and a per-doc rollup. 100 TB: this is the shape
+    that beats re-running all-pairs dedup on every ingest — the base
+    segment index is corpus-sized but REUSABLE (in production it would be
+    a bucketed table keyed on h, making the join shuffle-free on the base
+    side); the incoming side is batch-sized. No broadcast hints: AQE
+    broadcasts the incoming side when it is small enough, which is
+    exactly the right direction at scale.
+    """
+    segs = _segments(spread(t(spark, sf_dir, "documents")))
+    base = (
+        segs.filter(F.col("doc_id") % INC_MOD != 0)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("base_doc"))
+    )
+    inc = (
+        segs.filter(F.col("doc_id") % INC_MOD == 0)
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inc.join(base, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_segments"),
+            F.sum(
+                F.when(F.col("base_doc").isNotNull(), F.col("c")).otherwise(0)
+            ).alias("n_overlap"),
+            F.min("base_doc").alias("first_base_doc"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_segments"), 6
+            ).alias("overlap_fraction"),
+            "first_base_doc",
+        )
+    )
+
+
+_INCREMENTAL_SQL = f"""
+WITH segs AS ({_SEGMENTS_SQL}),
+base AS (
+  SELECT h, min(doc_id) AS base_doc FROM segs
+  WHERE doc_id % {INC_MOD} <> 0 GROUP BY h),
+inc AS (
+  SELECT doc_id, h, count(*) AS c FROM segs
+  WHERE doc_id % {INC_MOD} = 0 GROUP BY doc_id, h),
+roll AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_segments,
+         CAST(sum(CASE WHEN base_doc IS NOT NULL THEN c ELSE 0 END) AS BIGINT)
+           AS n_overlap,
+         min(base_doc) AS first_base_doc
+  FROM inc LEFT JOIN base USING (h) GROUP BY doc_id)
+SELECT doc_id, n_segments, n_overlap,
+       round(CAST(n_overlap AS DOUBLE) / n_segments, 6) AS overlap_fraction,
+       first_base_doc
+FROM roll
+"""
+
+
+# -- heavy-hitter n-grams --------------------------------------------------
+def q_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top HH_TOP most frequent word HH_N-grams across the corpus — the
+    boilerplate/template detector (cookie banners, nav bars, license
+    headers surface here long before any per-document signal fires).
+
+    Shape: map-side n-gram explode -> one map-combinable count -> global
+    top-k via TakeOrderedAndProject (count desc, ngram asc — a total
+    order, so the cut is deterministic); no full sort materializes.
+    100 TB: identical — frequent n-grams are exactly the keys partial
+    aggregation compresses best, and top-k merges per-partition heaps on
+    the driver with k-bounded memory.
+    """
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.split(F.lower("text"), " +").alias("tk")
+    ).withColumn("n", F.size("tk"))
+    grams = toks.filter(F.col("n") >= HH_N).select(
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - HH_N, F.lit(1))
+        ).alias("i"),
+        "tk",
+    ).select(
+        F.array_join(F.slice("tk", F.col("i") + 1, F.lit(HH_N)), " ").alias(
+            "ngram"
+        )
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("ngram").asc())
+        .limit(HH_TOP)
+    )
+
+
+_HEAVY_HITTER_SQL = f"""
+WITH toks AS (
+  SELECT string_split_regex(lower(text), ' +') AS tk,
+         len(string_split_regex(lower(text), ' +')) AS n
+  FROM documents),
+grams AS (
+  SELECT list_aggregate(list_slice(tk, i + 1, i + {HH_N}), 'string_agg', ' ')
+           AS ngram
+  FROM (SELECT tk, unnest(generate_series(0, n - {HH_N}, 1)) AS i
+        FROM toks WHERE n >= {HH_N}))
+SELECT ngram, count(*) AS c FROM grams
+GROUP BY ngram ORDER BY c DESC, ngram ASC LIMIT {HH_TOP}
+"""
+
+
+ENTRIES: dict[str, Q] = {
+    "segment_dup_fraction": Q(
+        q_segment_dup_fraction,
+        _SEGMENT_DUP_SQL,
+        "per-doc fraction of corpus-repeated 10-token segments",
+    ),
+    "domain_cap_sample": Q(
+        q_domain_cap_sample,
+        _DOMAIN_CAP_SQL,
+        "deterministic per-domain document cap",
+    ),
+    "unigram_logprob": Q(
+        q_unigram_logprob,
+        _UNIGRAM_SQL,
+        "avg per-token log-prob under the corpus unigram LM",
+    ),
+    "embedding_norm_outliers": Q(
+        q_embedding_norm_outliers,
+        _NORM_OUTLIER_SQL,
+        "per-label norm stats + deterministic 2-sigma outlier count",
+    ),
+    "incremental_near_dup": Q(
+        q_incremental_near_dup,
+        _INCREMENTAL_SQL,
+        "incoming batch screened against base corpus by shared segments",
+    ),
+    "heavy_hitter_ngrams": Q(
+        q_heavy_hitter_ngrams,
+        _HEAVY_HITTER_SQL,
+        "top-25 corpus 3-grams (boilerplate mining)",
+    ),
+}

@@ -21,6 +21,8 @@ NON_EQUI_OK = {
     "near_dup_embeddings",
     "fuzzy_name_match",
     "tfidf_top_terms",
+    # 1-row broadcast scalar (in-flow corpus token count), same as tfidf.
+    "unigram_logprob",
 }
 
 
