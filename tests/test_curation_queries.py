@@ -1,0 +1,151 @@
+"""Planted-structure tests for the second-wave curation queries
+(plans/curation_queries.py).
+
+The synthetic corpus proves cross-engine determinism; these tests plant
+the structure each query claims to detect — a shared segment-aligned
+block, an over-cap domain, a known-entropy token distribution, a
+norm outlier, base/incoming segment overlap, a repeated trigram — in tiny
+parquet corpora and assert the query sees exactly it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+    DOMAIN_CAP,
+    SEG_TOKENS,
+    q_domain_cap_sample,
+    q_embedding_norm_outliers,
+    q_heavy_hitter_ngrams,
+    q_incremental_near_dup,
+    q_segment_dup_fraction,
+    q_unigram_logprob,
+)
+
+
+def _write_docs(path, rows):
+    """rows: list of (doc_id, text, source). Schema mirrors documents."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(
+                    [r[2] if len(r) > 2 else "test" for r in rows], pa.string()
+                ),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    return str(path)
+
+
+def _block(word: str) -> str:
+    """One exactly-segment-aligned block of SEG_TOKENS copies of a word."""
+    return " ".join([word] * SEG_TOKENS)
+
+
+def test_segment_dup_fraction_planted_shared_block(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, _block("aa") + " " + _block("bb")),  # shares aa-block with 1
+            (1, _block("aa") + " " + _block("cc")),
+            (2, _block("dd") + " " + _block("ee")),  # fully unique
+        ],
+    )
+    got = {
+        r["doc_id"]: r for r in q_segment_dup_fraction(spark, sf).collect()
+    }
+    assert got[0]["n_segments"] == 2 and got[0]["dup_segments"] == 1
+    assert got[0]["dup_fraction"] == 0.5
+    assert got[1]["dup_segments"] == 1
+    assert got[2]["dup_segments"] == 0 and got[2]["dup_fraction"] == 0.0
+
+
+def test_domain_cap_caps_only_over_cap_domains(spark, tmp_path):
+    big = [(i, f"doc number {i}", "big.example") for i in range(DOMAIN_CAP + 5)]
+    small = [(100 + i, f"other {i}", "small.example") for i in range(3)]
+    sf = _write_docs(tmp_path, big + small)
+    rows = q_domain_cap_sample(spark, sf).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(per["big.example"]) == DOMAIN_CAP
+    assert sorted(per["small.example"]) == [100, 101, 102]
+    # deterministic: a second run keeps the identical set
+    again = {
+        r["doc_id"] for r in q_domain_cap_sample(spark, sf).collect()
+    }
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_unigram_logprob_known_entropies(spark, tmp_path):
+    # doc 0: single-token corpus slice -> but probs are CORPUS-wide, so
+    # build a corpus of exactly two tokens, each with p = 1/2: every doc's
+    # avg log-prob is floor(ln(0.5)*1e6)/1e6 exactly.
+    sf = _write_docs(tmp_path, [(0, "aa bb aa bb"), (1, "bb aa bb aa")])
+    expected = math.floor(math.log(0.5) * 1e6) / 1e6
+    for r in q_unigram_logprob(spark, sf).collect():
+        assert r["n_tokens"] == 4
+        assert r["avg_logprob"] == round(expected, 6)
+
+
+def test_unigram_logprob_uniform_token_is_zero(spark, tmp_path):
+    sf = _write_docs(tmp_path, [(0, "aa aa aa"), (1, "aa aa")])
+    for r in q_unigram_logprob(spark, sf).collect():
+        assert r["avg_logprob"] == 0.0  # ln(1) == 0 exactly, no quantization
+
+
+def test_embedding_norm_outliers_flags_planted_outlier(spark, tmp_path):
+    vecs = [[1.0, 0.0, 0.0, 0.0]] * 9 + [[100.0, 0.0, 0.0, 0.0]]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(10), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([7] * 10, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = q_embedding_norm_outliers(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["label"] == 7 and r["n"] == 10
+    assert r["n_outliers"] == 1  # the norm-100 vector; the nine 1-norms stay
+    assert abs(r["avg_norm"] - 10.9) < 1e-5
+
+
+def test_incremental_near_dup_planted_overlap(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, _block("aa") + " " + _block("bb")),  # base
+            (5, _block("aa") + " " + _block("dd")),  # incoming, 1/2 overlap
+            (10, _block("xx") + " " + _block("yy")),  # incoming, novel
+        ],
+    )
+    got = {r["doc_id"]: r for r in q_incremental_near_dup(spark, sf).collect()}
+    assert set(got) == {5, 10}  # only the incoming batch is reported
+    assert got[5]["n_overlap"] == 1 and got[5]["overlap_fraction"] == 0.5
+    assert got[5]["first_base_doc"] == 1
+    assert got[10]["n_overlap"] == 0 and got[10]["first_base_doc"] is None
+
+
+def test_heavy_hitter_ngrams_finds_planted_boilerplate(spark, tmp_path):
+    boiler = "all rights reserved"
+    sf = _write_docs(
+        tmp_path,
+        [(i, f"unique{i} words here {boiler}") for i in range(6)]
+        + [(99, "no repeated trigrams in this one either")],
+    )
+    rows = q_heavy_hitter_ngrams(spark, sf).collect()
+    top = rows[0]
+    assert top["ngram"] == boiler and top["c"] == 6
