@@ -278,6 +278,64 @@ FROM events GROUP BY user_id
 """
 
 
+#: EWMA decay: 1/4 is exactly representable in binary, so every fold step
+#: is an exact IEEE double op — identical on both engines in sequence.
+EWMA_ALPHA = 0.25
+
+
+def q_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of ``value`` per user, folded
+    in strict event-time order (ts, event_id) and reported at the last
+    event — the classic online smoothing/monitoring statistic
+    (``ewma_i = α·v_i + (1-α)·ewma_{i-1}``, seeded from the first value).
+
+    EWMA is inherently sequential, so the declarative encoding is a
+    per-key ordered fold: ``array_sort(collect_list(struct))`` fixes the
+    order inside the aggregate, then ``aggregate(...)`` runs the
+    recurrence as a deterministic left fold — the same contract DuckDB's
+    ``list(value ORDER BY ...)`` + ``list_reduce`` expresses, so both
+    engines walk identical doubles in identical order. One shuffle on
+    user_id; per-task memory is bounded by the largest single key's
+    history (the per-key state bound every sequential-stat operator has —
+    the streaming twin is ``streaming/stateful.py::running_totals``,
+    which carries the same recurrence as incremental state instead of a
+    collected array). 100 TB: for unbounded histories you'd window the
+    fold per epoch and chain epoch-final states — the recurrence is
+    associative over segment compositions ``(scale, offset)`` — but the
+    catalog entry keeps the direct form.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    a, b = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    per = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+            " x -> x.value)"
+        ).alias("seq")
+    )
+    return per.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.round(
+            F.expr(
+                f"aggregate(seq, CAST(NULL AS DOUBLE), (acc, x) -> "
+                f"CASE WHEN acc IS NULL THEN x ELSE {a} * x + {b} * acc END)"
+            ),
+            6,
+        ).alias("ewma"),
+    )
+
+
+_EWMA_SQL = f"""
+WITH seqs AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS seq
+  FROM events WHERE value IS NOT NULL GROUP BY user_id)
+SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+       round(list_reduce(seq, (acc, x) -> {EWMA_ALPHA} * x + {1.0 - EWMA_ALPHA} * acc), 6)
+         AS ewma
+FROM seqs
+"""
+
+
 # -- binned range join: in-transit inventory per calendar day ---------------
 # Transit window length is 2..14 days (2 * l_linenumber, l_linenumber in
 # 1..7); a 16-day bin keeps interval replication at <= 2 bins per row while
@@ -507,5 +565,8 @@ ENTRIES: dict[str, Q] = {
     ),
     "types_per_user_stragg": Q(
         q_types_per_user_stragg, _STRAGG_SQL, "ordered string agg"
+    ),
+    "ewma_per_user": Q(
+        q_ewma_per_user, _EWMA_SQL, "event-time-ordered EWMA fold per user"
     ),
 }

@@ -202,3 +202,42 @@ def test_point_in_interval_join_rejects_bad_args(spark):
         point_in_interval_join(
             pts.withColumnRenamed("day", "start"), iv, "start", "start", "end", 16
         )
+
+
+def test_ewma_per_user_hand_computed_and_event_time_ordered(spark, tmp_path):
+    """EWMA must fold in (ts, event_id) order even when the input rows
+    arrive shuffled, and match the hand recurrence exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.timeseries_queries import (
+        EWMA_ALPHA,
+        q_ewma_per_user,
+    )
+
+    # rows written OUT of time order; values chosen so order matters
+    base = dt.datetime(2024, 12, 1)
+    rows = [
+        (3, base + dt.timedelta(minutes=2), 8.0),
+        (1, base + dt.timedelta(minutes=0), 4.0),
+        (2, base + dt.timedelta(minutes=1), 16.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([42] * 3, pa.int64()),
+                "event_type": pa.array(["m"] * 3, pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_ewma_per_user(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 3
+    e = 4.0
+    for v in (16.0, 8.0):  # time order, not written order
+        e = EWMA_ALPHA * v + (1.0 - EWMA_ALPHA) * e
+    assert out[0]["ewma"] == round(e, 6)
