@@ -205,14 +205,15 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT hint-broadcast — AQE picks the strategy from measured size.
     """
     docs = spread(t(spark, sf_dir, "documents"))
-    n_total = docs.select(
-        F.explode(F.split(F.lower("text"), " +")).alias("term")
-    ).agg(F.count(F.lit(1)).cast("double").alias("n_total"))
     terms = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " +")).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    # N is derived from cnt, not from a second corpus scan: both consumers
+    # share cnt's shuffle subtree, so Catalyst reuses the exchange and
+    # `documents` is read ONCE (plan-pinned in test_plan_shape.py).
+    n_total = cnt.agg(F.sum("c").cast("double").alias("n_total"))
     lp = cnt.join(F.broadcast(n_total)).select(
         "term",
         F.floor(F.log(F.col("c").cast("double") / F.col("n_total")) * 1e6)
@@ -242,7 +243,7 @@ WITH terms AS (
   FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
 cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM terms),
+n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM cnt),
 lp AS (
   SELECT term,
          CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT n_total FROM n)) * 1e6)

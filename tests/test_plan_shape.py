@@ -259,3 +259,14 @@ def test_pairwise_dedup_parallelizes(spark, sf_dir, name):
     # 1-2 partitions.
     assert "REPARTITION_BY_COL" in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_unigram_logprob_single_corpus_scan_via_exchange_reuse(spark, sf_dir):
+    """N is derived from the term-count exchange, not a second documents
+    scan: the final AQE plan must reuse the tf/cnt exchanges (one corpus
+    read feeds both the corpus total and the per-term log-probs)."""
+    df = CATALOG["unigram_logprob"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2
