@@ -24,12 +24,20 @@ Cross-engine determinism (extends the plans/base.py policy):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as T
 from ..operators.relational import topk_per_group
-from ..operators.similarity import _fold_sum_duck, _fold_sum_spark, vec_double_col
+from ..operators.similarity import (
+    _fold_sum_duck,
+    _fold_sum_spark,
+    dot_sql,
+    norm_col,
+    vec_double_col,
+)
 from .base import Q, spread, t
+from .corpus_queries import EMB_DIM, ID_CAP
 
 #: Fixed word-window segment width for span-level duplication accounting.
 #: Non-overlapping (stride == width): the RefinedWeb/C4 "repeated span"
@@ -481,6 +489,184 @@ GROUP BY ngram ORDER BY c DESC, ngram ASC LIMIT {HH_TOP}
 """
 
 
+# -- semantic (embedding-space) decontamination ----------------------------
+#: Cosine threshold above which a corpus vector counts as contaminated by
+#: the benchmark set. Label 9 plays the held-out benchmark.
+DECONTAM_TAU = 0.40
+DECONTAM_BENCH_LABEL = 9
+
+
+def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors whose cosine against
+    ANY benchmark-set vector reaches DECONTAM_TAU — the embedding-space
+    complement of the 8-gram ``decontaminate_overlap`` (paraphrased eval
+    questions share no n-grams but land close in embedding space).
+
+    Per flagged vector: how many benchmark vectors it matches, the best
+    cosine, and which benchmark vector that was. The argmax is the integer
+    key encoding ``floor(cos*1e6) * ID_CAP - bench_id`` (same idiom as
+    inverted_index_stats) — no float comparison decides a winner, so both
+    engines pick the same benchmark vector on ties.
+
+    Shape: benchmark side is BOUNDED by definition (an eval suite, not a
+    corpus) and broadcast; the corpus is scanned once with its norm
+    precomputed per row; the only shuffle is the per-vector rollup of
+    above-threshold pairs. 100 TB: identical — this is the
+    bounded-probe × corpus pattern of ``embedding_cosine_topk``, with the
+    threshold filter cutting the scored stream before the shuffle.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", "label", vec_double_col("embedding").alias("v"))
+        .repartition(F.col("vec_id"))
+        .withColumn("nrm", norm_col("v"))
+    )
+    bench = base.filter(F.col("label") == DECONTAM_BENCH_LABEL).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    corpus = base.filter(F.col("label") != DECONTAM_BENCH_LABEL)
+    dot = F.expr(_fold_sum_spark("zip_with(v, bv, (x, y) -> x * y)"))
+    scored = corpus.join(F.broadcast(bench)).select(
+        "vec_id", (dot / (F.col("nrm") * F.col("bn"))).alias("cos"), "bench_id"
+    )
+    hits = (
+        scored.filter(F.col("cos") >= DECONTAM_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max(
+                F.floor(F.col("cos") * 1e6) * F.lit(ID_CAP) - F.col("bench_id")
+            ).alias("topkey"),
+        )
+    )
+    return hits.select(
+        "vec_id",
+        "n_hits",
+        (F.expr(f"(topkey + {ID_CAP} - 1) div {ID_CAP}") / 1e6).alias(
+            "best_cos"
+        ),
+        F.expr(
+            f"((topkey + {ID_CAP} - 1) div {ID_CAP}) * {ID_CAP} - topkey"
+        ).alias("best_bench_id"),
+    )
+
+
+_EMB_DECONTAM_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+normed AS (
+  SELECT vec_id, label, v,
+         sqrt({_fold_sum_duck("list_transform(v, x -> x * x)")}) AS nrm
+  FROM base),
+bench AS (
+  SELECT vec_id AS bench_id, v AS bv, nrm AS bn FROM normed
+  WHERE label = {DECONTAM_BENCH_LABEL}),
+scored AS (
+  SELECT c.vec_id,
+         {dot_sql("c.v", "b.bv", EMB_DIM)} / (c.nrm * b.bn) AS cos,
+         b.bench_id
+  FROM normed c CROSS JOIN bench b WHERE c.label <> {DECONTAM_BENCH_LABEL}),
+hits AS (
+  SELECT vec_id, count(*) AS n_hits,
+         max(CAST(floor(cos * 1e6) AS BIGINT) * {ID_CAP} - bench_id)
+           AS topkey
+  FROM scored WHERE cos >= {DECONTAM_TAU} GROUP BY vec_id)
+SELECT vec_id, n_hits,
+       ((topkey + {ID_CAP} - 1) // {ID_CAP}) / 1e6 AS best_cos,
+       ((topkey + {ID_CAP} - 1) // {ID_CAP}) * {ID_CAP} - topkey
+         AS best_bench_id
+FROM hits
+"""
+
+
+# -- token-budget corpus selection -----------------------------------------
+#: Quality-bucket width for the two-phase cumsum (quality is 4dp in [0,1],
+#: so integer keys span 0..10000 and 250-wide buckets give 41 lattice rows).
+QBUCKET = 250
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget: rank
+    documents by the composite quality score (best first, doc_id
+    tie-break) and keep every document that STARTS before the budget
+    boundary — half the corpus's total tokens. The "fill the training
+    budget with the best data" step of mixture construction.
+
+    The global quality-ordered cumsum never runs as one window: documents
+    bucket by integer quality band (bucket order = global quality order),
+    within-band cumsums run bucket-parallel, and the per-band offsets plus
+    the grand total ride a 41-row lattice broadcast back — the same
+    two-phase trick as ``weighted_systematic_sample`` / training_order,
+    with a VALUE-ordered (range) bucketing instead of a hash one. All
+    arithmetic is exact BIGINT: the kept set is engine- and
+    partitioning-independent. 100 TB: one corpus shuffle (the band
+    partition); band skew is bounded because quality is 4dp-quantized —
+    a pathological single-value corpus degrades to ~1 hot band, the same
+    bound a global sort would hit at its boundary partition.
+    """
+    docs = spread(t(spark, sf_dir, "documents"))
+    feats = T.quality_features(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        feats["quality"].alias("quality"),
+        feats["n_tokens"].cast("long").alias("w"),
+    ).withColumn(
+        "qk", F.round(F.col("quality") * 10000, 0).cast("long")
+    ).withColumn("qb", F.expr(f"qk div {QBUCKET}"))
+    wb = (
+        Window.partitionBy("qb")
+        .orderBy(F.col("qk").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumb = d.withColumn("cumb", F.sum("w").over(wb))
+    sums = d.groupBy("qb").agg(F.sum("w").alias("c"))
+    woff = Window.orderBy(F.col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wtot = Window.orderBy(F.col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lattice = sums.select(
+        "qb",
+        F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off"),
+        F.sum("c").over(wtot).alias("tot"),
+    )
+    return (
+        cumb.join(F.broadcast(lattice), "qb")
+        .withColumn("cum", F.col("off") + F.col("cumb"))
+        .filter(F.col("cum") - F.col("w") < F.expr("tot div 2"))
+        .select(
+            "doc_id",
+            "quality",
+            F.col("w").alias("n_tokens"),
+            F.col("cum").alias("cum_tokens"),
+        )
+    )
+
+
+def _token_budget_sql() -> str:
+    q = T.quality_features_sql("text")
+    return f"""
+WITH f AS (
+  SELECT doc_id, {q["quality"]} AS quality,
+         CAST({q["n_tokens"]} AS BIGINT) AS w
+  FROM documents),
+k AS (SELECT *, CAST(round(quality * 10000) AS BIGINT) AS qk FROM f),
+c AS (
+  SELECT *,
+         sum(w) OVER (ORDER BY qk DESC, doc_id ASC ROWS UNBOUNDED PRECEDING)
+           AS cum,
+         sum(w) OVER () AS tot
+  FROM k)
+SELECT doc_id, quality, w AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum - w < tot // 2
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "segment_dup_fraction": Q(
         q_segment_dup_fraction,
@@ -511,5 +697,15 @@ ENTRIES: dict[str, Q] = {
         q_heavy_hitter_ngrams,
         _HEAVY_HITTER_SQL,
         "top-25 corpus 3-grams (boilerplate mining)",
+    ),
+    "embedding_decontam": Q(
+        q_embedding_decontam,
+        _EMB_DECONTAM_SQL,
+        "cosine-threshold benchmark decontamination in embedding space",
+    ),
+    "token_budget_select": Q(
+        q_token_budget_select,
+        _token_budget_sql(),
+        "quality-first selection under a half-corpus token budget",
     ),
 }

@@ -149,3 +149,63 @@ def test_heavy_hitter_ngrams_finds_planted_boilerplate(spark, tmp_path):
     rows = q_heavy_hitter_ngrams(spark, sf).collect()
     top = rows[0]
     assert top["ngram"] == boiler and top["c"] == 6
+
+
+def test_embedding_decontam_flags_only_aligned_vectors(spark, tmp_path):
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+        DECONTAM_BENCH_LABEL,
+        q_embedding_decontam,
+    )
+
+    vecs = [
+        (0, [2.0, 0.0, 0.0, 0.0], 1),  # cos 1.0 vs benchmark -> flagged
+        (1, [0.0, 1.0, 0.0, 0.0], 1),  # orthogonal -> clean
+        (7, [1.0, 0.0, 0.0, 0.0], DECONTAM_BENCH_LABEL),  # the benchmark
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([v[2] for v in vecs], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = q_embedding_decontam(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["vec_id"] == 0 and r["n_hits"] == 1
+    assert r["best_bench_id"] == 7 and r["best_cos"] == 1.0
+
+
+def test_token_budget_select_is_quality_prefix_under_budget(spark, sf_dir):
+    """The kept set must be exactly the quality-ordered prefix whose docs
+    START before the half-corpus token boundary — independently recomputed
+    here from the quality features, driver-side."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+        q_token_budget_select,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.llm_queries import (
+        q_quality_score,
+    )
+
+    feats = {
+        r["doc_id"]: (int(round(r["quality"] * 10000)), int(r["n_tokens"]))
+        for r in q_quality_score(spark, sf_dir).collect()
+    }
+    order = sorted(feats, key=lambda d: (-feats[d][0], d))
+    total = sum(w for _, w in feats.values())
+    budget = total // 2
+    cum, expect = 0, {}
+    for d in order:
+        if cum < budget:
+            expect[d] = cum + feats[d][1]
+        cum += feats[d][1]
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in q_token_budget_select(spark, sf_dir).collect()
+    }
+    assert got == expect

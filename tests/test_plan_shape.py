@@ -23,6 +23,8 @@ NON_EQUI_OK = {
     "tfidf_top_terms",
     # 1-row broadcast scalar (in-flow corpus token count), same as tfidf.
     "unigram_logprob",
+    # bounded benchmark set × corpus, same shape as embedding_cosine_topk.
+    "embedding_decontam",
 }
 
 
@@ -270,3 +272,12 @@ def test_unigram_logprob_single_corpus_scan_via_exchange_reuse(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 2
+
+
+def test_token_budget_windows_are_quality_band_partitioned(spark, sf_dir):
+    """The budget selection's corpus cumsum must run as quality-band
+    bucket-parallel windows plus the tiny lattice window — never a single
+    global quality-ordered window over the corpus."""
+    plan = _plan(spark, sf_dir, "token_budget_select")
+    assert "windowspecdefinition(qb" in plan
+    assert plan.count("Window [") == 2  # band cumsum + 41-row offset lattice
