@@ -494,6 +494,12 @@ GROUP BY ngram ORDER BY c DESC, ngram ASC LIMIT {HH_TOP}
 #: the benchmark set. Label 9 plays the held-out benchmark.
 DECONTAM_TAU = 0.40
 DECONTAM_BENCH_LABEL = 9
+#: Hard cap on the benchmark side (the DECONTAM_BENCH_CAP smallest
+#: vec_ids): an eval suite is constant-size by nature, but the synthetic
+#: scale-up grows every label with the corpus — without the cap the
+#: "bounded × corpus" contract silently degrades to corpus × corpus.
+#: Same id-cap precedent as operators/decontam.py's benchmark set.
+DECONTAM_BENCH_CAP = 512
 
 
 def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,11 +515,17 @@ def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines pick the same benchmark vector on ties.
 
     Shape: benchmark side is BOUNDED by definition (an eval suite, not a
-    corpus) and broadcast; the corpus is scanned once with its norm
-    precomputed per row; the only shuffle is the per-vector rollup of
-    above-threshold pairs. 100 TB: identical — this is the
-    bounded-probe × corpus pattern of ``embedding_cosine_topk``, with the
-    threshold filter cutting the scored stream before the shuffle.
+    corpus) and ENFORCED bounded by DECONTAM_BENCH_CAP (smallest ids —
+    the synthetic scale-up grows every label with the corpus, which would
+    otherwise silently turn this into corpus × corpus); it is broadcast,
+    the corpus is scanned once with its norm precomputed per row, and the
+    only shuffle is the per-vector rollup of above-threshold pairs.
+    100 TB: identical — this is the bounded-probe × corpus pattern of
+    ``embedding_cosine_topk``, with the threshold filter cutting the
+    scored stream before the shuffle. (The per-pair dot stays the shared
+    interpreted fold: a 64-term expanded codegen sum was measured 4-5x
+    SLOWER — the expression blows past the codegen method-size limit and
+    falls back to per-term interpretation with null checks.)
     """
     emb = t(spark, sf_dir, "embeddings")
     base = (
@@ -521,10 +533,15 @@ def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("vec_id"))
         .withColumn("nrm", norm_col("v"))
     )
-    bench = base.filter(F.col("label") == DECONTAM_BENCH_LABEL).select(
-        F.col("vec_id").alias("bench_id"),
-        F.col("v").alias("bv"),
-        F.col("nrm").alias("bn"),
+    bench = (
+        base.filter(F.col("label") == DECONTAM_BENCH_LABEL)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("bn"),
+        )
+        .orderBy("bench_id")
+        .limit(DECONTAM_BENCH_CAP)
     )
     corpus = base.filter(F.col("label") != DECONTAM_BENCH_LABEL)
     dot = F.expr(_fold_sum_spark("zip_with(v, bv, (x, y) -> x * y)"))
@@ -564,7 +581,8 @@ normed AS (
   FROM base),
 bench AS (
   SELECT vec_id AS bench_id, v AS bv, nrm AS bn FROM normed
-  WHERE label = {DECONTAM_BENCH_LABEL}),
+  WHERE label = {DECONTAM_BENCH_LABEL}
+  ORDER BY bench_id LIMIT {DECONTAM_BENCH_CAP}),
 scored AS (
   SELECT c.vec_id,
          {dot_sql("c.v", "b.bv", EMB_DIM)} / (c.nrm * b.bn) AS cos,
