@@ -685,6 +685,92 @@ FROM c WHERE cum - w < tot // 2
 """
 
 
+# -- mixture drift between ingest epochs -----------------------------------
+def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture drift between the incoming batch and the base
+    corpus (same doc_id % INC_MOD split as incremental_near_dup): per
+    language, the share in each epoch and its contribution to
+    KL(incoming ‖ base) — the drift monitor that catches a crawl epoch
+    whose language (or domain) mix silently shifted before it pollutes
+    the training mixture. Laplace +1 smoothing keeps the KL finite when
+    a language is absent from one side.
+
+    Determinism: shares are exact integer ratios; the two logs are
+    evaluated once per LANGUAGE (bounded cardinality) and quantized to
+    integer micro-nats before the subtraction, so the reported KL term is
+    derived from exact integers by elementwise-identical double ops.
+    Shape: one scan, one bounded-key groupBy, a 1-row totals aggregate
+    rejoined in-flow (no driver count), all map-combinable. 100 TB: the
+    reduce key space is the language set — partial aggregation does
+    nearly all the work map-side.
+    """
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(
+            F.when(F.col("doc_id") % INC_MOD == 0, 1).otherwise(0)
+        ).alias("n_inc"),
+        F.sum(
+            F.when(F.col("doc_id") % INC_MOD != 0, 1).otherwise(0)
+        ).alias("n_base"),
+    )
+    tot = per.agg(
+        F.sum("n_inc").alias("tot_inc"),
+        F.sum("n_base").alias("tot_base"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    smoothed = per.join(F.broadcast(tot)).select(
+        "lang",
+        "n_inc",
+        "n_base",
+        (
+            (F.col("n_inc") + 1).cast("double")
+            / (F.col("tot_inc") + F.col("n_langs"))
+        ).alias("p_inc"),
+        (
+            (F.col("n_base") + 1).cast("double")
+            / (F.col("tot_base") + F.col("n_langs"))
+        ).alias("p_base"),
+    )
+    lp = F.floor(F.log("p_inc") * 1e6).cast("long")
+    lq = F.floor(F.log("p_base") * 1e6).cast("long")
+    return smoothed.select(
+        "lang",
+        "n_inc",
+        "n_base",
+        F.round("p_inc", 6).alias("share_incoming"),
+        F.round("p_base", 6).alias("share_base"),
+        F.round(F.col("p_inc") * (lp - lq) / 1e6, 6).alias("kl_term"),
+    )
+
+
+_MIXTURE_DRIFT_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN doc_id % {INC_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_inc,
+         CAST(sum(CASE WHEN doc_id % {INC_MOD} <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_base
+  FROM documents GROUP BY lang),
+tot AS (
+  SELECT CAST(sum(n_inc) AS BIGINT) AS tot_inc,
+         CAST(sum(n_base) AS BIGINT) AS tot_base,
+         count(*) AS n_langs
+  FROM per),
+sm AS (
+  SELECT lang, n_inc, n_base,
+         CAST(n_inc + 1 AS DOUBLE) / (tot_inc + n_langs) AS p_inc,
+         CAST(n_base + 1 AS DOUBLE) / (tot_base + n_langs) AS p_base
+  FROM per CROSS JOIN tot)
+SELECT lang, n_inc, n_base,
+       round(p_inc, 6) AS share_incoming,
+       round(p_base, 6) AS share_base,
+       round(p_inc * (CAST(floor(ln(p_inc) * 1e6) AS BIGINT)
+                      - CAST(floor(ln(p_base) * 1e6) AS BIGINT)) / 1e6, 6)
+         AS kl_term
+FROM sm
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "segment_dup_fraction": Q(
         q_segment_dup_fraction,
@@ -725,5 +811,10 @@ ENTRIES: dict[str, Q] = {
         q_token_budget_select,
         _token_budget_sql(),
         "quality-first selection under a half-corpus token budget",
+    ),
+    "mixture_drift": Q(
+        q_mixture_drift,
+        _MIXTURE_DRIFT_SQL,
+        "per-language KL drift between ingest epochs",
     ),
 }

@@ -209,3 +209,36 @@ def test_token_budget_select_is_quality_prefix_under_budget(spark, sf_dir):
         for r in q_token_budget_select(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_mixture_drift_hand_computed_kl(spark, tmp_path):
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+        q_mixture_drift,
+    )
+
+    # base (ids % 5 != 0): four en docs; incoming (id 5): one de doc.
+    sf = _write_docs(
+        tmp_path,
+        [(i, f"text {i}") for i in (1, 2, 3, 4)] + [(5, "anderer text")],
+    )
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+
+    # rewrite langs: en for base, de for the incoming doc
+    tbl = _pq.read_table(str(tmp_path / "documents.parquet"))
+    langs = ["en", "en", "en", "en", "de"]
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("lang"), "lang", _pa.array(langs)
+    )
+    _pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = {r["lang"]: r for r in q_mixture_drift(spark, sf).collect()}
+    # Laplace +1 with n_langs=2, tot_inc=1, tot_base=4
+    p_inc_de, p_base_de = 2 / 3, 1 / 6
+    lp = math.floor(math.log(p_inc_de) * 1e6)
+    lq = math.floor(math.log(p_base_de) * 1e6)
+    assert got["de"]["n_inc"] == 1 and got["de"]["n_base"] == 0
+    assert got["de"]["share_incoming"] == round(p_inc_de, 6)
+    assert got["de"]["kl_term"] == round(p_inc_de * (lp - lq) / 1e6, 6)
+    assert got["de"]["kl_term"] > 0  # over-represented incoming lang
+    assert got["en"]["kl_term"] < 0  # under-represented incoming lang

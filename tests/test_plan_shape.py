@@ -25,6 +25,8 @@ NON_EQUI_OK = {
     "unigram_logprob",
     # bounded benchmark set × corpus, same shape as embedding_cosine_topk.
     "embedding_decontam",
+    # 1-row epoch-totals aggregate joined in-flow, same as tfidf's N.
+    "mixture_drift",
 }
 
 
