@@ -685,6 +685,99 @@ FROM c WHERE cum - w < tot // 2
 """
 
 
+# -- end-to-end curation funnel --------------------------------------------
+#: Quality floor for the funnel's first stage (composite score, 4dp).
+FUNNEL_QUALITY_MIN = 0.4
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain — quality floor, then exact dedup among
+    survivors, then the per-domain cap — expressed as ONE declarative
+    plan, reporting document and token counts after every stage (the
+    yield report a data team reads before committing a corpus build).
+
+    Per-document stage flags are computed in a single pass: the dedup
+    rank partitions on (content hash, quality-pass) so failed docs never
+    shadow a passing duplicate, and the cap rank partitions on
+    (source, unique-pass) so the cap counts only docs still alive. The
+    final single-row aggregate folds all four stage totals at once — the
+    corpus is scanned ONCE, not once per stage. Shapes: two keyed window
+    shuffles (content hash; source) + one map-combined aggregate.
+    100 TB: identical; the domain window's skew story is
+    ``q_domain_cap_sample``'s. Every output is an exact integer.
+    """
+    docs = spread(t(spark, sf_dir, "documents"))
+    feats = T.quality_features(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.md5(
+            F.concat(F.lit(DOMAIN_CAP_SALT), F.col("doc_id").cast("string"))
+        ).alias("hk"),
+        feats["n_tokens"].cast("long").alias("w"),
+        feats["quality"].alias("q"),
+    ).withColumn("qp", F.col("q") >= FUNNEL_QUALITY_MIN)
+    w_dup = Window.partitionBy("h", "qp").orderBy("doc_id")
+    base = base.withColumn(
+        "up", F.col("qp") & (F.row_number().over(w_dup) == 1)
+    )
+    w_cap = Window.partitionBy("source", "up").orderBy("hk", "doc_id")
+    base = base.withColumn(
+        "cp", F.col("up") & (F.row_number().over(w_cap) <= DOMAIN_CAP)
+    )
+
+    def _n(flag):
+        return F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long")
+
+    def _tok(flag):
+        return F.sum(F.when(F.col(flag), F.col("w")).otherwise(0)).cast("long")
+
+    return base.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        _n("qp").alias("n_quality"),
+        _n("up").alias("n_unique"),
+        _n("cp").alias("n_capped"),
+        F.sum("w").alias("tok_total"),
+        _tok("qp").alias("tok_quality"),
+        _tok("up").alias("tok_unique"),
+        _tok("cp").alias("tok_capped"),
+    )
+
+
+def _curation_funnel_sql() -> str:
+    qf = T.quality_features_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, md5(text) AS h,
+         md5('{DOMAIN_CAP_SALT}' || CAST(doc_id AS VARCHAR)) AS hk,
+         CAST({qf["n_tokens"]} AS BIGINT) AS w,
+         ({qf["quality"]} >= {FUNNEL_QUALITY_MIN}) AS qp
+  FROM documents),
+b1 AS (
+  SELECT *, (qp AND row_number() OVER (PARTITION BY h, qp ORDER BY doc_id)
+             = 1) AS up
+  FROM base),
+b2 AS (
+  SELECT *, (up AND row_number()
+             OVER (PARTITION BY source, up ORDER BY hk, doc_id)
+             <= {DOMAIN_CAP}) AS cp
+  FROM b1)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN qp THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN cp THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+       CAST(sum(w) AS BIGINT) AS tok_total,
+       CAST(sum(CASE WHEN qp THEN w ELSE 0 END) AS BIGINT) AS tok_quality,
+       CAST(sum(CASE WHEN up THEN w ELSE 0 END) AS BIGINT) AS tok_unique,
+       CAST(sum(CASE WHEN cp THEN w ELSE 0 END) AS BIGINT) AS tok_capped
+FROM b2
+"""
+
+
+_CURATION_FUNNEL_SQL = _curation_funnel_sql()
+
+
 # -- mixture drift between ingest epochs -----------------------------------
 def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-mixture drift between the incoming batch and the base
@@ -816,5 +909,10 @@ ENTRIES: dict[str, Q] = {
         q_mixture_drift,
         _MIXTURE_DRIFT_SQL,
         "per-language KL drift between ingest epochs",
+    ),
+    "curation_funnel": Q(
+        q_curation_funnel,
+        _CURATION_FUNNEL_SQL,
+        "quality->dedup->domain-cap chain with per-stage doc/token counts",
     ),
 }

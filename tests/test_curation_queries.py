@@ -242,3 +242,23 @@ def test_mixture_drift_hand_computed_kl(spark, tmp_path):
     assert got["de"]["kl_term"] == round(p_inc_de * (lp - lq) / 1e6, 6)
     assert got["de"]["kl_term"] > 0  # over-represented incoming lang
     assert got["en"]["kl_term"] < 0  # under-represented incoming lang
+
+
+def test_curation_funnel_planted_stages(spark, tmp_path):
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+        q_curation_funnel,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog and runs away"
+    junk = "aaa aaa aaa aaa"  # ttr 0.25, no stopwords -> quality < 0.4
+    sf = _write_docs(
+        tmp_path,
+        [(1, good), (2, good), (3, junk), (4, junk)],  # 2 marks a dup of 1
+    )
+    r = q_curation_funnel(spark, sf).collect()[0]
+    assert r["n_total"] == 4
+    assert r["n_quality"] == 2  # both good docs pass, junk fails
+    assert r["n_unique"] == 1  # the duplicate good doc drops
+    assert r["n_capped"] == 1  # under the cap
+    n_good = len(good.split())
+    assert r["tok_unique"] == n_good and r["tok_capped"] == n_good
