@@ -779,33 +779,14 @@ _CURATION_FUNNEL_SQL = _curation_funnel_sql()
 
 
 # -- mixture drift between ingest epochs -----------------------------------
-def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-mixture drift between the incoming batch and the base
-    corpus (same doc_id % INC_MOD split as incremental_near_dup): per
-    language, the share in each epoch and its contribution to
-    KL(incoming ‖ base) — the drift monitor that catches a crawl epoch
-    whose language (or domain) mix silently shifted before it pollutes
-    the training mixture. Laplace +1 smoothing keeps the KL finite when
-    a language is absent from one side.
+def kl_drift_from_counts(per: DataFrame) -> DataFrame:
+    """(lang, n_inc, n_base) counts -> the smoothed-share KL drift report.
 
-    Determinism: shares are exact integer ratios; the two logs are
-    evaluated once per LANGUAGE (bounded cardinality) and quantized to
-    integer micro-nats before the subtraction, so the reported KL term is
-    derived from exact integers by elementwise-identical double ops.
-    Shape: one scan, one bounded-key groupBy, a 1-row totals aggregate
-    rejoined in-flow (no driver count), all map-combinable. 100 TB: the
-    reduce key space is the language set — partial aggregation does
-    nearly all the work map-side.
-    """
-    docs = t(spark, sf_dir, "documents")
-    per = docs.groupBy("lang").agg(
-        F.sum(
-            F.when(F.col("doc_id") % INC_MOD == 0, 1).otherwise(0)
-        ).alias("n_inc"),
-        F.sum(
-            F.when(F.col("doc_id") % INC_MOD != 0, 1).otherwise(0)
-        ).alias("n_base"),
-    )
+    Shared arithmetic for the batch ``mixture_drift`` query and the
+    streaming per-epoch monitor (streaming/drift.py): both paths agree on
+    smoothing, quantization, and rounding BY CONSTRUCTION because this is
+    the only implementation. Totals ride a 1-row in-flow broadcast
+    aggregate (no driver collect)."""
     tot = per.agg(
         F.sum("n_inc").alias("tot_inc"),
         F.sum("n_base").alias("tot_base"),
@@ -834,6 +815,36 @@ def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_base", 6).alias("share_base"),
         F.round(F.col("p_inc") * (lp - lq) / 1e6, 6).alias("kl_term"),
     )
+
+
+def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture drift between the incoming batch and the base
+    corpus (same doc_id % INC_MOD split as incremental_near_dup): per
+    language, the share in each epoch and its contribution to
+    KL(incoming ‖ base) — the drift monitor that catches a crawl epoch
+    whose language (or domain) mix silently shifted before it pollutes
+    the training mixture. Laplace +1 smoothing keeps the KL finite when
+    a language is absent from one side.
+
+    Determinism: shares are exact integer ratios; the two logs are
+    evaluated once per LANGUAGE (bounded cardinality) and quantized to
+    integer micro-nats before the subtraction, so the reported KL term is
+    derived from exact integers by elementwise-identical double ops.
+    Shape: one scan, one bounded-key groupBy, a 1-row totals aggregate
+    rejoined in-flow (no driver count), all map-combinable. 100 TB: the
+    reduce key space is the language set — partial aggregation does
+    nearly all the work map-side.
+    """
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(
+            F.when(F.col("doc_id") % INC_MOD == 0, 1).otherwise(0)
+        ).alias("n_inc"),
+        F.sum(
+            F.when(F.col("doc_id") % INC_MOD != 0, 1).otherwise(0)
+        ).alias("n_base"),
+    )
+    return kl_drift_from_counts(per)
 
 
 _MIXTURE_DRIFT_SQL = f"""
