@@ -392,6 +392,49 @@ def extract_image_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def image_dhash(
+    df: DataFrame,
+    blob_col: str = "media_bytes",
+    decoder: Callable[[bytes, str], "object"] | None = None,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image, decoded inside the
+    Arrow kernel: integer grayscale g = r+g+b per pixel (exact — no
+    division), one bit per horizontal neighbor pair ``g[y,x] > g[y,x+1]``,
+    packed row-major MSB-first. An (H, W) image yields an H*(W-1)-bit
+    hash; identical-content images collide exactly, near-identical ones
+    land within small hamming distance — the image-side analogue of
+    simhash for text. Corrupt blobs hash to NULL (corrupt media is data).
+
+    Comparisons over exact integers make the hash engine-reproducible:
+    the DuckDB twin recomputes the same bits from the same bytes. One
+    mapInPandas stage, partition-preserving, scan-scaling.
+    """
+    dec = decoder or decode_image
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("dhash", LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes: list[int | None] = []
+            for blob in pdf[blob_col]:
+                try:
+                    img = dec(bytes(blob), "auto")
+                except (ValueError, TypeError):
+                    hashes.append(None)
+                    continue
+                g = img.astype("int64").sum(axis=2)
+                bits = (g[:, :-1] > g[:, 1:]).flatten()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                hashes.append(h)
+            pdf["dhash"] = pd.array(hashes, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def split_ppm_frames(blob: bytes) -> list[bytes]:
     """Split a 'video' blob — a back-to-back concatenation of P6 PPM
     frames (the container-free uncompressed form; think y4m without the

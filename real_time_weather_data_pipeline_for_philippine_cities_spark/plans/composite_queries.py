@@ -21,6 +21,7 @@ from ..operators.multimodal import (
     extract_audio_features,
     extract_features,
     extract_image_features,
+    image_dhash,
     sample_frames,
 )
 from .base import Q, spread, t
@@ -404,6 +405,81 @@ FROM f
 """
 
 
+def q_image_dhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup candidates for images: decode each (synthetic
+    md5-derived) PPM in the Arrow kernel, compute the integer-grayscale
+    difference hash (operators/multimodal.py::image_dhash), and report
+    each image's hash bucket size — identical-looking images share a
+    bucket, which is exactly the equi-join key an image dedup pass would
+    join on (the image-side analogue of simhash banding; with a 9-bit
+    hash on the 4x3 fixtures, buckets genuinely collide at sf0.01+).
+
+    Shape: one scan + one mapInPandas decode stage (no shuffle), then a
+    map-combinable bucket count and a hash-keyed join back. Corrupt blobs
+    (the doc_id % 17 lattice) hash NULL and stay unbucketed — NULL join
+    keys match nothing on either engine. 100 TB: decode cost is the
+    payload; the bucket join is the keyed-equi-join shape throughout this
+    repo's dedup family.
+    """
+    docs = spread(t(spark, sf_dir, "documents"))
+    hx = F.concat(
+        F.md5("text"),
+        F.md5(F.concat(F.col("text"), F.lit("a"))),
+        F.md5(F.concat(F.col("text"), F.lit("b"))),
+    )
+    pixels = F.substring(F.unhex(hx), 1, 36)
+    pixels = F.when(
+        F.col("doc_id") % 17 == 0, F.substring(F.unhex(hx), 1, 10)
+    ).otherwise(pixels)
+    blob = F.concat(F.encode(F.lit("P6\n4 3\n255\n"), "utf-8"), pixels)
+    media = docs.select("doc_id", blob.alias("media_bytes"))
+    hashed = image_dhash(media).select("doc_id", "dhash")
+    buckets = (
+        hashed.filter(F.col("dhash").isNotNull())
+        .groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+    )
+    return hashed.join(buckets, "dhash", "left").select(
+        "doc_id", "dhash", "n_bucket"
+    )
+
+
+# DuckDB twin: same 96-hex-char pixel string; integer grayscale
+# g[j] = byte(3j) + byte(3j+1) + byte(3j+2); bit i (0..8, row-major over
+# the 3x3 horizontal neighbor pairs of the 4x3 image) = g[y*4+x] > g[y*4+x+1];
+# hash = MSB-first fold acc*2 + bit. All exact integers.
+_IMAGE_DHASH_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    list_transform(range(0, 12), j ->
+        CAST(('0x' || substr(hx, CAST(6 * j + 1 AS INTEGER), 2)) AS BIGINT)
+      + CAST(('0x' || substr(hx, CAST(6 * j + 3 AS INTEGER), 2)) AS BIGINT)
+      + CAST(('0x' || substr(hx, CAST(6 * j + 5 AS INTEGER), 2)) AS BIGINT)
+    ) AS gr
+  FROM h),
+d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 17 = 0 THEN NULL ELSE
+      list_reduce(
+        list_concat([CAST(0 AS BIGINT)],
+          list_transform(range(0, 9), i ->
+            CAST(CASE WHEN gr[CAST((i // 3) * 4 + (i % 3) + 1 AS INTEGER)]
+                         > gr[CAST((i // 3) * 4 + (i % 3) + 2 AS INTEGER)]
+                 THEN 1 ELSE 0 END AS BIGINT))),
+        (acc, x) -> acc * 2 + x)
+    END AS dhash
+  FROM g),
+b AS (
+  SELECT dhash, count(*) AS n_bucket FROM d
+  WHERE dhash IS NOT NULL GROUP BY dhash)
+SELECT d.doc_id, d.dhash, b.n_bucket
+FROM d LEFT JOIN b ON d.dhash = b.dhash
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "weather_pipeline_e2e": Q(
         q_weather_pipeline_e2e, _PIPELINE_SQL, "§3 full pipeline composite"
@@ -419,5 +495,10 @@ ENTRIES: dict[str, Q] = {
     ),
     "video_frame_sample": Q(
         q_video_frame_sample, _VIDEO_SAMPLE_SQL, "frame sampling + per-frame decode"
+    ),
+    "image_dhash_buckets": Q(
+        q_image_dhash_buckets,
+        _IMAGE_DHASH_SQL,
+        "perceptual dHash per decoded image + near-dup bucket sizes",
     ),
 }

@@ -262,3 +262,36 @@ def test_curation_funnel_planted_stages(spark, tmp_path):
     assert r["n_capped"] == 1  # under the cap
     n_good = len(good.split())
     assert r["tok_unique"] == n_good and r["tok_capped"] == n_good
+
+
+def test_image_dhash_hand_computed_and_buckets(spark, tmp_path):
+    """dHash bits from a hand-built PPM: row1 gray 30>60 -> 0, row2
+    150>15 -> 1, MSB-first => 0b01 = 1; identical images share a bucket."""
+    from pyspark.sql import Row
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.multimodal import (
+        image_dhash,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.composite_queries import (
+        q_image_dhash_buckets,
+    )
+
+    blob = b"P6\n2 2\n255\n" + bytes(
+        [10, 10, 10, 20, 20, 20, 50, 50, 50, 5, 5, 5]
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=1, media_bytes=bytearray(blob)),
+         Row(doc_id=2, media_bytes=bytearray(blob)),
+         Row(doc_id=3, media_bytes=bytearray(b"P6\nnot an image"))]
+    )
+    got = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got[1] == 1 and got[2] == 1  # hand-computed bits
+    assert got[3] is None  # corrupt blob -> NULL, not an error
+
+    # catalog query end-to-end: identical texts -> identical pixels ->
+    # shared bucket of size 2
+    sf = _write_docs(tmp_path, [(1, "same text"), (2, "same text"),
+                                (3, "different text")])
+    rows = {r["doc_id"]: r for r in q_image_dhash_buckets(spark, sf).collect()}
+    assert rows[1]["dhash"] == rows[2]["dhash"]
+    assert rows[1]["n_bucket"] == 2

@@ -160,6 +160,7 @@ ARROW_PYTHON_OK = {
     "image_decode_features",  # real PPM decode, mapInPandas kernel
     "audio_decode_features",  # real WAV decode, mapInPandas kernel
     "video_frame_sample",  # frame sampler + per-frame decode, two mapInPandas stages
+    "image_dhash_buckets",  # perceptual hash, same decode kernel
     "ivf_cosine_topk",
     "weather_pipeline_e2e",
 }
