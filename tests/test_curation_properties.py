@@ -1,0 +1,120 @@
+"""Property-based laws for the curation-wave queries (hypothesis over
+generated word-soup corpora): bounds and monotonicity that must hold for
+ARBITRARY inputs, not just the shipped testdata.
+
+Each example materializes a tiny parquet corpus (the queries read
+(spark, sf_dir)) and runs one evaluation; max_examples stays small —
+these guard laws, not throughput.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+    DOMAIN_CAP,
+    q_curation_funnel,
+    q_domain_cap_sample,
+    q_segment_dup_fraction,
+    q_unigram_logprob,
+)
+
+SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+#: word-soup documents: 1-40 tokens from a 6-word alphabet
+text_st = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=1, max_size=40
+).map(" ".join)
+corpus_st = st.lists(text_st, min_size=1, max_size=12)
+
+
+def _write(path, texts, sources=None, id_offset=0):
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    [id_offset + i for i in range(n)], pa.int64()
+                ),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(sources or ["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    return str(path)
+
+
+_example_no = [0]
+
+
+def _dir(tmp_path):
+    _example_no[0] += 1
+    d = tmp_path / f"ex{_example_no[0]}"
+    d.mkdir()
+    return d
+
+
+@given(texts=corpus_st)
+@SETTINGS
+def test_segment_dup_fraction_bounds_and_full_dup_law(spark, tmp_path, texts):
+    d = _dir(tmp_path)
+    # corpus + an exact copy of every doc (shifted ids): EVERY segment now
+    # occurs in >= 2 docs, so dup_fraction must be exactly 1.0 everywhere
+    _write(d, texts + texts, id_offset=0)
+    rows = q_segment_dup_fraction(spark, str(d)).collect()
+    assert len(rows) == 2 * len(texts)
+    for r in rows:
+        assert 0 <= r["dup_segments"] <= r["n_segments"]
+        assert r["dup_fraction"] == 1.0
+
+
+@given(
+    texts=corpus_st,
+    sources=st.lists(st.sampled_from(["a", "b"]), min_size=12, max_size=12),
+)
+@SETTINGS
+def test_domain_cap_keeps_min_of_cap_and_count(spark, tmp_path, texts, sources):
+    d = _dir(tmp_path)
+    srcs = sources[: len(texts)]
+    _write(d, texts, sources=srcs)
+    kept = q_domain_cap_sample(spark, str(d)).collect()
+    per = {}
+    for r in kept:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    for s in set(srcs):
+        assert per.get(s, 0) == min(DOMAIN_CAP, srcs.count(s))
+
+
+@given(texts=corpus_st)
+@SETTINGS
+def test_unigram_logprob_bounds(spark, tmp_path, texts):
+    d = _dir(tmp_path)
+    _write(d, texts)
+    rows = q_unigram_logprob(spark, str(d)).collect()
+    n_total = sum(len(t.split()) for t in texts)
+    lower = -math.log(n_total) - 1e-5  # p(term) >= 1/N, minus quantization
+    for r in rows:
+        assert lower <= r["avg_logprob"] <= 0.0
+
+
+@given(texts=corpus_st)
+@SETTINGS
+def test_curation_funnel_stage_monotonicity(spark, tmp_path, texts):
+    d = _dir(tmp_path)
+    _write(d, texts)
+    r = q_curation_funnel(spark, str(d)).collect()[0]
+    assert r["n_total"] >= r["n_quality"] >= r["n_unique"] >= r["n_capped"]
+    assert r["tok_total"] >= r["tok_quality"] >= r["tok_unique"] >= r["tok_capped"]
+    assert r["n_total"] == len(texts)
