@@ -386,7 +386,7 @@ cums AS (
          sum(w) OVER () AS tot
   FROM keyed)
 SELECT * EXCLUDE (w, k, cum, tot),
-       ((cum - w) * {k}) // tot + 1 AS {pick_col}
+       CAST(((cum - w) * {k}) // tot + 1 AS BIGINT) AS {pick_col}
 FROM cums WHERE (cum * {k}) // tot > ((cum - w) * {k}) // tot
 """
 

@@ -569,7 +569,7 @@ WITH p AS (
                             doc_id) AS pos
   FROM documents)
 SELECT (pos - 1) % {N_SHARDS} AS shard_id, count(*) AS n_docs,
-       sum(CAST(n_chars AS BIGINT)) AS n_chars_total
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars_total
 FROM p GROUP BY 1
 """
 

@@ -380,7 +380,7 @@ WITH iv AS (
   FROM lineitem),
 pts AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
 SELECT day, count(*) AS n_in_transit,
-       sum(CAST(l_quantity AS BIGINT)) AS qty_in_transit
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_in_transit
 FROM pts JOIN iv ON day BETWEEN ship AND arrive
 GROUP BY day
 """
