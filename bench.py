@@ -44,6 +44,10 @@ def main() -> None:
 
     spark = get_spark("rtw-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    try:  # host-noise attribution: load BEFORE the run (external to Spark)
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
 
     names = sorted(CATALOG)
     # Warm-up: absorb one-time JIT/codegen costs before timing. The
@@ -114,6 +118,10 @@ def main() -> None:
         "reps": reps,
         "variance": variance,
     }
+    try:
+        result["loadavg"] = {"start": load_start, "end": round(os.getloadavg()[0], 2)}
+    except OSError:
+        pass
     if errors:
         result["errors"] = errors
     if reps == 1:
