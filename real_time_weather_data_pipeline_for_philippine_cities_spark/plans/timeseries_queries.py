@@ -278,6 +278,112 @@ FROM events GROUP BY user_id
 """
 
 
+# -- unpivot (melt) back to long form --------------------------------------
+def q_unpivot_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: the wide per-day event-count matrix melted back to long
+    (day, event_type, n) — the inverse of the pivot query and the missing
+    half of the reshape surface. Uses the native ``DataFrame.unpivot``
+    (Spark's UNPIVOT clause); zero-filled before melting so both engines
+    agree on rows (UNPIVOT drops NULL cells by default in DuckDB while
+    Spark keeps them — zero-fill removes the divergence). Map-side
+    reshape; the only shuffle is the upstream pivot aggregate.
+    """
+    wide = q_pivot_daily_event_counts(spark, sf_dir)
+    return wide.unpivot(
+        ids=["day"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
+_UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT CAST(ts AS DATE) AS day,
+         {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+  FROM events GROUP BY 1)
+UNPIVOT wide ON {", ".join(EVENT_TYPES)} INTO NAME event_type VALUE n
+"""
+
+
+# -- per-type robust value outliers ----------------------------------------
+def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value statistics with a deterministic 3-sigma
+    outlier count — the monitoring pass that catches a broken emitter
+    (values suddenly 100x) before its events pollute downstream rollups.
+    Same integer-quantized-moment contract as embedding_norm_outliers:
+    values quantize to exact BIGINT cents, every aggregate is an exact
+    integer sum, so mean/std/threshold are bit-identical doubles on both
+    engines and the outlier COUNT itself is deterministic. Shapes: one
+    scan, one bounded-key groupBy, a tiny stats join back, a second
+    bounded groupBy — all map-combinable.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    stats = (
+        cents.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("sv"),
+            F.sum(F.col("vc") * F.col("vc")).alias("sq"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("sv").cast("double") / 100 / F.col("n")).alias("mean"),
+            F.sqrt(
+                F.greatest(
+                    F.col("sq").cast("double") / 1e4 / F.col("n")
+                    - (F.col("sv").cast("double") / 100 / F.col("n"))
+                    * (F.col("sv").cast("double") / 100 / F.col("n")),
+                    F.lit(0.0),
+                )
+            ).alias("std"),
+        )
+    )
+    outl = (
+        cents.join(stats, "event_type")
+        .filter(F.abs(F.col("vc") / 100 - F.col("mean")) > 3 * F.col("std"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return stats.join(outl, "event_type", "left").select(
+        "event_type",
+        "n",
+        F.round("mean", 6).alias("mean_value"),
+        F.round("std", 6).alias("std_value"),
+        F.coalesce("n_outliers", F.lit(0).cast("long")).alias("n_outliers"),
+    )
+
+
+_EVENT_OUTLIERS_SQL = """
+WITH cents AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL),
+st AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(vc) AS DOUBLE) AS sv, CAST(sum(vc * vc) AS DOUBLE) AS sq
+  FROM cents GROUP BY event_type),
+st2 AS (
+  SELECT event_type, n, sv / 100 / n AS mean,
+         sqrt(greatest(sq / 1e4 / n - (sv / 100 / n) * (sv / 100 / n), 0.0))
+           AS std
+  FROM st),
+o AS (
+  SELECT c.event_type, count(*) AS n_outliers
+  FROM cents c JOIN st2 USING (event_type)
+  WHERE abs(vc / 100 - mean) > 3 * std
+  GROUP BY c.event_type)
+SELECT event_type, n, round(mean, 6) AS mean_value,
+       round(std, 6) AS std_value,
+       CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers
+FROM st2 LEFT JOIN o USING (event_type)
+"""
+
+
 #: EWMA decay: 1/4 is exactly representable in binary, so every fold step
 #: is an exact IEEE double op — identical on both engines in sequence.
 EWMA_ALPHA = 0.25
@@ -568,5 +674,13 @@ ENTRIES: dict[str, Q] = {
     ),
     "ewma_per_user": Q(
         q_ewma_per_user, _EWMA_SQL, "event-time-ordered EWMA fold per user"
+    ),
+    "unpivot_daily_counts": Q(
+        q_unpivot_daily_counts, _UNPIVOT_SQL, "UNPIVOT/melt of the daily pivot"
+    ),
+    "event_value_outliers": Q(
+        q_event_value_outliers,
+        _EVENT_OUTLIERS_SQL,
+        "per-type value stats + deterministic 3-sigma outlier count",
     ),
 }

@@ -241,3 +241,39 @@ def test_ewma_per_user_hand_computed_and_event_time_ordered(spark, tmp_path):
     for v in (16.0, 8.0):  # time order, not written order
         e = EWMA_ALPHA * v + (1.0 - EWMA_ALPHA) * e
     assert out[0]["ewma"] == round(e, 6)
+
+
+def test_event_value_outliers_flags_planted_spike(spark, tmp_path):
+    """A 100x value spike in one event type must be counted as an outlier
+    for that type only; a constant-valued type has std 0 and none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.timeseries_queries import (
+        q_event_value_outliers,
+    )
+
+    base = dt.datetime(2024, 12, 1)
+    # 40 base points: a single spike's z-score is (n-1)/sqrt(n) ~ 6.2 > 3
+    # (with only ~10 points one spike can never exceed 3 sigma)
+    vals = [("a", 10.0)] * 40 + [("a", 1000.0)] + [("b", 5.0)] * 4
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(vals)), pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(minutes=i) for i in range(len(vals))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(vals), pa.int64()),
+                "event_type": pa.array([v[0] for v in vals], pa.string()),
+                "value": pa.array([v[1] for v in vals], pa.float64()),
+                "props": pa.array(["{}"] * len(vals), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {r["event_type"]: r for r in
+           q_event_value_outliers(spark, str(tmp_path)).collect()}
+    assert got["a"]["n_outliers"] == 1  # the 1000.0 spike
+    assert got["b"]["n_outliers"] == 0 and got["b"]["std_value"] == 0.0
