@@ -28,6 +28,8 @@ for _mod_name in (
     "timeseries_queries",
     "corpus_queries",
     "curation_queries",
+    "subquery_queries",
+    "search_queries",
 ):
     from importlib import import_module
 

@@ -1,0 +1,391 @@
+"""Correlated-subquery / decorrelation catalog entries.
+
+The reference script (weather_data_fetcher.py) expresses every lookup as a
+pandas point-op; SURVEY.md §2.4-2.6 generalizes those to the join/aggregate
+surface. This module adds the *subquery* face of that surface — EXISTS /
+NOT EXISTS, correlated scalar aggregates, scalar-subquery thresholds, and
+the grouping-sets lattice — each written the way Catalyst wants them
+(joins + windows it can plan distributively) while the DuckDB oracle twin
+states the classic correlated-SQL form, proving the decorrelation is
+semantics-preserving.
+
+Scale notes (100 TB):
+  * EXISTS → left-semi equi-join on the FK: one keyed shuffle, partial-agg
+    after; never a per-row probe.
+  * Correlated scalar avg over the same key → a window (single shuffle on
+    the correlation key) instead of groupBy+self-join (two shuffles).
+  * Global scalar thresholds (avg/max over an aggregate) → 1-row broadcast
+    joins, never a driver collect.
+  * Money equality/comparison across engines uses the integer-cents trick
+    (sum of per-row round(x*100) BIGINTs — exact, fold-order-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import Q, t
+
+
+# -- EXISTS: late-shipment priority census (TPC-H Q4 shape) -----------------
+def q_exists_shipped_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in 1996Q1 having at least one lineitem shipped more than 30
+    days after the order date, counted per priority.
+
+    EXISTS compiles to a LEFT SEMI join keyed on the FK with the
+    correlated date predicate as join residual — one shuffle on
+    l_orderkey, then a partial-aggregated count. No per-order probe.
+    """
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_EXISTS_LATE_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# -- scalar threshold + NOT EXISTS (TPC-H Q22 shape) ------------------------
+def q_cold_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count and balance of above-average-balance customers with
+    no order since 2000 (lapsed high-value accounts).
+
+    The global scalar subquery (avg positive balance) is a 1-row aggregate
+    broadcast-joined onto the customer scan — in-flow, no driver collect,
+    same pattern as tfidf's corpus-N (llm_queries.py). NOT EXISTS is a
+    LEFT ANTI equi-join on the date-pruned orders scan (the filter reaches
+    the parquet scan before the shuffle). Threshold rounded to 2dp on BOTH
+    engines so summation-order ulp drift cannot flip a membership.
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("bal_threshold"))
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("bal_threshold"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (
+                F.sum((F.col("c_acctbal") * 100).cast("decimal(38,0)")) / 100.0
+            ).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_COLD_CUST_SQL = """
+SELECT c_nationkey,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal * 100 AS DECIMAL(38,0))) / 100.0 AS DOUBLE)
+         AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+                     WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# -- correlated scalar avg per key (TPC-H Q17 shape) ------------------------
+def q_small_qty_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue forgone to sub-20%-of-average-quantity orders of one
+    brand's parts.
+
+    The correlated `0.2 * (SELECT avg(l_quantity) ... same part)` becomes
+    a window over l_partkey on the brand-filtered join — ONE shuffle on
+    the correlation key, versus the naive groupBy + self-join's two. The
+    brand filter prunes part 25x before the join; the join itself stays
+    unhinted so AQE broadcasts at small SF and shuffles at scale. The
+    threshold is rounded to 6dp on both engines: quantities are integral,
+    so an exact-rational 0.2*avg can straddle a cross-engine ulp.
+    """
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = t(spark, sf_dir, "lineitem")
+    joined = li.join(part, li.l_partkey == part.p_partkey, "inner")
+    w = Window.partitionBy("l_partkey")
+    flagged = joined.withColumn(
+        "qty_threshold", F.round(0.2 * F.avg("l_quantity").over(w), 6)
+    )
+    return flagged.filter(F.col("l_quantity") < F.col("qty_threshold")).agg(
+        (
+            F.sum((F.col("l_extendedprice") * 100).cast("decimal(38,0)")) / 700.0
+        ).cast("double").alias("avg_yearly")
+    )
+
+
+_SMALL_QTY_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice * 100 AS DECIMAL(38,0))) / 700.0 AS DOUBLE)
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 6)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+# -- correlated per-row threshold over the same relation --------------------
+def q_above_cust_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above 1.3x their own customer's average order value,
+    censused per priority.
+
+    The self-correlated scalar avg decorrelates to a window on o_custkey
+    (one shuffle); the oracle keeps the textbook correlated form. Money
+    is summed in integer cents for cross-engine exactness.
+    """
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn(
+            "cust_avg", F.round(1.3 * F.avg("o_totalprice").over(w), 4)
+        )
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (
+                F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)")) / 100.0
+            ).cast("double").alias("total_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ABOVE_AVG_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(38,0))) / 100.0 AS DOUBLE)
+         AS total_value
+FROM orders o
+WHERE o.o_totalprice > (SELECT round(1.3 * avg(o2.o_totalprice), 4)
+                        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# -- outer-join count distribution (TPC-H Q13 shape) ------------------------
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of customers by how many orders they placed (including
+    zero — the LEFT OUTER join is the point).
+
+    Two keyed shuffles, both partial-aggregated: count per customer, then
+    count per order-count. The second groupBy's key cardinality is tiny
+    (max orders per customer), so the final exchange is a few bytes per
+    partition regardless of corpus size.
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_CUST_DIST_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# -- scalar max over an aggregated view (TPC-H Q15 shape) -------------------
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with maximum 1996Q1 revenue.
+
+    Revenue is aggregated once and persisted implicitly by AQE's exchange
+    reuse; the scalar `(SELECT max(...))` is a 1-row aggregate broadcast
+    back onto the same aggregate — no second scan of lineitem, no driver
+    round-trip. Revenue is summed in integer cents so the max-equality is
+    exact on both engines (a rounded-double equality would be one ulp of
+    summation drift away from dropping the winner).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = t(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).alias("revenue_cents")
+    )
+    max_rev = revenue.agg(F.max("revenue_cents").alias("max_cents"))
+    return (
+        revenue.join(
+            F.broadcast(max_rev),
+            revenue.revenue_cents == max_rev.max_cents,
+            "inner",
+        )
+        .join(supplier, revenue.l_suppkey == supplier.s_suppkey, "inner")
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            (F.col("revenue_cents") / 100.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_TOP_SUPP_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.revenue_cents / 100.0 AS total_revenue
+FROM revenue r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+# -- analytic rank family ---------------------------------------------------
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile(10) of every customer inside its
+    market segment, ordered by (acctbal, custkey).
+
+    One shuffle on the segment key serves all three window functions (same
+    frame). The tiebreak column makes every peer group a singleton, so
+    percent_rank and cume_dist are exact small-integer ratios — IEEE
+    division is bit-identical across engines before the 6dp rounding.
+    """
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("bal_percentile"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.ntile(10).over(w).alias("bal_decile"),
+    )
+
+
+_RANK_SUITE_SQL = """
+SELECT c_custkey, c_mktsegment,
+       round(percent_rank() OVER w, 6) AS bal_percentile,
+       round(cume_dist()    OVER w, 6) AS bal_cume_dist,
+       ntile(10)            OVER w     AS bal_decile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+# -- explicit asymmetric GROUPING SETS lattice ------------------------------
+def q_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document counts/chars on the asymmetric lattice ((lang, source),
+    (lang), ()) — rollup and cube exist in the catalog
+    (timeseries_queries.py); this is the free-form GROUPING SETS surface
+    with a set cube would not produce (no (source)-only stratum).
+
+    Spark expands grouping sets into a single exchange with the grouping-id
+    appended to the key — one shuffle for all three strata. The level
+    column is built from per-column `grouping()` bits on BOTH engines, so
+    no cross-engine grouping_id bit-order assumption is needed.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets([["lang", "source"], ["lang"], []], "lang", "source")
+        .agg(
+            (F.grouping("lang") * 2 + F.grouping("source")).alias("level"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("lang", "source", "level", "n_docs", "total_chars")
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT lang, source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS INTEGER) AS level,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+"""
+
+
+ENTRIES: dict[str, Q] = {
+    "exists_shipped_late": Q(
+        q_exists_shipped_late, _EXISTS_LATE_SQL, "EXISTS → semi join (Q4 shape)"
+    ),
+    "cold_customer_balances": Q(
+        q_cold_customer_balances,
+        _COLD_CUST_SQL,
+        "scalar avg threshold + NOT EXISTS anti join (Q22 shape)",
+    ),
+    "small_qty_avg_yearly": Q(
+        q_small_qty_avg_yearly,
+        _SMALL_QTY_SQL,
+        "correlated per-part avg → window (Q17 shape)",
+    ),
+    "above_cust_avg_orders": Q(
+        q_above_cust_avg_orders,
+        _ABOVE_AVG_SQL,
+        "self-correlated scalar avg → window",
+    ),
+    "customer_order_distribution": Q(
+        q_customer_order_distribution,
+        _CUST_DIST_SQL,
+        "left-outer count histogram (Q13 shape)",
+    ),
+    "top_revenue_supplier": Q(
+        q_top_revenue_supplier,
+        _TOP_SUPP_SQL,
+        "scalar max over aggregated view (Q15 shape)",
+    ),
+    "window_rank_suite": Q(
+        q_window_rank_suite, _RANK_SUITE_SQL, "percent_rank/cume_dist/ntile"
+    ),
+    "grouping_sets_mix": Q(
+        q_grouping_sets_mix, _GROUPING_SETS_SQL, "asymmetric GROUPING SETS"
+    ),
+}

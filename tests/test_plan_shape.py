@@ -27,6 +27,8 @@ NON_EQUI_OK = {
     "embedding_decontam",
     # 1-row epoch-totals aggregate joined in-flow, same as tfidf's N.
     "mixture_drift",
+    # 1-row broadcast scalar threshold (avg positive balance), Q22 shape.
+    "cold_customer_balances",
 }
 
 
@@ -284,3 +286,74 @@ def test_token_budget_windows_are_quality_band_partitioned(spark, sf_dir):
     plan = _plan(spark, sf_dir, "token_budget_select")
     assert "windowspecdefinition(qb" in plan
     assert plan.count("Window [") == 2  # band cumsum + 41-row offset lattice
+
+
+# -- subquery wave (plans/subquery_queries.py) ------------------------------
+def test_exists_compiles_to_semi_join(spark, sf_dir):
+    """Q4-shape EXISTS must be a LEFT SEMI equi-join on the FK with the
+    date predicate as residual — not an inner join + distinct, and never a
+    per-row probe."""
+    plan = _plan(spark, sf_dir, "exists_shipped_late")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_not_exists_compiles_to_anti_join_on_pruned_scan(spark, sf_dir):
+    """Q22-shape NOT EXISTS must be a LEFT ANTI join, and the orders-side
+    date filter must reach the parquet scan (scan-prune before shuffle)."""
+    plan = _plan(spark, sf_dir, "cold_customer_balances")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # PushedFilters
+
+
+def test_correlated_avg_decorrelates_to_window(spark, sf_dir):
+    """Q17-shape correlated scalar avg must be ONE window over the
+    correlation key — no lineitem self-join (the naive decorrelation)."""
+    plan = _plan(spark, sf_dir, "small_qty_avg_yearly")
+    assert "Window [" in plan
+    # exactly one join: lineitem ⋈ part — a second would be the self-join
+    joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 1, f"expected 1 join, plan has {joins}"
+
+
+def test_self_correlated_avg_is_window_no_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "above_cust_avg_orders")
+    assert "Window [" in plan
+    joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 0, f"window decorrelation must not join, plan has {joins}"
+
+
+def test_top_supplier_scalar_max_is_broadcast(spark, sf_dir):
+    """Q15-shape: the 1-row max joins back via broadcast — the revenue
+    aggregate must never shuffle against a 1-row side."""
+    plan = _plan(spark, sf_dir, "top_revenue_supplier")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rank_suite_single_window_exchange(spark, sf_dir):
+    """percent_rank / cume_dist / ntile share one frame: one Window node,
+    one exchange on the segment key."""
+    plan = _plan(spark, sf_dir, "window_rank_suite")
+    assert plan.count("Window [") == 1
+
+
+def test_grouping_sets_single_exchange(spark, sf_dir):
+    """The asymmetric lattice expands inside one aggregate: Expand + a
+    single pair of partial/final HashAggregates, not one scan per stratum."""
+    plan = _plan(spark, sf_dir, "grouping_sets_mix")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_bm25_tokenizes_once_via_reused_exchange(spark, sf_dir):
+    """BM25's corpus-stats branch must reuse the tiny-feature exchange, not
+    re-scan + re-tokenize documents. AQE stage reuse only materializes in
+    the FINAL adaptive plan, so this test executes the query (sf0.001) and
+    asserts exactly one live documents scan feeds both consumers."""
+    df = CATALOG["bm25_keyword_topk"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("FileScan parquet") == 1
+    assert "TakeOrderedAndProject" in final  # top-k, never a global sort
