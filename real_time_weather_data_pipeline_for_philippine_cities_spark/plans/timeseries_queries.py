@@ -645,7 +645,143 @@ SELECT o_custkey AS key FROM orders
 """
 
 
+# -- gap-fill resampling + linear interpolation -----------------------------
+RESAMPLE_BUCKET_S = 21600  # 6-hour buckets
+
+
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each user's event stream onto a 6-hour grid and linearly
+    interpolate the gaps — the resample/gap-fill primitive every telemetry
+    pipeline needs (the reference ingests on a fixed cadence and never has
+    to fill; SURVEY.md §7.6 generalizes to irregular streams).
+
+    Shapes at scale: one keyed groupBy onto (user, bucket); the grid is
+    sequence()-exploded per key, bounded by span/bucket (never corpus x
+    corpus); forward and backward IGNORE NULLS window passes share ONE
+    sort (same partition/order spec, two frames in one Window node).
+    Determinism: bucket means are integer-micro sums over exact ints; the
+    interpolation ratio is a quotient of bucket-index ints — both engines
+    evaluate the identical IEEE tree before the 6dp rounding.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / RESAMPLE_BUCKET_S).alias("b"),
+            F.round(F.col("value") * 1000000).cast("bigint").alias("micro"),
+        )
+        .groupBy("user_id", "b")
+        .agg(F.sum("micro").alias("sum_micro"), F.count(F.lit(1)).alias("cnt"))
+    )
+    span = obs.groupBy("user_id").agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = span.select(
+        "user_id", F.explode(F.expr("sequence(b0, b1)")).alias("b")
+    )
+    marked = grid.join(obs, ["user_id", "b"], "left").select(
+        "user_id",
+        "b",
+        ((F.col("sum_micro") / F.col("cnt")) / 1000000.0).alias("obs_val"),
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("obs_val").isNotNull(), F.col("b"))
+    filled = marked.select(
+        "user_id",
+        "b",
+        "obs_val",
+        F.last("obs_val", ignorenulls=True).over(w_fwd).alias("prev_val"),
+        F.last(obs_b, ignorenulls=True).over(w_fwd).alias("prev_b"),
+        F.first("obs_val", ignorenulls=True).over(w_bwd).alias("next_val"),
+        F.first(obs_b, ignorenulls=True).over(w_bwd).alias("next_b"),
+    )
+    ratio = (F.col("b") - F.col("prev_b")).cast("double") / (
+        F.col("next_b") - F.col("prev_b")
+    ).cast("double")
+    value_filled = (
+        F.when(F.col("obs_val").isNotNull(), F.round(F.col("obs_val"), 6))
+        .when(F.col("prev_val").isNull(), F.round(F.col("next_val"), 6))
+        .when(F.col("next_val").isNull(), F.round(F.col("prev_val"), 6))
+        .otherwise(
+            F.round(
+                F.col("prev_val")
+                + (F.col("next_val") - F.col("prev_val")) * ratio,
+                6,
+            )
+        )
+    )
+    src = (
+        F.when(F.col("obs_val").isNotNull(), F.lit("observed"))
+        .when(
+            F.col("prev_val").isNull() | F.col("next_val").isNull(), F.lit("edge")
+        )
+        .otherwise(F.lit("interpolated"))
+    )
+    return filled.select(
+        "user_id",
+        F.timestamp_seconds(F.col("b") * RESAMPLE_BUCKET_S).alias("bucket_ts"),
+        value_filled.alias("value_filled"),
+        src.alias("src"),
+    )
+
+
+_RESAMPLE_SQL = f"""
+WITH obs AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / {RESAMPLE_BUCKET_S}) AS BIGINT) AS b,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM span),
+marked AS (
+  SELECT g.user_id, g.b, (o.sum_micro / o.cnt) / 1000000.0 AS obs_val
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.b),
+filled AS (
+  SELECT user_id, b, obs_val,
+    last_value(obs_val IGNORE NULLS) OVER w_fwd AS prev_val,
+    last_value(CASE WHEN obs_val IS NOT NULL THEN b END IGNORE NULLS)
+      OVER w_fwd AS prev_b,
+    first_value(obs_val IGNORE NULLS) OVER w_bwd AS next_val,
+    first_value(CASE WHEN obs_val IS NOT NULL THEN b END IGNORE NULLS)
+      OVER w_bwd AS next_b
+  FROM marked
+  WINDOW
+    w_fwd AS (PARTITION BY user_id ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_bwd AS (PARTITION BY user_id ORDER BY b
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id,
+       make_timestamp(b * {RESAMPLE_BUCKET_S} * 1000000) AS bucket_ts,
+       CASE WHEN obs_val IS NOT NULL THEN round(obs_val, 6)
+            WHEN prev_val IS NULL THEN round(next_val, 6)
+            WHEN next_val IS NULL THEN round(prev_val, 6)
+            ELSE round(prev_val + (next_val - prev_val)
+                       * (CAST(b - prev_b AS DOUBLE)
+                          / CAST(next_b - prev_b AS DOUBLE)), 6) END
+         AS value_filled,
+       CASE WHEN obs_val IS NOT NULL THEN 'observed'
+            WHEN prev_val IS NULL OR next_val IS NULL THEN 'edge'
+            ELSE 'interpolated' END AS src
+FROM filled
+"""
+
+
 ENTRIES: dict[str, Q] = {
+    "resample_interpolate": Q(
+        q_resample_interpolate,
+        _RESAMPLE_SQL,
+        "6h gap-fill resampling + linear interpolation per key",
+    ),
     "asof_join": Q(q_asof_join, _ASOF_SQL, "backward as-of join, one shuffle"),
     "range_join_transit": Q(
         q_range_join_transit, _RANGE_JOIN_SQL, "binned point-in-interval range join"

@@ -277,3 +277,54 @@ def test_event_value_outliers_flags_planted_spike(spark, tmp_path):
            q_event_value_outliers(spark, str(tmp_path)).collect()}
     assert got["a"]["n_outliers"] == 1  # the 1000.0 spike
     assert got["b"]["n_outliers"] == 0 and got["b"]["std_value"] == 0.0
+
+
+def test_resample_interpolate_hand_computed(spark, tmp_path):
+    """Planted series: user 7 observes buckets b, b+2, b+5 (values 2, 8, 2)
+    — the gaps must fill linearly (b+1 -> 5.0; b+3 -> 6.0, b+4 -> 4.0) and
+    two same-bucket observations must average exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.timeseries_queries import (
+        RESAMPLE_BUCKET_S,
+        q_resample_interpolate,
+    )
+
+    base = dt.datetime(2024, 6, 1)  # midnight: exact bucket boundary
+    step = dt.timedelta(seconds=RESAMPLE_BUCKET_S)
+    rows = [  # (event_id, ts, value)
+        (1, base + 0 * step, 1.0),
+        (2, base + 0 * step + dt.timedelta(minutes=5), 3.0),  # same bucket -> avg 2.0
+        (3, base + 2 * step, 8.0),
+        (4, base + 5 * step, 2.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([7] * len(rows), pa.int64()),
+                "event_type": pa.array(["m"] * len(rows), pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    df = q_resample_interpolate(spark, str(tmp_path))
+    out = {r["bucket_ts"]: (r["value_filled"], r["src"]) for r in df.collect()}
+    assert len(out) == 6  # grid spans b0..b0+5 inclusive
+    got = {int((k - base).total_seconds()) // RESAMPLE_BUCKET_S: v for k, v in out.items()}
+    assert got[0] == (2.0, "observed")  # same-bucket average
+    assert got[1] == (5.0, "interpolated")  # midpoint of 2 and 8
+    assert got[2] == (8.0, "observed")
+    assert got[3] == (6.0, "interpolated")  # 8 + (2-8)*1/3
+    assert got[4] == (4.0, "interpolated")  # 8 + (2-8)*2/3
+    assert got[5] == (2.0, "observed")
+    # both IGNORE NULLS passes must share one sort: a single Window node
+    # (count only the FINAL adaptive plan — toString appends the initial
+    # plan after execution, which would double-count)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("Window [") == 1
