@@ -1,0 +1,116 @@
+"""Graph centrality over the near-duplicate graph.
+
+Beyond-reference operator (SURVEY.md §7.6 family): an authority score for
+every document from the duplicate-pair graph — the standard curation trick
+for picking which copy of a template family to keep (a high-centrality hub
+is boilerplate; a leaf is more likely original), complementing
+``dedup_cluster_assign``'s purely structural canonical choice.
+
+Determinism contract: the entire recurrence is INTEGER arithmetic on a
+1e9 lattice — init = SCALE div N, per-neighbor contribution =
+rank div degree, damping = (15 * base + 85 * Σ) div 100 — so there is no
+floating-point fold anywhere and both engines produce identical BIGINTs
+regardless of partitioning or summation order. (A double-based PageRank
+cannot be hash-compared across engines: neighbor sums are fold-order
+sensitive.) Mass is NOT conserved (integer floors drop remainders,
+dangling mass is dropped by design); scores are a ranking signal, not a
+probability distribution, and the docstring is the spec.
+
+Scale shape per iteration: one keyed equi-join (ranks ⋈ edges on src) +
+one map-combined groupBy(dst) sum + one left join back onto the node set —
+all shuffles on the same doc-id key, AQE-sized. The edge list (with
+degrees baked in) is computed once and persisted across the fixed
+iteration count. Iterations are a constant (default 5), not
+convergence-tested: a fixed-depth unrolled loop keeps the lineage bounded
+and the oracle expressible as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 1_000_000_000
+PAGERANK_ITERS = 5
+
+
+def pagerank_scores(
+    docs: DataFrame,
+    pairs: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-lattice damped PageRank over an undirected pair list.
+
+    ``pairs`` must have columns (doc_a, doc_b) with doc_a < doc_b (the
+    near-dup pair convention); every doc in ``docs`` is a node (isolated
+    docs keep the damped base score).
+    Returns (doc_id, rank) with rank BIGINT on the 1e9 lattice.
+    """
+    nodes = docs.select(F.col(id_col).alias("doc_id"))
+    # Undirected → both directions; degree baked onto each edge so the
+    # per-iteration join needs no second lookup.
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").persist()
+
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n_docs"))
+    # base = SCALE div N, attached to every node in-flow (1-row broadcast —
+    # no driver collect, same pattern as tfidf's corpus N).
+    base = F.expr(f"{PAGERANK_SCALE} div n_docs")
+    ranks = nodes.join(F.broadcast(n_row)).select(
+        "doc_id", base.alias("rank"), base.alias("base")
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(edges_deg, ranks.doc_id == edges_deg.src, "inner")
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                F.expr("(15 * base + 85 * coalesce(s, 0)) div 100").alias("rank"),
+                "base",
+            )
+        )
+    return ranks.select("doc_id", "rank")
+
+
+def pagerank_sql(
+    pairs_sql: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    iters: int = PAGERANK_ITERS,
+) -> str:
+    """DuckDB twin: the same integer recurrence as chained CTEs."""
+    ctes = [
+        f"nodes AS (SELECT {id_col} AS doc_id FROM {table})",
+        f"pairs AS ({pairs_sql})",
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src)",
+        "edges_deg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src)",
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM nodes)",
+        f"r0 AS (SELECT doc_id, {PAGERANK_SCALE} // n_docs AS rank,"
+        f" {PAGERANK_SCALE} // n_docs AS base FROM nodes, n)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst, CAST(sum(r.rank // e.deg) AS BIGINT) AS s"
+            f" FROM r{i} r JOIN edges_deg e ON r.doc_id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT r.doc_id,"
+            f" (15 * r.base + 85 * coalesce(c.s, 0)) // 100 AS rank, r.base"
+            f" FROM r{i} r LEFT JOIN c{i} c ON c.dst = r.doc_id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, rank FROM r{iters}"
+    )

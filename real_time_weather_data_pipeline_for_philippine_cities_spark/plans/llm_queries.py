@@ -548,7 +548,30 @@ FROM documents
 """
 
 
+# -- PageRank authority over the dup graph ---------------------------------
+def q_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-lattice damped PageRank over the SAME minhash pair graph as
+    dedup_cluster_assign — the authority complement to the structural
+    canonical choice (operators/graph.py has the determinism contract)."""
+    from ..operators.graph import pagerank_scores
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs).select("doc_a", "doc_b")
+    return pagerank_scores(docs, pairs)
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import pagerank_sql
+
+    return pagerank_sql(f"SELECT doc_a, doc_b FROM ({D.minhash_near_dup_sql()})")
+
+
 ENTRIES: dict[str, Q] = {
+    "pagerank_dup_graph": Q(
+        q_pagerank_dup_graph,
+        _pagerank_oracle(),
+        "integer-lattice PageRank over the minhash dup graph",
+    ),
     "training_order": Q(
         q_training_order, _TRAIN_ORDER_SQL, "scalable epoch-shuffle positions"
     ),

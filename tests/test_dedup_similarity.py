@@ -395,3 +395,35 @@ def test_weighted_sample_expected_counts_track_weight_share(spark):
     heavy = sum(1 for d in kept if d % 2 == 1)
     # heavy rows hold 90% of the weight: expect ~90 of 100 picks
     assert heavy >= 75, heavy
+
+
+def test_pagerank_hand_computed_path_and_star(spark):
+    """Integer-lattice recurrence checked against a hand-run of the same
+    integer ops on a 3-node path (a-b, b-c) plus an isolated node, and the
+    hub of a star must out-rank its leaves."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank_scores,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["rank"] for r in pagerank_scores(docs, pairs, iters=3).collect()}
+
+    # hand-run the identical integer recurrence
+    base = PAGERANK_SCALE // 4
+    deg = {0: 1, 1: 2, 2: 1}
+    adj = {0: [1], 1: [0, 2], 2: [1]}
+    r = {v: base for v in range(4)}
+    for _ in range(3):
+        s = {v: sum(r[u] // deg[u] for u in adj.get(v, [])) for v in range(4)}
+        r = {v: (15 * base + 85 * s[v]) // 100 for v in range(4)}
+    assert got == r
+    # isolated node keeps the damped base only
+    assert got[3] == (15 * base) // 100
+
+    # star: hub 0 with 4 leaves — hub rank strictly highest
+    docs5 = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "doc_a long, doc_b long")
+    sr = {r["doc_id"]: r["rank"] for r in pagerank_scores(docs5, star).collect()}
+    assert sr[0] > max(sr[i] for i in range(1, 5))

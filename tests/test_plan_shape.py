@@ -29,6 +29,10 @@ NON_EQUI_OK = {
     "mixture_drift",
     # 1-row broadcast scalar threshold (avg positive balance), Q22 shape.
     "cold_customer_balances",
+    # 1-row broadcast of N for the integer base rank, same as tfidf's N.
+    "pagerank_dup_graph",
+    # 1-row broadcast of corpus stats (N, Σdl, df per term), same pattern.
+    "bm25_keyword_topk",
 }
 
 
