@@ -54,7 +54,14 @@ def pagerank_scores(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(deg, "src").persist()
+    # Eager localCheckpoint, not persist(): the pair-generation subtree
+    # (minhash signatures, band joins) would otherwise be INLINED once per
+    # unrolled iteration in the logical plan — optimizer time then grows
+    # with iterations × subtree size and dominates wall clock (measured
+    # ~25 s vs ~5 s at sf0.1 for identical results). Checkpointing
+    # replaces it with a LogicalRDD leaf, same lineage hygiene as
+    # connected_components (dedup.py).
+    edges_deg = edges.join(deg, "src").localCheckpoint()
 
     n_row = nodes.agg(F.count(F.lit(1)).alias("n_docs"))
     # base = SCALE div N, attached to every node in-flow (1-row broadcast —

@@ -30,6 +30,7 @@ for _mod_name in (
     "curation_queries",
     "subquery_queries",
     "search_queries",
+    "profiling_queries",
 ):
     from importlib import import_module
 
