@@ -875,7 +875,86 @@ FROM sm
 """
 
 
+# -- deterministic train/val/test split ------------------------------------
+SPLIT_SALT = "split"
+SPLIT_TRAIN_LT = 9000  # bucket < 9000 -> train (90%)
+SPLIT_VAL_LT = 9500  # 9000 <= bucket < 9500 -> val (5%); rest test
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by salted md5 hash bucket
+    and report per (lang, split) doc counts, char totals, and the split
+    share within each language.
+
+    Hash assignment, never RNG: the split is a pure function of doc_id, so
+    it is stable under repartitioning, incremental reprocessing, and
+    engine choice — a document can NEVER migrate between train and test
+    across pipeline reruns (the leakage mode an RNG split invites). Same
+    bucket family as stratified_sample (operators/dedup.py) with a
+    distinct salt, so sampling and splitting stay independent.
+    Shapes: one scan, one map-combined groupBy; the per-lang share joins
+    the tiny lang-totals aggregate back broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"CAST(conv(substring(md5(concat('{SPLIT_SALT}', CAST(doc_id AS STRING))), 1, 7),"
+        " 16, 10) AS LONG) % 10000"
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per = (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    lang_tot = per.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
+    return (
+        per.join(F.broadcast(lang_tot), "lang")
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("n_docs").cast("double") / F.col("lang_docs"), 6).alias(
+                "lang_share"
+            ),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+_DATASET_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN ('0x' || substring(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000
+                   < {SPLIT_TRAIN_LT} THEN 'train'
+              WHEN ('0x' || substring(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000
+                   < {SPLIT_VAL_LT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+per AS (
+  SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM assigned GROUP BY lang, split),
+tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs FROM per GROUP BY lang)
+SELECT p.lang, p.split, p.n_docs, p.total_chars,
+       round(CAST(p.n_docs AS DOUBLE) / t.lang_docs, 6) AS lang_share
+FROM per p JOIN tot t ON t.lang = p.lang
+ORDER BY p.lang, p.split
+"""
+
+
 ENTRIES: dict[str, Q] = {
+    "dataset_split": Q(
+        q_dataset_split,
+        _DATASET_SPLIT_SQL,
+        "hash-bucket train/val/test split with per-lang shares",
+    ),
     "segment_dup_fraction": Q(
         q_segment_dup_fraction,
         _SEGMENT_DUP_SQL,

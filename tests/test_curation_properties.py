@@ -118,3 +118,22 @@ def test_curation_funnel_stage_monotonicity(spark, tmp_path, texts):
     assert r["n_total"] >= r["n_quality"] >= r["n_unique"] >= r["n_capped"]
     assert r["tok_total"] >= r["tok_quality"] >= r["tok_unique"] >= r["tok_capped"]
     assert r["n_total"] == len(texts)
+
+
+def test_dataset_split_exhaustive_disjoint_and_shares(spark, sf_dir):
+    """Every document lands in exactly one split (counts conserve), and
+    per-language shares sum to 1 within rounding."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+        q_dataset_split,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.base import t
+
+    rows = q_dataset_split(spark, sf_dir).collect()
+    n_docs_total = t(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert abs(sum(r["lang_share"] for r in rs) - 1.0) < 1e-5, lang
+        assert len({r["split"] for r in rs}) == len(rs)  # disjoint strata
