@@ -35,49 +35,54 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     as strings: the engines' float-to-text shortest-representation rules
     differ, raw parquet doubles are bit-identical).
 
-    One scan; every statistic is a map-combinable aggregate (the distincts
-    are Spark's partial-aggregated count(DISTINCT) rewrite — an Expand,
-    not one job per column). At 100 TB you'd swap exact distincts for
-    approx_count_distinct — the exact form IS the oracle-checkable twin
-    of that sketch (tests/test_approx_sketches.py covers the error
-    bounds)."""
+    Shape: one PRUNED single-column scan per profiled column (parquet is
+    columnar, so five single-column scans read the same bytes as one
+    five-column scan), each feeding a partial-aggregated hash distinct +
+    a min/max/null aggregate, unioned long-format. This deliberately
+    AVOIDS the single-pass ``agg(count_distinct×5, min, max, ...)`` form:
+    mixed distinct + string-buffered min/max forces Spark's
+    multi-distinct Expand (6× row multiplication) into SortAggregate —
+    measured 2-4x slower on identical results at sf0.1. At 100 TB you'd
+    swap exact distincts for approx_count_distinct — the exact form IS
+    the oracle-checkable twin of that sketch
+    (tests/test_approx_sketches.py covers the error bounds)."""
     ev = t(spark, sf_dir, "events")
-    aggs = []
+    parts = []
     for c, num in _PROFILE_COLS:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-        ]
+        base = ev.select(c)
+        stats = base.agg(
+            F.sum(F.col(c).isNull().cast("bigint")).alias("n_nulls"),
+            F.min(F.col(c).cast("double") if num else F.col(c)).alias("mn"),
+            F.max(F.col(c).cast("double") if num else F.col(c)).alias("mx"),
+        )
+        # two-level exact distinct: partial-agg'd groupBy, then a 1-row
+        # count — stays on the HashAggregate codegen path.
+        dist = base.distinct().agg(F.count(F.col(c)).alias("n_distinct"))
         if num:
-            aggs += [
-                F.min(F.col(c).cast("double")).alias(f"{c}__min"),
-                F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+            mm = [
+                F.col("mn").alias("min_num"),
+                F.col("mx").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
             ]
         else:
-            aggs += [
-                F.min(F.col(c)).alias(f"{c}__min"),
-                F.max(F.col(c)).alias(f"{c}__max"),
+            mm = [
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col("mn").alias("min_str"),
+                F.col("mx").alias("max_str"),
             ]
-    wide = ev.agg(*aggs)
-    # wide 1-row → long: stack() keeps it a single job, no shuffle of data
-    # rows (the 1-row aggregate is all that reaches the driver-side pivot).
-    rows = []
-    for c, num in _PROFILE_COLS:
-        if num:
-            rows.append(
-                f"'{c}', {c}__nulls, {c}__distinct,"
-                f" {c}__min, {c}__max, CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        parts.append(
+            # 1-row × 1-row broadcast join (BNLJ degenerate case —
+            # whitelisted in tests/test_plan_shape.py NON_EQUI_OK).
+            stats.join(F.broadcast(dist)).select(
+                F.lit(c).alias("column_name"), "n_nulls", "n_distinct", *mm
             )
-        else:
-            rows.append(
-                f"'{c}', {c}__nulls, {c}__distinct,"
-                f" CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), {c}__min, {c}__max"
-            )
-    n = len(_PROFILE_COLS)
-    return wide.selectExpr(
-        f"stack({n}, {', '.join(rows)})"
-        " AS (column_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
-    )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def _profile_sql() -> str:

@@ -33,6 +33,8 @@ NON_EQUI_OK = {
     "pagerank_dup_graph",
     # 1-row broadcast of corpus stats (N, Σdl, df per term), same pattern.
     "bm25_keyword_topk",
+    # per-column 1-row × 1-row stat joins (profiling_queries.py).
+    "table_profile",
 }
 
 
