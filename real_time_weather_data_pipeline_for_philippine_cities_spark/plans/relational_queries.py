@@ -548,6 +548,32 @@ FROM lineitem WHERE l_linenumber = 2
 """
 
 
+# -- INTERSECT ALL (multiset intersection) ---------------------------------
+def q_multiset_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersectAll keeps min(multiplicity) copies of each (partkey,
+    suppkey) pair common to line 1 and line 2 — the multiset dual of
+    multiset_except_all, completing the bag-semantics set-op surface
+    (UNION ALL / EXCEPT ALL / INTERSECT ALL). Physical shape: one shuffle
+    on the pair key with per-side partial counts — no pairwise join."""
+    li = t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    )
+    l2 = li.filter(F.col("l_linenumber") == 2).select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    )
+    return l1.intersectAll(l2)
+
+
+_INTERSECT_ALL_SQL = """
+SELECT l_partkey AS partkey, l_suppkey AS suppkey
+FROM lineitem WHERE l_linenumber = 1
+INTERSECT ALL
+SELECT l_partkey AS partkey, l_suppkey AS suppkey
+FROM lineitem WHERE l_linenumber = 2
+"""
+
+
 # -- §3.2 composite: the location-refresh subflow shape --------------------
 def q_location_refresh_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cities⋈provinces left join + snapshot diff, on testdata analogs.
@@ -742,6 +768,9 @@ ENTRIES: dict[str, Q] = {
     ),
     "multiset_except_all": Q(
         q_multiset_except_all, _EXCEPT_ALL_SQL, "EXCEPT ALL multiset diff"
+    ),
+    "multiset_intersect_all": Q(
+        q_multiset_intersect_all, _INTERSECT_ALL_SQL, "INTERSECT ALL multiset"
     ),
     "location_refresh_diff": Q(
         q_location_refresh_diff, _LOCATION_REFRESH_SQL, "§3.2 composite subflow"
