@@ -776,7 +776,65 @@ FROM filled
 """
 
 
+# -- trailing RANGE-frame window over raw event time ------------------------
+TRAIL_RANGE_S = 3600  # 1-hour trailing interval
+
+
+def q_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: that user's value sum and event count over the trailing
+    hour — a RANGE frame over event time, not a ROWS frame (moving_avg_7d
+    covers ROWS over pre-aggregated days; this is the interval-frame
+    surface where peers are chosen by KEY DISTANCE, so rows landing in
+    the same second share one frame regardless of physical order).
+
+    Cross-engine determinism: the ordering key is integer epoch-seconds
+    (identical floor in both engines — never the engines' fractional
+    epoch), values are summed as integer micro-units, and the frame is
+    [key-3600, key] on exact BIGINTs. One shuffle on user_id.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    keyed = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("micro"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-TRAIL_RANGE_S, Window.currentRow)
+    )
+    return keyed.select(
+        "event_id",
+        "user_id",
+        "sec",
+        (F.sum("micro").over(w) / 1000000.0).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_cnt"),
+    )
+
+
+_TRAILING_SQL = f"""
+SELECT event_id, user_id, sec,
+       CAST(sum(micro) OVER w AS BIGINT) / 1000000.0 AS trail_sum,
+       CAST(count(*) OVER w AS BIGINT) AS trail_cnt
+FROM (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(value * 1000000) AS BIGINT) AS micro
+  FROM events WHERE value IS NOT NULL)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN {TRAIL_RANGE_S} PRECEDING AND CURRENT ROW)
+"""
+
+
 ENTRIES: dict[str, Q] = {
+    "trailing_hour_stats": Q(
+        q_trailing_hour_stats,
+        _TRAILING_SQL,
+        "trailing 1h RANGE-frame window per user over raw event time",
+    ),
     "resample_interpolate": Q(
         q_resample_interpolate,
         _RESAMPLE_SQL,
