@@ -427,3 +427,24 @@ def test_pagerank_hand_computed_path_and_star(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 5)], "doc_a long, doc_b long")
     sr = {r["doc_id"]: r["rank"] for r in pagerank_scores(docs5, star).collect()}
     assert sr[0] > max(sr[i] for i in range(1, 5))
+
+
+def test_pagerank_invariant_under_repartitioning(spark):
+    """The integer-lattice claim, tested: ranks are bit-identical whatever
+    the physical partitioning of nodes and edges (a double-based PageRank
+    fails this — neighbor-sum fold order changes with partitioning)."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.graph import (
+        pagerank_scores,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(40) for j in range(i + 1, 40) if (i * 7 + j) % 5 == 0],
+        "doc_a long, doc_b long",
+    )
+    base = {r["doc_id"]: r["rank"] for r in pagerank_scores(docs, pairs).collect()}
+    skewed = {
+        r["doc_id"]: r["rank"]
+        for r in pagerank_scores(docs.repartition(7), pairs.repartition(3)).collect()
+    }
+    assert base == skewed
