@@ -16,13 +16,14 @@ sensitive.) Mass is NOT conserved (integer floors drop remainders,
 dangling mass is dropped by design); scores are a ranking signal, not a
 probability distribution, and the docstring is the spec.
 
-Scale shape per iteration: one keyed equi-join (ranks ⋈ edges on src) +
-one map-combined groupBy(dst) sum + one left join back onto the node set —
-all shuffles on the same doc-id key, AQE-sized. The edge list (with
-degrees baked in) is computed once and persisted across the fixed
-iteration count. Iterations are a constant (default 5), not
-convergence-tested: a fixed-depth unrolled loop keeps the lineage bounded
-and the oracle expressible as chained CTEs.
+Scale shape per iteration: ONE keyed equi-join (ranks ⋈ edges on src) +
+ONE map-combined groupBy(dst) — no left-join-back, because every
+connected node receives a contribution each round (undirected edges ⇒ it
+is someone's dst), and isolated nodes are a constant fixed point appended
+once at the end. The edge list (degrees and the global base baked in) is
+checkpointed once across the fixed iteration count. Iterations are a
+constant (default 5), not convergence-tested: a fixed-depth unrolled loop
+keeps the lineage bounded and the oracle expressible as chained CTEs.
 """
 
 from __future__ import annotations
@@ -54,6 +55,11 @@ def pagerank_scores(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n_docs"))
+    # base = SCALE div N is a GLOBAL constant: bake it onto every edge row
+    # before the checkpoint (1-row broadcast — no driver collect, same
+    # pattern as tfidf's corpus N) so the iteration loop never needs a
+    # second input.
     # Eager localCheckpoint, not persist(): the pair-generation subtree
     # (minhash signatures, band joins) would otherwise be INLINED once per
     # unrolled iteration in the logical plan — optimizer time then grows
@@ -61,31 +67,52 @@ def pagerank_scores(
     # ~25 s vs ~5 s at sf0.1 for identical results). Checkpointing
     # replaces it with a LogicalRDD leaf, same lineage hygiene as
     # connected_components (dedup.py).
-    edges_deg = edges.join(deg, "src").localCheckpoint()
+    edges_deg = (
+        edges.join(deg, "src")
+        .join(F.broadcast(n_row))
+        .select(
+            "src", "dst", "deg", F.expr(f"{PAGERANK_SCALE} div n_docs").alias("base")
+        )
+        .localCheckpoint()
+    )
 
-    n_row = nodes.agg(F.count(F.lit(1)).alias("n_docs"))
-    # base = SCALE div N, attached to every node in-flow (1-row broadcast —
-    # no driver collect, same pattern as tfidf's corpus N).
-    base = F.expr(f"{PAGERANK_SCALE} div n_docs")
-    ranks = nodes.join(F.broadcast(n_row)).select(
-        "doc_id", base.alias("rank"), base.alias("base")
+    # Iterate ONLY over connected nodes: every node with an edge receives
+    # a contribution each round (undirected ⇒ it is someone's dst), so one
+    # join + one aggregate per round replaces join + agg + left-join-back.
+    # Isolated nodes are a fixed point from round 1 — rank = (15·base)
+    # div 100 forever — appended once at the end.
+    ranks = edges_deg.select("src").distinct().join(F.broadcast(n_row)).select(
+        F.col("src").alias("doc_id"),
+        F.expr(f"{PAGERANK_SCALE} div n_docs").alias("rank"),
     )
     for _ in range(iters):
-        contrib = (
-            ranks.join(edges_deg, ranks.doc_id == edges_deg.src, "inner")
-            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
         ranks = (
-            ranks.join(contrib, ranks.doc_id == contrib.dst, "left")
+            ranks.join(edges_deg, ranks.doc_id == edges_deg.src, "inner")
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"), "base")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"), F.max("base").alias("base"))
             .select(
-                "doc_id",
-                F.expr("(15 * base + 85 * coalesce(s, 0)) div 100").alias("rank"),
-                "base",
+                F.col("dst").alias("doc_id"),
+                F.expr("(15 * base + 85 * s) div 100").alias("rank"),
             )
         )
-    return ranks.select("doc_id", "rank")
+    isolated = (
+        nodes.join(
+            edges_deg.select(F.col("src").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        .join(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            F.expr(
+                f"(15 * ({PAGERANK_SCALE} div n_docs)) div 100"
+                if iters > 0
+                else f"{PAGERANK_SCALE} div n_docs"
+            ).alias("rank"),
+        )
+    )
+    return ranks.select("doc_id", "rank").union(isolated)
 
 
 def pagerank_sql(
