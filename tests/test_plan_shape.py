@@ -363,3 +363,27 @@ def test_bm25_tokenizes_once_via_reused_exchange(spark, sf_dir):
     assert "ReusedExchange" in final
     assert final.count("FileScan parquet") == 1
     assert "TakeOrderedAndProject" in final  # top-k, never a global sort
+
+
+def test_pagerank_iterates_on_checkpointed_edges(spark, sf_dir):
+    """The iteration loop must see the edge list as a LogicalRDD leaf
+    (eager localCheckpoint), never the inlined minhash subtree — and the
+    loop itself is exactly one equi-join per round plus the isolated-node
+    anti join (no per-round left-join-back onto the node set)."""
+    plan = _plan(spark, sf_dir, "pagerank_dup_graph")
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "ExistingRDD" in final  # checkpointed edges leaf
+    assert "md5" not in final  # minhash subtree fully behind the checkpoint
+    rounds = sum(
+        final.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.graph import (
+        PAGERANK_ITERS,
+    )
+
+    # ITERS round joins + exactly one isolated-node anti join
+    assert rounds == PAGERANK_ITERS + 1, (
+        f"expected {PAGERANK_ITERS}+1 joins, got {rounds}"
+    )
+    assert final.count("LeftAnti") == 1  # isolated nodes, once
