@@ -353,7 +353,137 @@ GROUP BY GROUPING SETS ((lang, source), (lang), ())
 """
 
 
+# -- nation-pair trade volume (TPC-H Q7 shape) ------------------------------
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between two fixed nations, per (supplier nation,
+    customer nation, ship year) — the classic two-sided dimension filter
+    over a lineitem⋈orders⋈customer⋈supplier⋈nation² join tree.
+
+    Scale shape: both nation filters prune their dimension BEFORE the
+    joins (each side keeps 1/25 of customers/suppliers); the only
+    fact-fact shuffle is lineitem⋈orders on the order key — every
+    dimension side stays broadcast-able. Revenue in integer cents.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    n1 = nation.filter(F.col("n_name").isin("NATION_3", "NATION_7")).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin("NATION_3", "NATION_7")).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                )
+                / 100.0
+            ).alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+_TRADE_VOLUME_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+         / 100.0 AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+  AND n2.n_name IN ('NATION_3', 'NATION_7')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# -- disjunctive predicate pushdown (TPC-H Q19 shape) -----------------------
+def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR of three (brand, size-range, quantity-range)
+    conjunctions — the pushdown stress shape: the common l_quantity
+    bounds reach the lineitem scan while the per-branch residual
+    evaluates post-join. One fact⋈dimension join; AQE broadcasts the
+    brand-filtered part side at small SF.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.filter(branch1 | branch2 | branch3).agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_DISJUNCTIVE_SQL = """
+SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
 ENTRIES: dict[str, Q] = {
+    "nation_trade_volume": Q(
+        q_nation_trade_volume, _TRADE_VOLUME_SQL, "nation-pair volume (Q7 shape)"
+    ),
+    "disjunctive_brand_revenue": Q(
+        q_disjunctive_brand_revenue,
+        _DISJUNCTIVE_SQL,
+        "OR-of-conjunctions pushdown (Q19 shape)",
+    ),
     "exists_shipped_late": Q(
         q_exists_shipped_late, _EXISTS_LATE_SQL, "EXISTS → semi join (Q4 shape)"
     ),
