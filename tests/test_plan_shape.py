@@ -336,6 +336,32 @@ def test_top_supplier_scalar_max_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_trade_volume_nation_dims_broadcast(spark, sf_dir):
+    """Q7-shape: both pruned nation dims must ride in as broadcasts (the
+    1/25-selectivity filter happens BEFORE the join), and no branch of the
+    5-way tree may degrade to a nested-loop — the only shuffle allowed is
+    the fact⋈fact lineitem⋈orders key exchange."""
+    plan = _plan(spark, sf_dir, "nation_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 2  # the two nation sides
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the nation prune reaches the dimension scan, not post-join
+    assert "In(n_name" in plan  # PushedFilters on the nation scans
+
+
+def test_disjunctive_quantity_bounds_pushed_to_scan(spark, sf_dir):
+    """Q19-shape: the OR of three (brand,size,quantity) conjunctions must
+    contribute its lineitem-only disjunction to the scan (Spark's CNF
+    extraction) — the scan prunes on the quantity-range union instead of
+    reading every lineitem row into the join."""
+    plan = _plan(spark, sf_dir, "disjunctive_brand_revenue")
+    li_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    ]
+    assert li_scans, "no lineitem scan found"
+    assert "l_quantity" in li_scans[0].split("PushedFilters:")[-1]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_rank_suite_single_window_exchange(spark, sf_dir):
     """percent_rank / cume_dist / ntile share one frame: one Window node,
     one exchange on the segment key."""
