@@ -475,7 +475,131 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
 """
 
 
+# -- multi-correlated EXISTS + NOT EXISTS (TPC-H Q21 shape) -----------------
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who single-handedly kept finished multi-supplier orders
+    waiting: their line shipped >30 days after the order date, the order
+    has at least one OTHER supplier (EXISTS), and no other supplier was
+    late on it (NOT EXISTS). The Q21 shape — two correlated subqueries on
+    the SAME fact decorrelated into one LEFT SEMI and one LEFT ANTI join,
+    both keyed on l_orderkey with the supplier/date residuals evaluated
+    inside the join.
+
+    Scale shape: all three lineitem sides shuffle on the same key
+    (l_orderkey), so AQE plans co-partitioned hash joins — no per-order
+    probe, no distinct, no window. The supplier dim joins at the end,
+    AFTER the count-reducing semi/anti pair.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = t(spark, sf_dir, "supplier")
+    waiting = (
+        li.select(
+            F.col("l_orderkey").alias("w_okey"),
+            F.col("l_suppkey").alias("w_supp"),
+            "l_shipdate",
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("w_okey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("x_okey"),
+        F.col("l_suppkey").alias("x_supp"),
+        F.col("l_shipdate").alias("x_ship"),
+    )
+    multi = waiting.join(
+        other,
+        (F.col("w_okey") == F.col("x_okey")) & (F.col("x_supp") != F.col("w_supp")),
+        "left_semi",
+    )
+    sole = multi.join(
+        other,
+        (F.col("w_okey") == F.col("x_okey"))
+        & (F.col("x_supp") != F.col("w_supp"))
+        & (F.col("x_ship") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_anti",
+    )
+    return (
+        sole.join(supp, F.col("w_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+_SOLE_LATE_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+# -- HAVING over a global scalar-of-aggregate (TPC-H Q11 shape) -------------
+def q_significant_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part types whose total retail value exceeds 1/8 of the whole
+    catalog's value — HAVING sum(x) > (SELECT sum(x)/8 FROM ...), the Q11
+    shape where the scalar threshold compares against an ALREADY-AGGREGATED
+    result, not a base scan.
+
+    Scale shape: one map-combined groupBy over part, then the global
+    threshold as an unbounded window over the AGGREGATED lattice — the
+    window's single partition holds group-cardinality rows (6 types), not
+    corpus rows, so the "all data to one partition" cost is a few rows no
+    matter the fact size. One scan, one shuffle, zero joins. Integer-cents
+    sums keep the comparison fold-order-free and exact across engines.
+    """
+    part = t(spark, sf_dir, "part")
+    per_type = part.groupBy("p_type").agg(
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.partitionBy()  # over the 6-row aggregate, NOT the fact
+    return (
+        per_type.withColumn("thr_cents", F.sum("cents").over(w) / F.lit(8))
+        .filter(F.col("cents") > F.col("thr_cents"))
+        .select("p_type", (F.col("cents") / 100.0).alias("total_value"))
+        .orderBy(F.desc("total_value"), "p_type")
+    )
+
+
+_SIGNIFICANT_TYPES_SQL = """
+SELECT p_type,
+       sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS total_value
+FROM part
+GROUP BY p_type
+HAVING sum(CAST(round(p_retailprice * 100) AS BIGINT))
+     > (SELECT sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 8.0 FROM part)
+ORDER BY total_value DESC, p_type
+"""
+
+
 ENTRIES: dict[str, Q] = {
+    "sole_late_supplier": Q(
+        q_sole_late_supplier,
+        _SOLE_LATE_SQL,
+        "EXISTS + NOT EXISTS on one fact (Q21 shape)",
+    ),
+    "significant_part_types": Q(
+        q_significant_part_types,
+        _SIGNIFICANT_TYPES_SQL,
+        "HAVING vs scalar-of-aggregate (Q11 shape)",
+    ),
     "nation_trade_volume": Q(
         q_nation_trade_volume, _TRADE_VOLUME_SQL, "nation-pair volume (Q7 shape)"
     ),

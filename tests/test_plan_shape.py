@@ -362,6 +362,29 @@ def test_disjunctive_quantity_bounds_pushed_to_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sole_late_supplier_semi_plus_anti(spark, sf_dir):
+    """Q21-shape: the two correlated subqueries on the same fact must
+    decorrelate to one LEFT SEMI and one LEFT ANTI hash join keyed on
+    l_orderkey — never a per-order probe, a distinct, or a nested loop."""
+    plan = _plan(spark, sf_dir, "sole_late_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Distinct" not in plan
+
+
+def test_significant_types_threshold_is_post_agg_window(spark, sf_dir):
+    """Q11-shape: the scalar-of-aggregate threshold must come from a
+    window over the ALREADY-AGGREGATED lattice (group-cardinality rows) —
+    one part scan, zero joins; a second scan or a self-join of the
+    aggregate would double the fact cost at scale."""
+    plan = _plan(spark, sf_dir, "significant_part_types")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
 def test_rank_suite_single_window_exchange(spark, sf_dir):
     """percent_rank / cume_dist / ntile share one frame: one Window node,
     one exchange on the segment key."""
