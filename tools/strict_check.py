@@ -51,6 +51,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
     fail = 0
+    report: dict[str, dict] = {}
     for name in names:
         q = CATALOG[name]
         sdf = q.fn(spark, SF)
@@ -100,8 +101,27 @@ def main() -> int:
         elif mism:
             detail = f" values {mism[:2]}"
         print(f"{name}: {status}{detail} ({len(spdf)} rows)")
+        report[name] = {
+            "ok": ok,
+            "rows": len(spdf),
+            "detail": detail.strip() or None,
+        }
         if not ok:
             fail += 1
+    # Machine-readable record of the full strict run (values bitwise,
+    # dtype kinds) — written only for full-catalog runs so a partial
+    # invocation can't masquerade as complete coverage.
+    if not sys.argv[1:]:
+        import json
+
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRICT.json")
+        with open(out, "w") as f:
+            json.dump(
+                {"sf_dir": SF, "n": len(report), "fail": fail, "queries": report},
+                f,
+                indent=0,
+            )
+        print(f"wrote {out}: {len(report)} queries, {fail} failing")
     return fail
 
 
