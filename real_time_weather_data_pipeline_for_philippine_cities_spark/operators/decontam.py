@@ -44,10 +44,16 @@ def benchmark_overlap(
     # Spread small-file scans so the md5 shingle pass parallelizes
     # (single-partition parquet otherwise runs it in one task) — but only
     # when the input is actually under-parallel: at scale the scan already
-    # arrives in thousands of partitions and an unconditional repartition
-    # would be a free-standing full shuffle of the corpus.
+    # arrives in thousands of files and an unconditional repartition
+    # would be a free-standing full shuffle of the corpus. Probe via
+    # inputFiles() (analyzed-plan metadata), not .rdd, which would force
+    # physical planning of the subtree — same contract as plans.base.spread.
     sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:  # non-file leaf (in-memory relation): spread it
+        n_files = 0
+    if n_files < sc.defaultParallelism:
         src = src.repartition(F.col("doc_id"))
     base = (
         src.select(

@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 from ..functions.normalize import candidate_accepted
 from ..operators.relational import first_match
 
+#: Hard cap on the probe side of ``fuzzy_best_match``. The operator is a
+#: broadcast cross join (|probe| × |candidates| Levenshtein evaluations) —
+#: correct only because the probe is a bounded batch, the way the
+#: reference geocodes only its changed-rows diff (weather_data_fetcher.py
+#: :104-130, ≤ a few hundred cities per run). The cap is enforced INSIDE
+#: the operator via a bounded top-k on the probe key, so the cross join is
+#: safe by construction: if a caller's filter drifts, the operator still
+#: never scores more than FUZZY_PROBE_CAP probes.
+FUZZY_PROBE_CAP = 1024
+
 
 def match_geocode_candidates(
     candidates: DataFrame,
@@ -48,4 +58,49 @@ def match_geocode_candidates(
         keys,
         priority=F.col(idx_col).cast("int"),
         tiebreak=[],
+    )
+
+
+def fuzzy_best_match(
+    probe: DataFrame,
+    candidates: DataFrame,
+    probe_col: str = "query_name",
+    cand_col: str = "cand_name",
+    max_dist: int = 10,
+    max_probe: int = FUZZY_PROBE_CAP,
+) -> DataFrame:
+    """Best Levenshtein candidate per probe name — the principled upgrade
+    of the reference's substring 'fuzzy' cascade (weather_data_fetcher.py
+    :104-130): closest candidate within ``max_dist`` edits, ties broken by
+    candidate name.
+
+    Scale contract: probe is capped to the ``max_probe`` smallest
+    ``probe_col`` values inside the operator (TakeOrderedAndProject — a
+    bounded top-k, no global sort), candidates are broadcast, and the
+    Levenshtein + ranking run JVM-side in whole-stage codegen. Cost is
+    therefore ≤ max_probe × |candidates| regardless of caller filters —
+    the geocode-batch semantic made structural.
+    """
+    bounded = (
+        probe.select(F.col(probe_col))
+        .orderBy(F.col(probe_col).asc())
+        .limit(max_probe)
+    )
+    scored = (
+        bounded.join(F.broadcast(candidates.select(F.col(cand_col)).distinct()))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.lower(probe_col), F.lower(cand_col)).cast("long"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(probe_col).orderBy(
+        F.col("edit_dist").asc(), F.col(cand_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(probe_col, cand_col, "edit_dist")
     )

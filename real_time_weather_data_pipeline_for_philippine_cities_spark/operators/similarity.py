@@ -475,17 +475,35 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 """
 
 
+#: Hard cap on the input of the EXACT all-pairs baseline. The dot-product
+#: count is inherently O(n²); the operator exists to *verify* the ANN scale
+#: paths (ann_lsh_topk / ivf_topk), never to sweep a full corpus. The cap
+#: is enforced INSIDE the operator (the max_rows smallest ids survive, via
+#: a bounded top-k TakeOrderedAndProject — no full sort), mirroring the
+#: DECONTAM_BENCH_CAP contract in plans/curation_queries.py: the quadratic
+#: twin is structurally bounded, not bounded-by-convention. 4096 rows =
+#: ≤ 8.4M pairs, a fixed verification budget at any corpus scale; the
+#: sf0.01/sf0.1 corpora (500/2000 vectors) pass through unchanged.
+EXACT_PAIRS_CAP = 4096
+
+
 def near_dup_pairs_cosine_blocked(
     emb: DataFrame,
     threshold: float = 0.45,
     n_blocks: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_rows: int = EXACT_PAIRS_CAP,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — EXACT, via block-pair replication
     + Arrow-vectorized verification. Same answer as ``near_dup_pairs_cosine``
     at any SF (the DuckDB brute-force oracle proves it), but a plan that
     survives scale.
+
+    Input contract: at most ``max_rows`` vectors (the max_rows smallest
+    ids) are considered — see EXACT_PAIRS_CAP. An exact quadratic baseline
+    pointed at an unbounded corpus is a scale bug by definition; callers
+    needing full-corpus near-dup use the ANN operators.
 
     Why not banded LSH candidates here: at threshold 0.45 the qualifying
     pairs sit at cos 0.45–0.51 (angle ≈ 60°), so the per-hyperplane
@@ -566,9 +584,17 @@ def near_dup_pairs_cosine_blocked(
             }
         )
 
-    base = emb.select(
-        F.col(id_col).cast("long").alias("vid"), vec_double_col(emb_col).alias("v")
-    ).withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int"))
+    base = (
+        emb.select(
+            F.col(id_col).cast("long").alias("vid"), vec_double_col(emb_col).alias("v")
+        )
+        # enforced input cap (see EXACT_PAIRS_CAP): deterministic smallest
+        # ids; orderBy+limit plans as a per-partition top-k merge, not a
+        # global sort, so the bound itself is scan-cheap.
+        .orderBy(F.col("vid").asc())
+        .limit(max_rows)
+        .withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int"))
+    )
     bp = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
     pairs = base.sparkSession.createDataFrame(bp, "bi int, bj int")
     side_a = base.join(F.broadcast(pairs), base.blk == pairs.bi).select(
@@ -630,10 +656,12 @@ def near_dup_pairs_cosine_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_rows: int = EXACT_PAIRS_CAP,
 ) -> str:
     return f"""
 WITH base AS (
-  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}),
+  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}
+  ORDER BY vid ASC LIMIT {max_rows}),
 normed AS (
   SELECT vid, v, {norm_sql('v')} AS nrm FROM base)
 SELECT a.vid AS vec_a, b.vid AS vec_b,

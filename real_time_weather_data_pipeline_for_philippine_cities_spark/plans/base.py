@@ -46,9 +46,21 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     50k-row `documents` scan otherwise runs its md5/HOF chain in ONE task
     (measured 24.5 s single-task vs ~2 s spread, simhash at sf≈1). The
     shuffle is conditional: at real scale the scan already arrives in
-    thousands of splits and this is a no-op — the same contract as the
-    decontamination operator's conditional repartition."""
+    thousands of files and this is a no-op — the same contract as the
+    decontamination operator's conditional repartition.
+
+    The probe is ``df.inputFiles()`` (analyzed-plan metadata only), NOT
+    ``df.rdd.getNumPartitions()``: the rdd probe forces physical planning
+    of the subtree on every call. File count under-counts splits of few
+    huge row-grouped files — in that regime the hash shuffle is still the
+    right call before expression-heavy map work, so erring toward
+    repartition is safe; with ≥ defaultParallelism files it is a no-op
+    exactly as before."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file leaf (in-memory relation): spread it
+        n_files = 0
+    if n_files < sc.defaultParallelism:
         return df.repartition(F.col(key))
     return df

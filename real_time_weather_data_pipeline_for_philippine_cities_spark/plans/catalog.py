@@ -47,16 +47,14 @@ for _mod_name in (
 # whose plan was edited this round — a green row for the OLD plan proves
 # nothing about the new one, and the artifact files can't see the diff.
 _PLAN_CHANGED: list[str] = [
-    # round 4: propagation CC seeded with min-neighbor + update-count
-    # termination (operators/dedup.py) — re-prove under the new loop.
-    "dedup_cluster_assign",
-    # round 4: multimodal decode is now a real PPM/BMP decoder feeding the
-    # same Arrow kernel, and the documents scan is spread() before it —
-    # re-prove feature extraction end-to-end.
-    "multimodal_features",
-    # round 4: IVF training-set repartition pinned to defaultParallelism
-    # (operators/similarity.py) — re-prove under the new cache layout.
-    "ivf_cosine_topk",
+    # round 5: exact all-pairs baseline now enforces EXACT_PAIRS_CAP
+    # (operators/similarity.py) — bounded top-k on vec_id feeds the block
+    # pairing; oracle capped identically. Re-prove under the new bound.
+    "near_dup_embeddings",
+    # round 5: rebuilt on operators.geocode.fuzzy_best_match with the
+    # FUZZY_PROBE_CAP bound enforced inside the operator; oracle mirrors
+    # the cap. Re-prove under the new shape.
+    "fuzzy_name_match",
 ]
 
 

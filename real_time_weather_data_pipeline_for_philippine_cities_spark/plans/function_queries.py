@@ -237,52 +237,47 @@ FROM orders
 
 # -- fuzzy name matching via edit distance ---------------------------------
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Levenshtein-based candidate matching — the principled upgrade of the
-    reference's substring 'fuzzy' cascade (weather_data_fetcher.py:104-130):
-    for each probe customer name, the closest supplier name within edit
-    distance 10, ties broken by name. Both engines implement identical
-    Levenshtein. Probe side is bounded (c_custkey ≤ 200) the way a geocode
-    batch is bounded by its changed-rows diff."""
+    """Levenshtein-based candidate matching via operators.geocode
+    .fuzzy_best_match: for each probe customer name, the closest supplier
+    name within edit distance 10, ties broken by name. Both engines
+    implement identical Levenshtein. The caller's semantic filter
+    (c_custkey ≤ 200, the geocode-batch diff) is backstopped by the
+    operator's own FUZZY_PROBE_CAP bound — the broadcast cross join is
+    safe by construction even if this filter drifts; the oracle applies
+    the identical cap."""
+    from ..operators.geocode import fuzzy_best_match
+
     cust = (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= 200)
         .select(F.col("c_name").alias("query_name"))
     )
-    supp = t(spark, sf_dir, "supplier").select(F.col("s_name").alias("cand_name")).distinct()
-    from pyspark.sql import Window
-
-    scored = (
-        cust.join(F.broadcast(supp))
-        .withColumn(
-            "edit_dist",
-            F.levenshtein(F.lower("query_name"), F.lower("cand_name")).cast("long"),
-        )
-        .filter(F.col("edit_dist") <= 10)
-    )
-    w = Window.partitionBy("query_name").orderBy(
-        F.col("edit_dist").asc(), F.col("cand_name").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_name", "cand_name", "edit_dist")
-    )
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_name").alias("cand_name"))
+    return fuzzy_best_match(cust, supp, "query_name", "cand_name", max_dist=10)
 
 
-_FUZZY_SQL = """
-WITH scored AS (
-  SELECT c.c_name AS query_name, s.cand_name,
-         levenshtein(lower(c.c_name), lower(s.cand_name)) AS edit_dist
-  FROM customer c
+def _fuzzy_sql() -> str:
+    from ..operators.geocode import FUZZY_PROBE_CAP
+
+    return f"""
+WITH probe AS (
+  SELECT c_name AS query_name FROM customer WHERE c_custkey <= 200
+  ORDER BY query_name ASC LIMIT {FUZZY_PROBE_CAP}),
+scored AS (
+  SELECT p.query_name, s.cand_name,
+         levenshtein(lower(p.query_name), lower(s.cand_name)) AS edit_dist
+  FROM probe p
   CROSS JOIN (SELECT DISTINCT s_name AS cand_name FROM supplier) s
-  WHERE c.c_custkey <= 200
-    AND levenshtein(lower(c.c_name), lower(s.cand_name)) <= 10)
+  WHERE levenshtein(lower(p.query_name), lower(s.cand_name)) <= 10)
 SELECT query_name, cand_name, edit_dist FROM (
   SELECT query_name, cand_name, edit_dist,
          row_number() OVER (PARTITION BY query_name
                             ORDER BY edit_dist ASC, cand_name ASC) AS rn
   FROM scored) WHERE rn = 1
 """
+
+
+_FUZZY_SQL = _fuzzy_sql()
 
 
 # -- distinct-count analytics ----------------------------------------------

@@ -155,7 +155,11 @@ def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact all-pairs (block-pair replication + Arrow-vectorized
     verify) — identical answer to the brute-force oracle at any SF, but a
     keyed-join plan instead of the O(n²) non-equi join (which stays as the
-    test-only baseline in near_dup_pairs_cosine)."""
+    test-only baseline in near_dup_pairs_cosine). The input is STRUCTURALLY
+    bounded to the EXACT_PAIRS_CAP smallest vec_ids inside the operator
+    (oracle applies the identical cap), so this exactness baseline can
+    never be pointed at an unbounded corpus — the ANN entries
+    (ann_lsh_cosine / ivf_cosine_topk) are the full-corpus scale path."""
     emb = t(spark, sf_dir, "embeddings")
     return S.near_dup_pairs_cosine_blocked(emb, threshold=0.45, n_blocks=8)
 

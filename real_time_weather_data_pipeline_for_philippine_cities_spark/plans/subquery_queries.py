@@ -505,18 +505,24 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
     )
-    other = li.select(
-        F.col("l_orderkey").alias("x_okey"),
-        F.col("l_suppkey").alias("x_supp"),
-        F.col("l_shipdate").alias("x_ship"),
-    )
+    # Two INDEPENDENTLY derived frames (fresh select → fresh attribute ids)
+    # rather than one reused object: reusing the same DataFrame in both the
+    # semi and the anti join would lean on Spark's DeduplicateRelations for
+    # the second self-join — correct today but fragile across versions.
+    def _other() -> DataFrame:
+        return li.select(
+            F.col("l_orderkey").alias("x_okey"),
+            F.col("l_suppkey").alias("x_supp"),
+            F.col("l_shipdate").alias("x_ship"),
+        )
+
     multi = waiting.join(
-        other,
+        _other(),
         (F.col("w_okey") == F.col("x_okey")) & (F.col("x_supp") != F.col("w_supp")),
         "left_semi",
     )
     sole = multi.join(
-        other,
+        _other(),
         (F.col("w_okey") == F.col("x_okey"))
         & (F.col("x_supp") != F.col("w_supp"))
         & (F.col("x_ship") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),

@@ -58,6 +58,29 @@ def test_plan_changed_force_fronts_even_fresh_green():
     ]
 
 
+def test_never_green_sorts_before_every_green():
+    """The core invariant (VERDICT r04 #8): an entry with NO green driver
+    row ever must sort before EVERY entry that has one, whatever rounds
+    exist — tier 1 < tier 2 by construction; assert it black-box."""
+    rounds = [
+        (1, {"g_old": GREEN}),
+        (2, {"g_mid": GREEN, "r_latest": GREEN}),
+        (3, {"g_new": GREEN, "r_latest": RED}),
+    ]
+    greens = ["g_old", "g_mid", "g_new"]
+    for never in ["unchecked", "r_latest"]:
+        for g in greens:
+            assert proof_sort_key(never, rounds) < proof_sort_key(g, rounds)
+
+
+def test_order_is_deterministic_given_artifacts():
+    rounds = [(1, {"a": GREEN, "b": RED}), (2, {"c": GREEN})]
+    names = ["c", "a", "b", "d"]
+    first = _order(names, rounds, changed=("a",))
+    for _ in range(5):
+        assert _order(list(reversed(names)), rounds, changed=("a",)) == first
+
+
 def test_live_catalog_window_holds_plan_changed_and_no_stale_tail():
     names = list(CATALOG)
     window, tail = names[:50], names[50:]

@@ -114,7 +114,20 @@ def main() -> int:
     if not sys.argv[1:]:
         import json
 
-        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRICT.json")
+        # STRICT.json is the committed sf0.01 proof artifact; a run against
+        # any other dataset must not silently replace it — divert to a
+        # dataset-tagged filename instead.
+        default_sf = "/root/testdata/sf0.01"
+        if os.path.abspath(SF) == default_sf:
+            fname = "STRICT.json"
+        else:
+            tag = os.path.basename(os.path.normpath(SF)) or "alt"
+            fname = f"STRICT_{tag}.json"
+            print(
+                f"STRICT_SF_DIR={SF} differs from the canonical {default_sf}; "
+                f"writing {fname} instead of STRICT.json"
+            )
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), fname)
         with open(out, "w") as f:
             json.dump(
                 {"sf_dir": SF, "n": len(report), "fail": fail, "queries": report},
