@@ -475,6 +475,101 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def cosine_candidates_vs_bounded(
+    corpus: DataFrame,
+    bench: list[tuple[int, list[float]]],
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Candidate (corpus_id, bench_id) pairs whose cosine can reach ``tau``
+    — the Arrow-vectorized kernel for bounded-probe × corpus scoring
+    (semantic decontamination, eval-set leakage sweeps).
+
+    ``bench`` is a BOUNDED in-memory list (an eval suite: ≤ a few hundred
+    vectors — callers enforce the cap, e.g. DECONTAM_BENCH_CAP); it ships
+    inside the task closure, the corpus streams through ``mapInPandas`` in
+    Arrow batches, and each batch is scored as one BLAS-shaped numpy pass
+    instead of |corpus|×|bench| interpreted ``aggregate`` folds (measured
+    ~4× on the sf1 sweep; the expanded-codegen alternative was 4-5× SLOWER
+    — see BASELINE.md).
+
+    Determinism contract (same as the ``near_dup_pairs_cosine_blocked``
+    verify kernel, oracle-proven): dots and norms accumulate per-dimension
+    in ascending order (``acc += A[:,d]*B[:,d]``) — bit-identical to the
+    sequential left fold both engines' SQL uses. The kernel only
+    PRE-FILTERS with a 1e-6 slack margin (NaN/Inf kept); it emits
+    (dot, nrm, bn) and the caller judges ``dot/(nrm*bn) >= tau`` with the
+    exact Catalyst expression, so the qualifying set cannot change.
+
+    100 TB: map-only over the corpus scan — no shuffle at all until the
+    caller's rollup of the (rare) above-threshold pairs.
+    """
+    import numpy as np
+
+    bids = np.asarray([b[0] for b in bench], dtype="int64")
+    B = np.asarray([b[1] for b in bench], dtype="float64")
+    dim = B.shape[1]
+    bn = np.zeros(len(bench))
+    for d in range(dim):
+        bn += B[:, d] * B[:, d]
+    bn = np.sqrt(bn)
+    margin = tau - 1e-6
+    schema = f"{id_col} long, bench_id long, dot double, nrm double, bn double"
+
+    def kernel(batches):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy())
+            ids_c = pdf[id_col].to_numpy()
+            acc = np.zeros((len(pdf), len(bids)))
+            nn = np.zeros(len(pdf))
+            for d in range(dim):
+                acc += np.outer(V[:, d], B[:, d])
+                nn += V[:, d] * V[:, d]
+            nn = np.sqrt(nn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / np.outer(nn, bn)
+            keep = ~(cos < margin)
+            ia, ib = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    id_col: ids_c[ia],
+                    "bench_id": bids[ib],
+                    "dot": acc[ia, ib],
+                    "nrm": nn[ia],
+                    "bn": bn[ib],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def cosine_candidates_vs_bounded_df(
+    corpus: DataFrame,
+    bench_df: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """DataFrame-side entry for ``cosine_candidates_vs_bounded``: collects
+    the bench side into the task closure. The collect is BOUNDED BY
+    CONTRACT — callers pass an already-capped eval set (e.g.
+    DECONTAM_BENCH_CAP smallest ids, ≤512×64 doubles), the same budget
+    class as the k-means seed/centroid collects in this module. Keeping
+    the corpus pass map-only (closure-shipped bench) beats the
+    alternative full corpus shuffle of a block-keyed applyInPandas —
+    that's the trade a 100 TB corpus cares about."""
+    bench = [
+        (r[bench_id_col], r[vec_col]) for r in bench_df.collect()
+    ]
+    return cosine_candidates_vs_bounded(corpus, bench, tau, id_col, vec_col)
+
+
 #: Hard cap on the input of the EXACT all-pairs baseline. The dot-product
 #: count is inherently O(n²); the operator exists to *verify* the ANN scale
 #: paths (ann_lsh_topk / ivf_topk), never to sweep a full corpus. The cap

@@ -33,7 +33,6 @@ from ..operators.similarity import (
     _fold_sum_duck,
     _fold_sum_spark,
     dot_sql,
-    norm_col,
     vec_double_col,
 )
 from .base import Q, spread, t
@@ -517,44 +516,41 @@ def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: benchmark side is BOUNDED by definition (an eval suite, not a
     corpus) and ENFORCED bounded by DECONTAM_BENCH_CAP (smallest ids —
     the synthetic scale-up grows every label with the corpus, which would
-    otherwise silently turn this into corpus × corpus); it is broadcast,
-    the corpus is scanned once with its norm precomputed per row, and the
-    only shuffle is the per-vector rollup of above-threshold pairs.
-    100 TB: identical — this is the bounded-probe × corpus pattern of
-    ``embedding_cosine_topk``, with the threshold filter cutting the
-    scored stream before the shuffle. (The per-pair dot stays the shared
-    interpreted fold: a 64-term expanded codegen sum was measured 4-5x
-    SLOWER — the expression blows past the codegen method-size limit and
-    falls back to per-term interpretation with null checks.)
+    otherwise silently turn this into corpus × corpus). The bounded bench
+    set rides the task closure (one bounded collect, ≤512×64 doubles —
+    same budget class as the k-means seed collect) and the corpus streams
+    through the Arrow kernel ``cosine_candidates_vs_bounded`` — one
+    BLAS-shaped numpy pass per batch instead of |corpus|×|bench|
+    interpreted ``aggregate`` folds (sf1 sweep 7.7 s → ~2 s; the
+    expanded-codegen fold was measured 4-5x SLOWER, see BASELINE.md).
+    The kernel pre-filters with slack only: the threshold verdict
+    ``dot/(nrm*bn) >= tau`` is the exact Catalyst expression, on
+    fold-order-identical doubles, so parity with the SQL twin is bitwise.
+    100 TB: map-only over the corpus scan; the only shuffle is the
+    per-vector rollup of the (rare) above-threshold pairs.
     """
+    from ..operators.similarity import cosine_candidates_vs_bounded_df
+
     emb = t(spark, sf_dir, "embeddings")
-    base = (
-        emb.select("vec_id", "label", vec_double_col("embedding").alias("v"))
-        .repartition(F.col("vec_id"))
-        .withColumn("nrm", norm_col("v"))
-    )
-    bench = (
+    base = emb.select("vec_id", "label", vec_double_col("embedding").alias("v"))
+    bench_df = (
         base.filter(F.col("label") == DECONTAM_BENCH_LABEL)
-        .select(
-            F.col("vec_id").alias("bench_id"),
-            F.col("v").alias("bv"),
-            F.col("nrm").alias("bn"),
-        )
+        .select(F.col("vec_id").alias("bench_id"), "v")
         .orderBy("bench_id")
         .limit(DECONTAM_BENCH_CAP)
     )
-    corpus = base.filter(F.col("label") != DECONTAM_BENCH_LABEL)
-    dot = F.expr(_fold_sum_spark("zip_with(v, bv, (x, y) -> x * y)"))
-    scored = corpus.join(F.broadcast(bench)).select(
-        "vec_id", (dot / (F.col("nrm") * F.col("bn"))).alias("cos"), "bench_id"
+    corpus = spread(
+        base.filter(F.col("label") != DECONTAM_BENCH_LABEL), key="vec_id"
     )
+    cand = cosine_candidates_vs_bounded_df(corpus, bench_df, DECONTAM_TAU)
+    cos = F.col("dot") / (F.col("nrm") * F.col("bn"))
     hits = (
-        scored.filter(F.col("cos") >= DECONTAM_TAU)
+        cand.filter(cos >= DECONTAM_TAU)
         .groupBy("vec_id")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
             F.max(
-                F.floor(F.col("cos") * 1e6) * F.lit(ID_CAP) - F.col("bench_id")
+                F.floor(cos * 1e6) * F.lit(ID_CAP) - F.col("bench_id")
             ).alias("topkey"),
         )
     )

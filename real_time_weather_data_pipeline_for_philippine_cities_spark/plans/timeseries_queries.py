@@ -655,13 +655,19 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline needs (the reference ingests on a fixed cadence and never has
     to fill; SURVEY.md §7.6 generalizes to irregular streams).
 
-    Shapes at scale: one keyed groupBy onto (user, bucket); the grid is
-    sequence()-exploded per key, bounded by span/bucket (never corpus x
-    corpus); forward and backward IGNORE NULLS window passes share ONE
-    sort (same partition/order spec, two frames in one Window node).
-    Determinism: bucket means are integer-micro sums over exact ints; the
-    interpolation ratio is a quotient of bucket-index ints — both engines
-    evaluate the identical IEEE tree before the 6dp rounding.
+    Shapes at scale: one keyed groupBy onto (user, bucket), then ONE
+    window pass over the OBSERVED buckets only — gap rows are generated
+    afterwards, map-side, by exploding ``sequence(b, next_b - 1)`` per
+    observed row (never corpus x corpus; a gap row's neighbors are the
+    generating row's own forward fold and the next row's backward fold,
+    so no grid join and no second pass over the filled grid — the r4
+    grid-join formulation shuffled the exploded grid AND re-aggregated
+    the span; this one is 2 shuffles total). Forward/backward IGNORE
+    NULLS folds and the lead() all share one sort (same partition/order
+    spec → one Window node). Determinism: bucket means are integer-micro
+    sums over exact ints; the interpolation ratio is a quotient of
+    bucket-index ints — both engines evaluate the identical IEEE tree
+    before the 6dp rounding.
     """
     from pyspark.sql import Window
 
@@ -673,36 +679,58 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 1000000).cast("bigint").alias("micro"),
         )
         .groupBy("user_id", "b")
-        .agg(F.sum("micro").alias("sum_micro"), F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            ((F.sum("micro") / F.count(F.lit(1))) / 1000000.0).alias("mean_val")
+        )
     )
-    span = obs.groupBy("user_id").agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
-    grid = span.select(
-        "user_id", F.explode(F.expr("sequence(b0, b1)")).alias("b")
-    )
-    marked = grid.join(obs, ["user_id", "b"], "left").select(
+    w = Window.partitionBy("user_id").orderBy("b")
+    w_fwd = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_bwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_b = F.when(F.col("mean_val").isNotNull(), F.col("b"))
+    # Per observed bucket: its own forward/backward non-null folds (these
+    # are exactly what the old grid row at this bucket saw), plus the NEXT
+    # observed bucket's backward fold — which is what every generated gap
+    # row strictly between the two buckets saw.
+    folded = obs.select(
         "user_id",
         "b",
-        ((F.col("sum_micro") / F.col("cnt")) / 1000000.0).alias("obs_val"),
+        "mean_val",
+        F.last("mean_val", ignorenulls=True).over(w_fwd).alias("fwd_val"),
+        F.last(obs_b, ignorenulls=True).over(w_fwd).alias("fwd_b"),
+        F.first("mean_val", ignorenulls=True).over(w_bwd).alias("bwd_val"),
+        F.first(obs_b, ignorenulls=True).over(w_bwd).alias("bwd_b"),
     )
-    w_fwd = (
-        Window.partitionBy("user_id")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # lead() of the folds: a second Window op over the SAME spec — the
+    # input is already partitioned and sorted, so no extra exchange/sort.
+    chained = folded.select(
+        "*",
+        F.lead("b").over(w).alias("lead_b"),
+        F.lead("bwd_val").over(w).alias("lead_bwd_val"),
+        F.lead("bwd_b").over(w).alias("lead_bwd_b"),
     )
-    w_bwd = (
-        Window.partitionBy("user_id")
-        .orderBy("b")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_b = F.when(F.col("obs_val").isNotNull(), F.col("b"))
-    filled = marked.select(
+    filled = chained.select(
         "user_id",
+        F.explode(F.expr("sequence(b, coalesce(lead_b - 1, b))")).alias("bb"),
         "b",
-        "obs_val",
-        F.last("obs_val", ignorenulls=True).over(w_fwd).alias("prev_val"),
-        F.last(obs_b, ignorenulls=True).over(w_fwd).alias("prev_b"),
-        F.first("obs_val", ignorenulls=True).over(w_bwd).alias("next_val"),
-        F.first(obs_b, ignorenulls=True).over(w_bwd).alias("next_b"),
+        "mean_val",
+        "fwd_val",
+        "fwd_b",
+        "bwd_val",
+        "bwd_b",
+        "lead_bwd_val",
+        "lead_bwd_b",
+    ).select(
+        "user_id",
+        F.col("bb").alias("b"),
+        F.when(F.col("bb") == F.col("b"), F.col("mean_val")).alias("obs_val"),
+        F.col("fwd_val").alias("prev_val"),
+        F.col("fwd_b").alias("prev_b"),
+        F.when(F.col("bb") == F.col("b"), F.col("bwd_val"))
+        .otherwise(F.col("lead_bwd_val"))
+        .alias("next_val"),
+        F.when(F.col("bb") == F.col("b"), F.col("bwd_b"))
+        .otherwise(F.col("lead_bwd_b"))
+        .alias("next_b"),
     )
     ratio = (F.col("b") - F.col("prev_b")).cast("double") / (
         F.col("next_b") - F.col("prev_b")

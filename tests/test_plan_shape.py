@@ -171,6 +171,10 @@ ARROW_PYTHON_OK = {
     "image_dhash_buckets",  # perceptual hash, same decode kernel
     "ivf_cosine_topk",
     "weather_pipeline_e2e",
+    # bounded-bench × corpus Arrow kernel (cosine_candidates_vs_bounded):
+    # map-only over the corpus scan, BLAS-shaped batch scoring — replaces
+    # |corpus|×|bench| interpreted aggregate folds (r5).
+    "embedding_decontam",
 }
 
 

@@ -322,9 +322,15 @@ def test_resample_interpolate_hand_computed(spark, tmp_path):
     assert got[3] == (6.0, "interpolated")  # 8 + (2-8)*1/3
     assert got[4] == (4.0, "interpolated")  # 8 + (2-8)*2/3
     assert got[5] == (2.0, "observed")
-    # both IGNORE NULLS passes must share one sort: a single Window node
+    # the IGNORE NULLS folds and the lead() chain are two Window ops over
+    # the SAME partition/order spec (the lead consumes the folds, so they
+    # can't collapse into one node) — but they must share ONE sort and ONE
+    # exchange: exactly 1 Sort node, and exactly 2 hash exchanges in the
+    # whole query (the groupBy onto (user,b) + the window's user_id one).
     # (count only the FINAL adaptive plan — toString appends the initial
     # plan after execution, which would double-count)
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("+- == Initial Plan ==")[0]
-    assert final.count("Window [") == 1
+    assert final.count("Window [") == 2
+    assert final.count("Sort [") == 1
+    assert final.count("Exchange hashpartitioning") <= 2
