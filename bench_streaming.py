@@ -10,6 +10,8 @@ Surfaces (all reuse the tested streaming operators verbatim):
   * stream_neardup — MinHash/LSH near-dup foreachBatch with a parquet
                      signature store folded per epoch
   * change_detect  — xlsx-snapshot diff state machine (anti-join epochs)
+  * dq_gate        — per-epoch clean/quarantine split + violation report
+  * interval_join  — watermarked stream-stream event-time interval join
 
 Output: ONE JSON line (also written to STREAMBENCH.json):
   {"metric": "streaming_bench", "sf": ..., "surfaces": {name:
@@ -208,6 +210,60 @@ def bench_change_detect(spark, doc_dir: str, work: str) -> dict:
     return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
 
 
+def bench_dq_gate(spark, doc_dir: str, work: str) -> dict:
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.dq import (
+        foreach_batch_dq_gate,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.ingest import (
+        run_available_now,
+    )
+
+    stream = _reader(spark, doc_dir, DOCS_SCHEMA)
+    epoch = foreach_batch_dq_gate(
+        {
+            "short_text": F.length("text") < 8,
+            "null_lang": F.col("lang").isNull(),
+            "bad_source": ~F.col("source").rlike("."),
+        },
+        os.path.join(work, "dq_clean"),
+        os.path.join(work, "dq_quarantine"),
+        os.path.join(work, "dq_report"),
+    )
+    t0 = time.monotonic()
+    q = run_available_now(stream, epoch, os.path.join(work, "ckpt_dq"))
+    _run(q)
+    return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
+
+
+def bench_interval_join(spark, ev_dir: str, work: str) -> dict:
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    left = (
+        _reader(spark, ev_dir, EVENTS_SCHEMA)
+        .filter(F.pmod("event_id", F.lit(2)) == 0)
+        .select("user_id", F.col("ts").alias("l_ts"), "value")
+    )
+    right = (
+        _reader(spark, ev_dir, EVENTS_SCHEMA)
+        .filter(F.pmod("event_id", F.lit(2)) == 1)
+        .select("user_id", F.col("ts").alias("r_ts"), "event_type")
+    )
+    out = stream_interval_join(
+        left, right, "user_id", "l_ts", "r_ts", max_delay="10 minutes"
+    )
+    t0 = time.monotonic()
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(work, "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -230,6 +286,8 @@ def main() -> None:
             ("stream_topk", bench_stream_topk, ev_dir),
             ("stream_neardup", bench_stream_neardup, doc_dir),
             ("change_detect", bench_change_detect, doc_dir),
+            ("dq_gate", bench_dq_gate, doc_dir),
+            ("interval_join", bench_interval_join, ev_dir),
         ):
             r = fn(spark, src, work)
             r["rows_per_sec"] = (
