@@ -334,3 +334,83 @@ def test_resample_interpolate_hand_computed(spark, tmp_path):
     assert final.count("Window [") == 2
     assert final.count("Sort [") == 1
     assert final.count("Exchange hashpartitioning") <= 2
+
+
+def test_resample_interpolate_randomized_vs_python_oracle(spark, tmp_path):
+    """Randomized (fixed-seed) series vs a pure-Python implementation of
+    the ORIGINAL grid semantics (span b0..b1, per-bucket micro means,
+    fwd/bwd non-null neighbors, linear fill) — guards the r5 lead()+
+    sequence() restructure against semantic drift on shapes the planted
+    test doesn't cover: multi-user, adjacent buckets, single-observation
+    users, long gaps, duplicate-bucket averaging."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.timeseries_queries import (
+        RESAMPLE_BUCKET_S,
+        q_resample_interpolate,
+    )
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    for user in range(1, 6):
+        n_obs = rng.choice([1, 2, 3, 8])
+        buckets = sorted(rng.sample(range(0, 25), n_obs))
+        for b in buckets:
+            for _ in range(rng.choice([1, 1, 2])):  # sometimes same-bucket dups
+                eid += 1
+                off = dt.timedelta(seconds=b * RESAMPLE_BUCKET_S + rng.randrange(RESAMPLE_BUCKET_S))
+                rows.append((eid, base + off, user, rng.randrange(-10_000, 10_000) / 1000.0))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["m"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    # pure-Python oracle: original grid formulation
+    per_bucket: dict[tuple[int, int], list[float]] = {}
+    for _, ts, user, val in rows:
+        b = int((ts - dt.datetime(1970, 1, 1)).total_seconds()) // RESAMPLE_BUCKET_S
+        per_bucket.setdefault((user, b), []).append(val)
+    expected = {}
+    users = sorted({u for u, _ in per_bucket})
+    for u in users:
+        bs = sorted(b for uu, b in per_bucket if uu == u)
+        means = {
+            b: (sum(round(v * 1e6) for v in per_bucket[(u, b)]) / len(per_bucket[(u, b)])) / 1e6
+            for b in bs
+        }
+        for b in range(bs[0], bs[-1] + 1):
+            if b in means:
+                expected[(u, b)] = (means[b], "observed")
+            else:
+                pb = max(x for x in bs if x < b)
+                nb = min(x for x in bs if x > b)
+                ratio = (b - pb) / (nb - pb)
+                expected[(u, b)] = (
+                    means[pb] + (means[nb] - means[pb]) * ratio,
+                    "interpolated",
+                )
+
+    got = {}
+    for r in q_resample_interpolate(spark, str(tmp_path)).collect():
+        b = int(r["bucket_ts"].timestamp()) // RESAMPLE_BUCKET_S
+        got[(r["user_id"], b)] = (r["value_filled"], r["src"])
+
+    assert set(got) == set(expected)
+    for k, (val, src) in expected.items():
+        gval, gsrc = got[k]
+        assert gsrc == src, k
+        assert abs(gval - round(val, 6)) < 1e-9, (k, gval, val)
