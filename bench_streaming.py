@@ -305,7 +305,11 @@ def main() -> None:
         "surfaces": surfaces,
     }
     line = json.dumps(payload)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "STREAMBENCH.json"), "w") as f:
+    out = os.environ.get(
+        "SPARK_GRAFT_STREAMBENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "STREAMBENCH.json"),
+    )
+    with open(out, "w") as f:
         f.write(line + "\n")
     print(line)
 
