@@ -588,8 +588,10 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     V rows of driver state, NO global sort of the word-frequency table);
     the vocab is then a bounded broadcast and the OOV accounting is one
     map-combined groupBy per doc. Ties at the V-th slot break by word
-    ascending on both engines."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ascending on both engines. spread() before the tokenize: the explode
+    chain otherwise runs at single-file scan parallelism (measured
+    2.1 s → 1.0 s at sf1)."""
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     words = docs.select("doc_id", F.explode(F.split(F.lower("text"), " +")).alias("w"))
     vocab = (
         words.groupBy("w")
