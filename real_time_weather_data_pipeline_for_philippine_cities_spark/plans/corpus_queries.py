@@ -699,9 +699,112 @@ def _weighted_sample_sql() -> str:
     )
 
 
+# -- per-doc unigram Shannon entropy ----------------------------------------
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the unigram distribution — the
+    low-diversity / template-spam quality signal that repetition_score
+    (3-gram repeats, llm_queries.py) does not capture: a doc cycling two
+    tokens has near-zero entropy but can still have many distinct 3-grams.
+
+    H = ln(n) - sum(c*ln c)/n over per-doc token counts, so the float
+    reduction runs over ~vocab-size terms per doc and is rounded to 6 dp on
+    both engines (base.py rounding policy; counts themselves are exact
+    integers). Plan: explode -> two map-combined groupBys, both keyed by
+    doc_id, so the second agg reuses the first's hash partitioning — one
+    shuffle of (doc_id, token) pairs is the whole cost, scan-scaling at
+    100 TB."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " +")).alias("tok")
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("token_entropy"),
+    )
+
+
+_TOKEN_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS tok
+  FROM documents),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
+FROM cnt GROUP BY doc_id
+"""
+
+
+# -- corpus novelty curve (new-shingle fraction per doc) ---------------------
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct 3-gram shingles never seen in any
+    earlier doc (doc_id = arrival order) — the corpus-growth/novelty-decay
+    accounting a curation pass runs to decide when more of a source stops
+    adding new content.
+
+    Shares the dedup ops' 28-bit shingle hashing (operators/dedup.py), so
+    "same shingle" is byte-identical with the near-dup family. Plan: one
+    shuffle on the shingle hash for the min-doc_id window, one map-combined
+    groupBy on doc_id. first_seen is an exact integer min — no float
+    tie-break — so the curve is deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    from ..operators import dedup as D
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    sh = (
+        docs.select("doc_id", F.split(F.lower("text"), " +").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.explode(D.shingle_hash_expr("t", 3)).alias("h"))
+    )
+    firsts = sh.withColumn(
+        "first_seen", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    agg = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("first_seen") == F.col("doc_id")).cast("bigint")).alias(
+            "n_new"
+        ),
+    )
+    return agg.withColumn(
+        "novelty", F.round(F.col("n_new") / F.col("n_shingles"), 6)
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    from ..operators.dedup import shingle_hash_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest({shingle_hash_sql('t', 3)}) AS h
+  FROM toks WHERE len(t) >= 3),
+w AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS first_seen FROM sh)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       round(sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM w GROUP BY doc_id
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "training_shards": Q(
         q_training_shards, _SHARDS_SQL, "round-robin shard balance report"
+    ),
+    "token_entropy": Q(
+        q_token_entropy, _TOKEN_ENTROPY_SQL, "per-doc unigram Shannon entropy"
+    ),
+    "ngram_novelty": Q(
+        q_ngram_novelty, _ngram_novelty_sql(), "new-shingle novelty curve per doc"
     ),
     "vocab_coverage": Q(
         q_vocab_coverage, _VOCAB_SQL, "top-V vocabulary coverage / OOV rate"

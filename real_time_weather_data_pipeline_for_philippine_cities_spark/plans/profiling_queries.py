@@ -190,9 +190,113 @@ FROM lineitem
 """
 
 
+#: Number of independent hash minima per sketch. Relative error of the
+#: minima-sum estimator is ~1/sqrt(R); 32 lands single-digit-percent
+#: estimates on the testdata at the cost of 32 BIGINTs of state per group.
+KMV_R = 32
+
+
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user estimate from a K-minimum-values-style sketch
+    (R independent hash minima per group) vs the exact count — the
+    mergeable cardinality sketch a 100 TB profiler uses where exact
+    COUNT(DISTINCT) would shuffle every distinct pair.
+
+    One md5 per input row (hash28), then the R minima come from the dedup
+    family's integer minhash permutations (a*h+b mod P) — 32 modular
+    multiplies are ~5x cheaper than 32 md5s (measured at sf0.1), and the
+    sketch stays portable because the (a,b) constants are inlined
+    identically into the oracle. No explode either: the sketch is R min()
+    aggregates side by side, so one map-side-combined groupBy carries at
+    most R BIGINTs per group per map partition regardless of input rows —
+    the row you'd persist to merge sketches across shards is literally the
+    aggregate's schema.
+
+    Estimator: the min of n uniforms on [0, P) has mean ~P/(n+1), so with
+    S the exact BIGINT sum of the R minima, n_est = R*P/S - 1. The sketch
+    is duplicate-insensitive by construction (min absorbs repeats).
+    Determinism: S is an order-independent integer sum; the only float ops
+    are one division and one subtraction on exact integers, bit-identical
+    cross-engine. The exact COUNT(DISTINCT) column is the accuracy
+    report, not part of the sketch path."""
+    from ..functions.hashing import MINHASH_PRIME, minhash_coefficients
+    from .base import spread
+
+    coeffs = minhash_coefficients(KMV_R)
+    ev = spread(t(spark, sf_dir, "events"), "event_id").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    base = ev.select(
+        "day",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("h0"),
+    )
+    mins = base.groupBy("day").agg(
+        *[
+            F.min((F.col("h0") * a + b) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    s_expr = F.expr(" + ".join(f"m{i}" for i in range(KMV_R)))
+    est = mins.select("day", s_expr.alias("s"))
+    exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            "n_exact",
+            F.round(
+                F.lit(KMV_R) * F.lit(float(MINHASH_PRIME)) / F.col("s") - 1, 1
+            ).alias("n_est"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 4),
+        )
+    )
+
+
+def _kmv_sql() -> str:
+    from ..functions.hashing import MINHASH_PRIME, minhash_coefficients
+
+    coeffs = minhash_coefficients(KMV_R)
+    min_cols = ",\n         ".join(
+        f"min((h0 * {a} + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    s_expr = " + ".join(f"m{i}" for i in range(KMV_R))
+    return f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT AS h0
+  FROM events),
+mins AS (
+  SELECT day,
+         {min_cols}
+  FROM base GROUP BY day),
+est AS (SELECT day, {s_expr} AS s FROM mins),
+ex AS (SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_exact
+       FROM events GROUP BY day),
+j AS (
+  SELECT day, n_exact,
+         round({KMV_R} * CAST({MINHASH_PRIME} AS DOUBLE)
+               / CAST(s AS DOUBLE) - 1, 1) AS n_est
+  FROM est JOIN ex USING (day))
+SELECT day, n_exact, n_est,
+       round(abs(n_est - n_exact) / n_exact, 4) AS rel_err
+FROM j
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "table_profile": Q(
         q_table_profile, _profile_sql(), "per-column null/distinct/min/max profile"
     ),
     "dq_checks": Q(q_dq_checks, _DQ_SQL, "FK orphans / dup keys / range violations"),
+    "kmv_distinct_sketch": Q(
+        q_kmv_distinct_sketch,
+        _kmv_sql(),
+        "mergeable R-minima cardinality sketch vs exact",
+    ),
 }

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import Q, t
+from .base import Q, spread, t
 
 
 # -- EXISTS: late-shipment priority census (TPC-H Q4 shape) -----------------
@@ -595,6 +595,233 @@ ORDER BY total_value DESC, p_type
 """
 
 
+# -- argmin-per-group via agg + join-back (TPC-H Q2 shape) -------------------
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowest-unit-price supplier per part — the Q2 argmin-per-group shape
+    (min-cost supplier) re-keyed onto lineitem since this corpus ships no
+    partsupp table. Decorrelation: per-part MIN aggregate joined back to
+    the detail on (key, value) equality, ties broken by MIN(suppkey) — an
+    exact integer, never a float argmax.
+
+    The agg+join-back form beats a per-part window at scale: the MIN agg
+    is map-side combined before its shuffle, and AQE co-partitions the
+    join with the agg on l_partkey, so the detail shuffles once and no
+    per-group sort happens. unit_price is a single IEEE division of two
+    parquet doubles — bit-identical cross-engine — so the equality
+    join-back is drift-free and the min passes through unrounded."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    mn = li.groupBy("l_partkey").agg(F.min("unit_price").alias("min_price"))
+    best = (
+        li.alias("u")
+        .join(
+            mn.alias("m"),
+            (F.col("u.l_partkey") == F.col("m.l_partkey"))
+            & (F.col("u.unit_price") == F.col("m.min_price")),
+        )
+        .groupBy(F.col("u.l_partkey").alias("p_partkey"))
+        .agg(
+            F.min("u.l_suppkey").alias("best_supp"),
+            # no rounding: the min of bit-identical IEEE divisions is itself
+            # bit-identical cross-engine, and round-at-4dp LANDS on half-way
+            # cases (cents/qty hits .xxxx5 often) where the engines' rounding
+            # modes diverge — raw passthrough is the deterministic choice.
+            F.max("m.min_price").alias("min_unit_price"),
+        )
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return best.join(F.broadcast(part), "p_partkey")
+
+
+_CHEAPEST_SUPP_SQL = """
+WITH up AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem),
+mn AS (SELECT l_partkey, min(unit_price) AS min_price
+       FROM up GROUP BY l_partkey),
+best AS (
+  SELECT u.l_partkey AS p_partkey,
+         min(u.l_suppkey) AS best_supp,
+         max(m.min_price) AS min_unit_price
+  FROM up u JOIN mn m
+    ON u.l_partkey = m.l_partkey AND u.unit_price = m.min_price
+  GROUP BY u.l_partkey)
+SELECT b.p_partkey, b.best_supp, b.min_unit_price, p.p_name
+FROM best b JOIN part p USING (p_partkey)
+"""
+
+
+# -- ratio-to-group-total decorrelation (TPC-H Q20 flavor) -------------------
+def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that shipped more than 3x the per-supplier average
+    quantity of some part — the Q20 "threshold against a correlated
+    aggregate of the same fact" shape (0.5*sum(l_quantity) there),
+    re-keyed onto lineitem since this corpus ships no partsupp.
+
+    The correlated comparison decorrelates into two stacked aggregates on
+    the SAME key (per (part,supplier) sums reduce first, per-part totals
+    reduce the reduced rows) plus one co-partitioned join — the second
+    agg and the join reuse the first shuffle's partitioning. Dominance
+    `q * nsupp > 3 * tq` is all-BIGINT (quantities are integer-valued, cast
+    before summing), so the threshold is exact on both engines."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    per = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("q"))
+    tot = per.groupBy("l_partkey").agg(
+        F.sum("q").alias("tq"), F.count(F.lit(1)).alias("nsupp")
+    )
+    dominated = (
+        per.join(tot, "l_partkey")
+        .filter(F.col("q") * F.col("nsupp") > F.lit(3) * F.col("tq"))
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dominated.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_dominated"),
+            F.sum("q").alias("dominated_qty"),
+        )
+        .join(F.broadcast(supp), "s_suppkey")
+    )
+
+
+_DOMINANT_SUPP_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+tot AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq, count(*) AS nsupp
+  FROM per GROUP BY l_partkey),
+dominated AS (
+  SELECT p.l_suppkey, p.q
+  FROM per p JOIN tot t USING (l_partkey)
+  WHERE p.q * t.nsupp > 3 * t.tq)
+SELECT d.l_suppkey AS s_suppkey,
+       CAST(count(*) AS BIGINT) AS n_parts_dominated,
+       CAST(sum(d.q) AS BIGINT) AS dominated_qty,
+       s.s_name
+FROM dominated d JOIN supplier s ON s.s_suppkey = d.l_suppkey
+GROUP BY d.l_suppkey, s.s_name
+"""
+
+
+#: Structural bound on basket-pair generation: orders with more DISTINCT
+#: parts are excluded BEFORE pairing, so the quadratic per-order blowup is
+#: capped at MAX_BASKET^2 regardless of input skew (same
+#: safety-by-construction contract as EXACT_PAIRS_CAP / FUZZY_PROBE_CAP).
+#: Testdata max basket is 13.
+MAX_BASKET = 32
+
+#: An edge requires co-occurrence in >= MIN_SUPPORT distinct orders —
+#: the frequent-itemset support threshold that keeps the co-purchase graph
+#: sparse: one-off random co-occurrence (the quadratic bulk) never repeats,
+#: so |edges| collapses ~1000x and stays sublinear in input at scale.
+MIN_SUPPORT = 2
+
+
+def q_part_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph: nodes are parts,
+    an edge links two parts co-ordered in >= MIN_SUPPORT distinct orders,
+    and triangles are counted once each via the a<b<c orientation (edge
+    lists store x<y, the wedge join extends b->c, and the closing edge is
+    a LEFT SEMI probe on (a,c)).
+
+    Graph analytics shape distinct from pagerank_dup_graph (iterative) —
+    this is the one-shot motif count. Scale contract: baskets are built
+    with ONE map-side-combined collect_set shuffle of the 2-column fact
+    (no pairing self-join), the basket cap bounds the array-HOF pair
+    explode at MAX_BASKET^2 rows per order, the support count is a plain
+    map-combinable count (pairs are distinct within an order by
+    construction), and the threshold collapses the edge set before the
+    (quadratic-in-degree) wedge join ever runs. Edges are persisted once
+    and reused by all three census branches."""
+    # spread the single-file scan on the group key: the basket agg reuses
+    # this hash partitioning (no-op on real multi-file data).
+    li = spread(t(spark, sf_dir, "lineitem"), "l_orderkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter((F.size("parts") >= 2) & (F.size("parts") <= MAX_BASKET))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (p, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "q -> struct(p AS x, q AS y))))"
+            )
+        ).alias("e")
+    )
+    edges = (
+        pairs.select("e.x", "e.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= MIN_SUPPORT)
+        .select("x", "y")
+        .persist()
+    )
+    nodes = edges.select(F.col("x").alias("n")).union(
+        edges.select(F.col("y").alias("n"))
+    ).distinct()
+    wedge = (
+        edges.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .join(
+            edges.select(F.col("x").alias("b"), F.col("y").alias("c")), "b"
+        )
+        .select("a", "c")
+    )
+    tri = wedge.join(
+        edges.select(F.col("x").alias("a"), F.col("y").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+
+    def census(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_value")).select(
+            F.lit(label).alias("metric"), "n_value"
+        )
+
+    return (
+        census(nodes, "n_nodes")
+        .union(census(edges, "n_edges"))
+        .union(census(tri, "n_triangles"))
+    )
+
+
+_TRIANGLES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+keep AS (
+  SELECT l_orderkey FROM li
+  GROUP BY l_orderkey HAVING count(*) BETWEEN 2 AND {MAX_BASKET}),
+li2 AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM li l JOIN keep k USING (l_orderkey)),
+pairs AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM li2 a JOIN li2 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+edges AS (
+  SELECT x, y FROM pairs
+  GROUP BY x, y HAVING count(*) >= {MIN_SUPPORT})
+SELECT 'n_nodes' AS metric, CAST(count(*) AS BIGINT) AS n_value
+FROM (SELECT x AS n FROM edges UNION SELECT y FROM edges)
+UNION ALL
+SELECT 'n_edges', CAST(count(*) AS BIGINT) FROM edges
+UNION ALL
+SELECT 'n_triangles', CAST(count(*) AS BIGINT)
+FROM edges e1
+JOIN edges e2 ON e1.y = e2.x
+JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "sole_late_supplier": Q(
         q_sole_late_supplier,
@@ -647,5 +874,20 @@ ENTRIES: dict[str, Q] = {
     ),
     "grouping_sets_mix": Q(
         q_grouping_sets_mix, _GROUPING_SETS_SQL, "asymmetric GROUPING SETS"
+    ),
+    "cheapest_supplier_per_part": Q(
+        q_cheapest_supplier_per_part,
+        _CHEAPEST_SUPP_SQL,
+        "argmin-per-group via agg + join-back (Q2 shape)",
+    ),
+    "dominant_part_supplier": Q(
+        q_dominant_part_supplier,
+        _DOMINANT_SUPP_SQL,
+        "ratio-to-correlated-total threshold (Q20 flavor)",
+    ),
+    "part_basket_triangles": Q(
+        q_part_basket_triangles,
+        _TRIANGLES_SQL,
+        "support-thresholded co-purchase triangle census",
     ),
 }

@@ -857,6 +857,117 @@ WINDOW w AS (PARTITION BY user_id ORDER BY sec
 """
 
 
+# -- gaps-and-islands: consecutive-day activity streaks ----------------------
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-active-day streaks via the gaps-and-islands
+    date-minus-row_number trick: within a user, consecutive calendar days
+    share (epoch_day - row_number), so one groupBy on that island key turns
+    runs into rows — no self-join, no iterative pass.
+
+    This is the streak/retention shape sessionize_events (gap-threshold on
+    raw event timestamps) does not cover: islands are defined on the
+    DISTINCT day grid, so duplicate events per day cannot split or extend a
+    run. Plan: the map-side-combined distinct on (user, day) collapses raw
+    events to the day grid BEFORE anything shuffles on user_id alone, so
+    the second exchange carries at most |users| x |calendar| rows; the
+    window and BOTH stacked groupBys then pipeline on that one user_id
+    partitioning (hash(user) satisfies clustering on (user, grp)) with
+    zero further exchanges. Per-user day counts are bounded by the
+    calendar, so no skew at 100 TB."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    isl = days.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("d")),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+_ISLANDS_SQL = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+isl AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS max_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY user_id
+"""
+
+
+# -- robust (median/MAD) outlier detection -----------------------------------
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier count per event type — the
+    contamination-resistant twin of event_value_outliers' mean/stddev
+    3-sigma rule (a single extreme value shifts mean AND inflates stddev;
+    the median and MAD ignore it).
+
+    Exact interpolated percentile on both engines (the proven
+    percentile ≡ quantile_cont pairing from percentiles_by_type), each
+    median rounded to 6 dp BEFORE reuse so interpolation ulp drift cannot
+    flip a threshold comparison downstream. The 1.4826 sigma-consistency
+    product is written with identical left-association on both sides.
+    Plan: two grouped aggregates over the pruned 2-column scan, each
+    result broadcast back — event_type cardinality is tiny, so the big
+    side never shuffles."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (
+                    F.col("ad") > F.lit(3) * F.lit(1.4826) * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_MAD_SQL = """
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM ev GROUP BY event_type),
+dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        FROM ev e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+        FROM dev GROUP BY event_type)
+SELECT d.event_type, d.med, m.mad,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, d.med, m.mad
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "trailing_hour_stats": Q(
         q_trailing_hour_stats,
@@ -904,5 +1015,15 @@ ENTRIES: dict[str, Q] = {
         q_event_value_outliers,
         _EVENT_OUTLIERS_SQL,
         "per-type value stats + deterministic 3-sigma outlier count",
+    ),
+    "activity_islands": Q(
+        q_activity_islands,
+        _ISLANDS_SQL,
+        "gaps-and-islands consecutive-day streaks per user",
+    ),
+    "mad_outliers": Q(
+        q_mad_outliers,
+        _MAD_SQL,
+        "median/MAD robust outlier count per event type",
     ),
 }

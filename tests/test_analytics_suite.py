@@ -1,0 +1,294 @@
+"""Semantic tests for the round-5 analytics additions: unigram entropy,
+n-gram novelty curve, gaps-and-islands streaks, median/MAD outliers, the
+KMV-style distinct sketch, argmin/ratio-to-total decorrelations, and the
+co-purchase triangle census.
+
+Each query already has a DuckDB oracle (tests/test_oracle_parity.py); the
+tests here check what parity can't: hand-built inputs with known answers
+(tie-breaks, duplicate-insensitivity, robustness laws) and INDEPENDENT
+pure-Python oracles for the graph/robust-stats math.
+"""
+
+from __future__ import annotations
+
+import datetime
+import itertools
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.corpus_queries import (
+    q_ngram_novelty,
+    q_token_entropy,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.profiling_queries import (
+    q_kmv_distinct_sketch,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.subquery_queries import (
+    MIN_SUPPORT,
+    q_cheapest_supplier_per_part,
+    q_dominant_part_supplier,
+    q_part_basket_triangles,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.timeseries_queries import (
+    q_activity_islands,
+    q_mad_outliers,
+)
+
+
+# ---------------------------------------------------------------- writers
+def _write_docs(path, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    return str(path)
+
+
+def _write_events(path, rows):
+    """rows: list of (user_id, ts_datetime, event_type, value)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(path / "events.parquet"),
+    )
+    return str(path)
+
+
+def _write_lineitem(path, rows):
+    """rows: list of (orderkey, partkey, suppkey, quantity, extendedprice)."""
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_quantity": pa.array([float(r[3]) for r in rows], pa.float64()),
+                "l_extendedprice": pa.array(
+                    [float(r[4]) for r in rows], pa.float64()
+                ),
+            }
+        ),
+        str(path / "lineitem.parquet"),
+    )
+
+
+def _write_part(path, keys):
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(keys, pa.int64()),
+                "p_name": pa.array([f"part {k}" for k in keys], pa.string()),
+            }
+        ),
+        str(path / "part.parquet"),
+    )
+
+
+def _write_supplier(path, keys):
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "s_name": pa.array([f"supp {k}" for k in keys], pa.string()),
+            }
+        ),
+        str(path / "supplier.parquet"),
+    )
+
+
+# ------------------------------------------------------------ token entropy
+def test_token_entropy_extremes(spark, tmp_path):
+    d = tmp_path / "ent"
+    d.mkdir()
+    _write_docs(d, ["a a a a", "a b c d"])
+    rows = {r["doc_id"]: r for r in q_token_entropy(spark, str(d)).collect()}
+    assert rows[0]["n_tokens"] == 4 and rows[0]["n_unique"] == 1
+    assert rows[0]["token_entropy"] == 0.0
+    assert rows[1]["n_unique"] == 4
+    assert rows[1]["token_entropy"] == round(math.log(4), 6)
+
+
+# ------------------------------------------------------------ novelty curve
+def test_ngram_novelty_duplicate_doc_contributes_nothing(spark, tmp_path):
+    d = tmp_path / "nov"
+    d.mkdir()
+    t0 = "alpha beta gamma delta epsilon"
+    _write_docs(d, [t0, t0, "zeta eta theta iota"])
+    rows = {r["doc_id"]: r for r in q_ngram_novelty(spark, str(d)).collect()}
+    # first arrival owns every shingle; the exact copy owns none
+    assert rows[0]["novelty"] == 1.0
+    assert rows[1]["n_new"] == 0 and rows[1]["novelty"] == 0.0
+    # disjoint vocabulary doc is all-new regardless of position
+    assert rows[2]["novelty"] == 1.0
+    assert rows[0]["n_shingles"] == 3  # 5 tokens -> 3 trigrams, all distinct
+
+
+# ------------------------------------------------------- gaps-and-islands
+def test_activity_islands_known_streaks(spark, tmp_path):
+    d = tmp_path / "isl"
+    d.mkdir()
+
+    def day(n, h=0):
+        return datetime.datetime(2024, 1, n, h, 30, 0)
+
+    rows = []
+    # user 1: runs [1-3], [5-6], [9]; day 2 has TWO events (must not split)
+    for n in (1, 2, 2, 3, 5, 6, 9):
+        rows.append((1, day(n, h=len(rows) % 24), "click", 1.0))
+    # user 2: single active day
+    rows.append((2, day(20), "view", 1.0))
+    _write_events(d, rows)
+    out = {r["user_id"]: r for r in q_activity_islands(spark, str(d)).collect()}
+    assert out[1]["n_active_days"] == 6
+    assert out[1]["max_streak"] == 3
+    assert out[1]["n_streaks"] == 3
+    assert out[2]["n_active_days"] == out[2]["max_streak"] == out[2]["n_streaks"] == 1
+
+
+# ------------------------------------------------------------ median / MAD
+def test_mad_outliers_python_oracle(spark, sf_dir):
+    out = {r["event_type"]: r for r in q_mad_outliers(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "value"]]
+    pdf = pdf[pdf.value.notna()]
+    for et, grp in pdf.groupby("event_type"):
+        med = round(float(np.percentile(grp.value, 50)), 6)
+        ad = np.abs(grp.value - med)
+        mad = round(float(np.percentile(ad, 50)), 6)
+        r = out[et]
+        assert r["med"] == med and r["mad"] == mad
+        assert r["n_events"] == len(grp)
+        assert r["n_outliers"] == int((ad > 3 * 1.4826 * mad).sum())
+
+
+def test_mad_flags_single_extreme_exactly(spark, tmp_path):
+    d = tmp_path / "mad"
+    d.mkdir()
+    base = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 1e9]
+    _write_events(
+        d,
+        [(i, datetime.datetime(2024, 1, 1 + i % 5), "t", v) for i, v in enumerate(base)],
+    )
+    (r,) = q_mad_outliers(spark, str(d)).collect()
+    # med 13.5, mad 2.0: the 1e9 point moves the median by only 0.5 and the
+    # MAD not at all beyond one step — the robustness law — and is the ONLY
+    # deviation above 3 * 1.4826 * mad.
+    assert r["med"] == 13.5 and r["mad"] == 2.0
+    assert r["n_outliers"] == 1
+
+
+# ------------------------------------------------------------- KMV sketch
+def test_kmv_sketch_duplicate_insensitive(spark, tmp_path, sf_dir):
+    base = {r["day"]: r for r in q_kmv_distinct_sketch(spark, sf_dir).collect()}
+    # rewrite the same events DOUBLED (every row twice, fresh event_ids):
+    # min-hash minima — and therefore every estimate — must be unchanged
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    doubled = pd.concat([pdf, pdf], ignore_index=True)
+    doubled["event_id"] = range(len(doubled))
+    d = tmp_path / "kmv"
+    d.mkdir()
+    doubled.to_parquet(str(d / "events.parquet"))
+    dup = {r["day"]: r for r in q_kmv_distinct_sketch(spark, str(d)).collect()}
+    assert set(base) == set(dup)
+    for day in base:
+        assert base[day]["n_est"] == dup[day]["n_est"]
+        assert base[day]["n_exact"] == dup[day]["n_exact"]
+    # loose accuracy envelope for R=32 minima (rel err ~ 1/sqrt(32) ≈ 18%)
+    assert all(r["rel_err"] < 0.75 for r in base.values())
+
+
+# ------------------------------------------------- argmin tie-break (Q2ish)
+def test_cheapest_supplier_tie_breaks_to_min_suppkey(spark, tmp_path):
+    d = tmp_path / "cheap"
+    d.mkdir()
+    _write_lineitem(
+        d,
+        [
+            (100, 1, 7, 2, 10.0),  # unit 5.0
+            (101, 1, 3, 4, 20.0),  # unit 5.0 (tie) -> suppkey 3 wins
+            (102, 1, 9, 1, 100.0),
+            (103, 2, 9, 5, 10.0),  # unit 2.0, sole supplier
+        ],
+    )
+    _write_part(d, [1, 2])
+    out = {
+        r["p_partkey"]: r
+        for r in q_cheapest_supplier_per_part(spark, str(d)).collect()
+    }
+    assert out[1]["best_supp"] == 3 and out[1]["min_unit_price"] == 5.0
+    assert out[2]["best_supp"] == 9 and out[2]["min_unit_price"] == 2.0
+    assert out[1]["p_name"] == "part 1"
+
+
+# ------------------------------------------- ratio-to-total dominance (Q20ish)
+def test_dominant_supplier_threshold_is_exact(spark, tmp_path):
+    d = tmp_path / "dom"
+    d.mkdir()
+    rows = []
+    # part 1: supplier 1 ships 10, suppliers 2-4 ship 1 each:
+    #   10 * 4 = 40 > 3 * 13 = 39  -> dominated
+    rows += [(1, 1, 1, 10, 1.0)] + [(o, 1, s, 1, 1.0) for o, s in ((2, 2), (3, 3), (4, 4))]
+    # part 2: supplier 1 ships 9, suppliers 2-4 ship 1 each:
+    #   9 * 4 = 36 > 3 * 12 = 36 is FALSE -> boundary excluded
+    rows += [(5, 2, 1, 9, 1.0)] + [(o, 2, s, 1, 1.0) for o, s in ((6, 2), (7, 3), (8, 4))]
+    _write_lineitem(d, rows)
+    _write_supplier(d, [1, 2, 3, 4])
+    out = q_dominant_part_supplier(spark, str(d)).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r["s_suppkey"] == 1 and r["n_parts_dominated"] == 1
+    assert r["dominated_qty"] == 10 and r["s_name"] == "supp 1"
+
+
+# ------------------------------------------------------- triangle census
+def test_part_basket_triangles_python_oracle(spark, sf_dir):
+    out = {r["metric"]: r["n_value"] for r in q_part_basket_triangles(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    support: dict[tuple[int, int], set[int]] = {}
+    for ok, grp in pdf.groupby("l_orderkey"):
+        parts = sorted(set(grp.l_partkey))  # testdata baskets are all small
+        for x, y in itertools.combinations(parts, 2):
+            support.setdefault((x, y), set()).add(ok)
+    edges = {e for e, s in support.items() if len(s) >= MIN_SUPPORT}
+    nodes = {n for e in edges for n in e}
+    higher: dict[int, set[int]] = {}
+    for x, y in edges:
+        higher.setdefault(x, set()).add(y)
+    tri = sum(len(higher.get(x, set()) & higher.get(y, set())) for x, y in edges)
+    assert out["n_nodes"] == len(nodes)
+    assert out["n_edges"] == len(edges)
+    assert out["n_triangles"] == tri
+
+
+def test_triangle_census_counts_each_triangle_once(spark, tmp_path):
+    d = tmp_path / "tri"
+    d.mkdir()
+    rows = []
+    # K4 on parts 1-4: every pair co-ordered in 2 distinct orders -> 4 nodes,
+    # 6 edges, C(4,3)=4 triangles. Each "order" is one full basket.
+    for o in (1, 2):
+        rows += [(o, p, 1, 1, 1.0) for p in (1, 2, 3, 4)]
+    # a pair below support (single co-order) must NOT create an edge
+    rows += [(3, 5, 1, 1, 1.0), (3, 6, 1, 1, 1.0)]
+    _write_lineitem(d, rows)
+    out = {r["metric"]: r["n_value"] for r in q_part_basket_triangles(spark, str(d)).collect()}
+    assert out == {"n_nodes": 4, "n_edges": 6, "n_triangles": 4}

@@ -443,3 +443,68 @@ def test_pagerank_iterates_on_checkpointed_edges(spark, sf_dir):
         f"expected {PAGERANK_ITERS}+1 joins, got {rounds}"
     )
     assert final.count("LeftAnti") == 1  # isolated nodes, once
+
+
+# ---------------------------------------------------------------------------
+# round-5 analytics additions
+# ---------------------------------------------------------------------------
+def test_activity_islands_pipelines_after_two_exchanges(spark, sf_dir):
+    """The distinct must collapse (map-side combined) on (user, day) before
+    anything shuffles on user_id; the window and both stacked groupBys then
+    reuse the single user_id partitioning (hash(user) satisfies clustering
+    on (user, grp)) with no further exchange."""
+    plan = _plan(spark, sf_dir, "activity_islands")
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 2
+    assert final.count("Window") == 1
+    # scan pruned to the two used columns
+    assert "ReadSchema: struct<ts" in final and "event_type" not in final
+
+
+def test_mad_outliers_broadcasts_both_stat_dims(spark, sf_dir):
+    """Median and MAD are tiny per-type aggregates: both must come back as
+    broadcast joins so the fact side never shuffles."""
+    plan = _plan(spark, sf_dir, "mad_outliers")
+    final = plan.split("+- == Initial Plan ==")[0]
+    # 3 occurrences: the med join appears twice (the dev subtree is inlined
+    # under both the MAD aggregate and the final census) + the mad join.
+    assert final.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+
+
+def test_kmv_sketch_is_one_md5_no_explode(spark, sf_dir):
+    """The sketch path must hash each row ONCE and fan out via integer
+    permutations inside a map-side-combined aggregate — no Generate
+    (explode) node, and partial_min functions present."""
+    plan = _plan(spark, sf_dir, "kmv_distinct_sketch")
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "Generate" not in final
+    assert "partial_min" in final
+    assert final.count("md5") <= 2  # one per aggregate branch, not 32
+
+
+def test_cheapest_supplier_uses_agg_join_not_window(spark, sf_dir):
+    """Argmin-per-group must be the agg + join-back decorrelation (map-side
+    combinable) — not a per-part window sort — and the part name dim must
+    broadcast."""
+    plan = _plan(spark, sf_dir, "cheapest_supplier_per_part")
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "BroadcastHashJoin" in final
+    assert "partial_min" in final
+
+
+def test_triangle_census_has_no_pairing_self_join(spark, sf_dir):
+    """Basket pairs must come from the array HOF over collect_set baskets
+    (one shuffle of the fact), not a lineitem x lineitem self-join: exactly
+    one lineitem FileScan feeds the basket aggregate, and the support count
+    is a plain map-combinable count (no distinct-agg expand)."""
+    plan = _plan(spark, sf_dir, "part_basket_triangles")
+    final = plan.split("+- == Initial Plan ==")[0]
+    # every lineitem FileScan line in the plan text is the persisted edge
+    # subtree re-printed under an InMemoryTableScan — no census branch may
+    # read the fact directly (that would be the pairing-self-join shape)
+    assert "InMemoryTableScan" in final
+    assert final.count("FileScan parquet") == final.count("InMemoryTableScan")
+    assert "collect_set" in final
+    assert "Expand" not in final  # no count-distinct expansion
