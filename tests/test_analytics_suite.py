@@ -292,3 +292,60 @@ def test_triangle_census_counts_each_triangle_once(spark, tmp_path):
     _write_lineitem(d, rows)
     out = {r["metric"]: r["n_value"] for r in q_part_basket_triangles(spark, str(d)).collect()}
     assert out == {"n_nodes": 4, "n_edges": 6, "n_triangles": 4}
+
+
+# ------------------------------------------------------- corpus-law props
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+_text_st = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=1, max_size=40
+).map(" ".join)
+_corpus_st = st.lists(_text_st, min_size=1, max_size=10)
+
+_example_no = [0]
+
+
+def _pdir(tmp_path):
+    _example_no[0] += 1
+    d = tmp_path / f"p{_example_no[0]}"
+    d.mkdir()
+    return d
+
+
+@given(texts=_corpus_st)
+@_SETTINGS
+def test_entropy_bounded_by_log_vocab(spark, tmp_path, texts):
+    """0 <= H <= ln(n_unique) (uniform distribution maximizes entropy),
+    and token accounting must be exact."""
+    d = _pdir(tmp_path)
+    _write_docs(d, texts)
+    for r in q_token_entropy(spark, str(d)).collect():
+        toks = texts[r["doc_id"]].split()
+        assert r["n_tokens"] == len(toks)
+        assert r["n_unique"] == len(set(toks))
+        assert -1e-9 <= r["token_entropy"] <= round(math.log(r["n_unique"]), 6) + 1e-9
+
+
+@given(texts=_corpus_st)
+@_SETTINGS
+def test_novelty_conservation_law(spark, tmp_path, texts):
+    """Every distinct corpus shingle is new exactly once: sum(n_new) over
+    docs == |distinct shingles corpus-wide|, and doc 0 is always all-new."""
+    d = _pdir(tmp_path)
+    _write_docs(d, texts)
+    rows = q_ngram_novelty(spark, str(d)).collect()
+    shingles = set()
+    for t in texts:
+        w = t.split()
+        shingles |= {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    assert sum(r["n_new"] for r in rows) == len(shingles)
+    by_id = {r["doc_id"]: r for r in rows}
+    first = min(by_id) if by_id else None
+    if first is not None:
+        assert by_id[first]["novelty"] == 1.0
