@@ -12,6 +12,8 @@ Surfaces (all reuse the tested streaming operators verbatim):
   * change_detect  — xlsx-snapshot diff state machine (anti-join epochs)
   * dq_gate        — per-epoch clean/quarantine split + violation report
   * interval_join  — watermarked stream-stream event-time interval join
+  * distinct_sketch — windowed KMV-style distinct-count sketch (R minima
+                     of state per open window)
 
 Output: ONE JSON line (also written to STREAMBENCH.json):
   {"metric": "streaming_bench", "sf": ..., "surfaces": {name:
@@ -264,6 +266,27 @@ def bench_interval_join(spark, ev_dir: str, work: str) -> dict:
     return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
 
 
+def bench_distinct_sketch(spark, ev_dir: str, work: str) -> dict:
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.cardinality import (
+        windowed_distinct_sketch,
+    )
+
+    stream = _reader(spark, ev_dir, EVENTS_SCHEMA).withWatermark("ts", "1 hour")
+    out = windowed_distinct_sketch(
+        stream, "1 day", key_cols=("event_type",)
+    )
+    t0 = time.monotonic()
+    q = (
+        out.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", os.path.join(work, "ckpt_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -288,6 +311,7 @@ def main() -> None:
             ("change_detect", bench_change_detect, doc_dir),
             ("dq_gate", bench_dq_gate, doc_dir),
             ("interval_join", bench_interval_join, ev_dir),
+            ("distinct_sketch", bench_distinct_sketch, ev_dir),
         ):
             r = fn(spark, src, work)
             r["rows_per_sec"] = (

@@ -62,3 +62,39 @@ def minhash_coefficients(k: int, seed: int = 42) -> list[tuple[int, int]]:
         b = (b * 69069 + 1) % MINHASH_PRIME
         coeffs.append((a if a > 0 else 1, b))
     return coeffs
+
+
+def kmv_hash_col(id_col: str) -> Column:
+    """The per-row base hash for the KMV sketch, to be PROJECTED once
+    below the aggregate (aliased ``kmv_h0``). Keeping the md5 out of the
+    R aggregate expressions guarantees one hash per row in the plan
+    itself rather than relying on codegen subexpression elimination."""
+    return hash28(F.col(id_col).cast("string")).alias("kmv_h0")
+
+
+def kmv_minima_aggs(r: int = 32, h_col: str = "kmv_h0") -> list[Column]:
+    """R side-by-side min() aggregate columns ``m0..m{r-1}`` over integer
+    minhash permutations of the projected ``kmv_hash_col`` — the mergeable
+    KMV-style distinct-count sketch shared by the batch catalog entry
+    (plans/profiling_queries.py::q_kmv_distinct_sketch) and the streaming
+    windowed sketch (streaming/cardinality.py).
+
+    One md5 per input row, then pure modular arithmetic: min aggregates
+    are map-side combinable AND streaming-state friendly (R BIGINTs per
+    open group, merged monotonically, evicted with the window)."""
+    coeffs = minhash_coefficients(r)
+    return [
+        F.min((F.col(h_col) * a + b) % MINHASH_PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+
+
+def kmv_estimate_col(r: int = 32) -> Column:
+    """Distinct-count estimate from the ``m0..m{r-1}`` minima columns.
+
+    The min of n uniforms on [0, P) has mean ~P/(n+1), so with S the exact
+    BIGINT sum of the R minima: n_est = R*P/S - 1. S is an
+    order-independent integer sum; the division/subtraction are the only
+    float ops — bit-identical cross-engine."""
+    s = F.expr(" + ".join(f"m{i}" for i in range(r)))
+    return F.round(F.lit(r) * F.lit(float(MINHASH_PRIME)) / s - 1, 1)

@@ -219,37 +219,20 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one division and one subtraction on exact integers, bit-identical
     cross-engine. The exact COUNT(DISTINCT) column is the accuracy
     report, not part of the sketch path."""
-    from ..functions.hashing import MINHASH_PRIME, minhash_coefficients
+    from ..functions.hashing import kmv_estimate_col, kmv_hash_col, kmv_minima_aggs
     from .base import spread
 
-    coeffs = minhash_coefficients(KMV_R)
     ev = spread(t(spark, sf_dir, "events"), "event_id").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    base = ev.select(
-        "day",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
-        .cast("long")
-        .alias("h0"),
+    mins = ev.select("day", kmv_hash_col("user_id")).groupBy("day").agg(
+        *kmv_minima_aggs(KMV_R)
     )
-    mins = base.groupBy("day").agg(
-        *[
-            F.min((F.col("h0") * a + b) % MINHASH_PRIME).alias(f"m{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
-    s_expr = F.expr(" + ".join(f"m{i}" for i in range(KMV_R)))
-    est = mins.select("day", s_expr.alias("s"))
+    est = mins.select("day", kmv_estimate_col(KMV_R).alias("n_est"))
     exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("n_exact"))
     return (
         est.join(exact, "day")
-        .select(
-            "day",
-            "n_exact",
-            F.round(
-                F.lit(KMV_R) * F.lit(float(MINHASH_PRIME)) / F.col("s") - 1, 1
-            ).alias("n_est"),
-        )
+        .select("day", "n_exact", "n_est")
         .withColumn(
             "rel_err",
             F.round(F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 4),

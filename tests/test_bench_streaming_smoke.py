@@ -32,6 +32,7 @@ def test_bench_streaming_all_surfaces(spark, tmp_path, monkeypatch):
         "change_detect",
         "dq_gate",
         "interval_join",
+        "distinct_sketch",
     }
     for name, s in surfaces.items():
         assert s["epochs"] >= 1, name
@@ -41,3 +42,4 @@ def test_bench_streaming_all_surfaces(spark, tmp_path, monkeypatch):
     assert surfaces["windowed_agg"]["state_rows_max"] > 0
     assert surfaces["stream_topk"]["state_rows_max"] > 0
     assert surfaces["interval_join"]["state_rows_max"] > 0
+    assert surfaces["distinct_sketch"]["state_rows_max"] > 0

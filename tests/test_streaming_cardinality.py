@@ -1,0 +1,84 @@
+"""Streaming windowed distinct-count sketch e2e
+(streaming/cardinality.py): time-ordered parquet chunks drive a
+watermarked availableNow stream in append mode; emitted per-day estimates
+must equal the batch run of the SAME function on the same rows (unified
+semantics — a backfill agrees with the live stream), and the state store
+must stay bounded at R minima per open window."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+    load_table,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.cardinality import (
+    windowed_distinct_sketch,
+)
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long"
+SENTINEL_TS = "2099-01-01 00:00:00"
+
+
+def test_streaming_sketch_equals_batch_and_bounds_state(spark, sf_dir, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+
+    # land 3 TIME-ORDERED chunks (watermark must advance monotonically),
+    # then a far-future sentinel that pushes the watermark past every real
+    # window so append mode emits them all before the stream drains
+    bounds = ["2024-01-11", "2024-01-21"]
+    chunks = [
+        ev.filter(F.col("ts") < bounds[0]),
+        ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        ev.filter(F.col("ts") >= bounds[1]),
+    ]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.mode("append").parquet(str(land))
+    spark.createDataFrame(
+        [(10**9, None, 10**9)], EVENTS_SCHEMA
+    ).withColumn("ts", F.lit(SENTINEL_TS).cast("timestamp")).select(
+        "event_id", "ts", "user_id"
+    ).coalesce(1).write.mode("append").parquet(str(land))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(land))
+        .withWatermark("ts", "3 days")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        windowed_distinct_sketch(stream, "1 day")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        r["window_start"]: r["n_est"]
+        for r in spark.read.parquet(out_dir).collect()
+        if r["window_start"].year == 2024  # sentinel window never emits anyway
+    }
+    batch = {
+        r["window_start"]: r["n_est"]
+        for r in windowed_distinct_sketch(ev, "1 day").collect()
+    }
+    assert streamed == batch  # every real window emitted, estimates identical
+    assert len(streamed) >= 28  # the full January day grid
+
+    # bounded state: at most |open windows| rows (one row of R minima each)
+    state_rows = []
+    for p in q.recentProgress:
+        if isinstance(p, str):
+            p = json.loads(p)
+        for so in p.get("stateOperators") or []:
+            state_rows.append(int(so.get("numRowsTotal", 0) or 0))
+    assert state_rows and max(state_rows) <= len(batch) + 2
