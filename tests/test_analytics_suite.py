@@ -349,3 +349,37 @@ def test_novelty_conservation_law(spark, tmp_path, texts):
     first = min(by_id) if by_id else None
     if first is not None:
         assert by_id[first]["novelty"] == 1.0
+
+
+def test_kmv_sketch_is_mergeable(spark, sf_dir):
+    """THE scale property: sketches built per shard merge by min-of-mins
+    into exactly the sketch of the union — so per-day minima computed over
+    arbitrary partitions of the data reproduce the global estimate."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.hashing import (
+        kmv_estimate_col,
+        kmv_hash_col,
+        kmv_minima_aggs,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    R = 8
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id", (F.col("event_id") % 3).alias("shard")
+    )
+    hashed = ev.select("day", "shard", kmv_hash_col("user_id"))
+    global_mins = hashed.groupBy("day").agg(*kmv_minima_aggs(R))
+    per_shard = hashed.groupBy("day", "shard").agg(*kmv_minima_aggs(R))
+    merged = per_shard.groupBy("day").agg(
+        *[F.min(f"m{i}").alias(f"m{i}") for i in range(R)]
+    )
+    g = {r["day"]: tuple(r[f"m{i}"] for i in range(R)) for r in global_mins.collect()}
+    m = {r["day"]: tuple(r[f"m{i}"] for i in range(R)) for r in merged.collect()}
+    assert g == m
+    # and therefore the estimates agree too
+    ge = {r["day"]: r["e"] for r in global_mins.select("day", kmv_estimate_col(R).alias("e")).collect()}
+    me = {r["day"]: r["e"] for r in merged.select("day", kmv_estimate_col(R).alias("e")).collect()}
+    assert ge == me
