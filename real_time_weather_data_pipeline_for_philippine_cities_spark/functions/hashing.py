@@ -64,6 +64,12 @@ def minhash_coefficients(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return coeffs
 
 
+#: Canonical sketch width shared by the batch catalog entry and the
+#: streaming windowed sketch — the batch/stream bit-for-bit agreement
+#: contract requires ONE source of truth for R. rel err ~ 1/sqrt(R).
+KMV_R = 32
+
+
 def kmv_hash_col(id_col: str) -> Column:
     """The per-row base hash for the KMV sketch, to be PROJECTED once
     below the aggregate (aliased ``kmv_h0``). Keeping the md5 out of the
@@ -72,7 +78,7 @@ def kmv_hash_col(id_col: str) -> Column:
     return hash28(F.col(id_col).cast("string")).alias("kmv_h0")
 
 
-def kmv_minima_aggs(r: int = 32, h_col: str = "kmv_h0") -> list[Column]:
+def kmv_minima_aggs(r: int = KMV_R, h_col: str = "kmv_h0") -> list[Column]:
     """R side-by-side min() aggregate columns ``m0..m{r-1}`` over integer
     minhash permutations of the projected ``kmv_hash_col`` — the mergeable
     KMV-style distinct-count sketch shared by the batch catalog entry
@@ -89,7 +95,7 @@ def kmv_minima_aggs(r: int = 32, h_col: str = "kmv_h0") -> list[Column]:
     ]
 
 
-def kmv_estimate_col(r: int = 32) -> Column:
+def kmv_estimate_col(r: int = KMV_R) -> Column:
     """Distinct-count estimate from the ``m0..m{r-1}`` minima columns.
 
     The min of n uniforms on [0, P) has mean ~P/(n+1), so with S the exact

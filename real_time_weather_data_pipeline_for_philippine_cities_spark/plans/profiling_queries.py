@@ -190,10 +190,9 @@ FROM lineitem
 """
 
 
-#: Number of independent hash minima per sketch. Relative error of the
-#: minima-sum estimator is ~1/sqrt(R); 32 lands single-digit-percent
-#: estimates on the testdata at the cost of 32 BIGINTs of state per group.
-KMV_R = 32
+# Canonical sketch width lives in functions/hashing.py (single source of
+# truth shared with streaming/cardinality.py — see its KMV_R docstring).
+from ..functions.hashing import KMV_R  # noqa: E402
 
 
 def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -668,7 +668,10 @@ def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     `q * nsupp > 3 * tq` is all-BIGINT (quantities are integer-valued, cast
     before summing), so the threshold is exact on both engines."""
     li = t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+        # floor() on BOTH engines: a bare cast truncates in Spark but rounds in
+        # DuckDB, so the integer contract would silently diverge on any
+        # non-integral quantity. floor is bit-deterministic cross-engine.
+        "l_partkey", "l_suppkey", F.floor("l_quantity").cast("long").alias("qty")
     )
     per = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("q"))
     tot = per.groupBy("l_partkey").agg(
@@ -692,7 +695,7 @@ def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOMINANT_SUPP_SQL = """
 WITH per AS (
   SELECT l_partkey, l_suppkey,
-         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
   FROM lineitem GROUP BY l_partkey, l_suppkey),
 tot AS (
   SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq, count(*) AS nsupp

@@ -880,8 +880,7 @@ def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     isl = days.withColumn(
         "grp",
-        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
-        - F.row_number().over(Window.partitionBy("user_id").orderBy("d")),
+        F.unix_date(F.col("d")) - F.row_number().over(Window.partitionBy("user_id").orderBy("d")),
     )
     streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
     return streaks.groupBy("user_id").agg(

@@ -20,10 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import kmv_estimate_col, kmv_hash_col, kmv_minima_aggs
-
-#: Sketch width (matches the batch catalog entry): rel err ~ 1/sqrt(R).
-KMV_R = 32
+from ..functions.hashing import (
+    KMV_R,
+    kmv_estimate_col,
+    kmv_hash_col,
+    kmv_minima_aggs,
+)
 
 
 def windowed_distinct_sketch(

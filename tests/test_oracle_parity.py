@@ -50,6 +50,9 @@ def test_matches_duckdb_oracle(spark, sf_dir, name):
     sdf = q.fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+    # release per-query persisted stages (LSH signatures, edge lists) so
+    # 127 parametrized runs on one session don't accumulate cached storage
+    spark.catalog.clearCache()
 
     con = _duck(sf_dir)
     res = con.execute(q.oracle)

@@ -36,13 +36,34 @@ def test_streaming_sketch_equals_batch_and_bounds_state(spark, sf_dir, tmp_path)
         ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
         ev.filter(F.col("ts") >= bounds[1]),
     ]
+    # FileStreamSource admits files in modification-time order; a fast
+    # write burst can tie mtimes, which would let the far-future sentinel
+    # sort ahead and watermark-drop every real row. Pin STRICTLY ascending
+    # mtimes in true landing order by tracking which part-file each write
+    # produced.
+    import os
+
+    def _pin_mtime(write, order):
+        before = set(os.listdir(land))
+        write()
+        for p in set(os.listdir(land)) - before:
+            if p.endswith(".parquet"):
+                t = 1_700_000_000 + 10 * order
+                os.utime(os.path.join(land, p), (t, t))
+
     for i, c in enumerate(chunks):
-        c.coalesce(1).write.mode("append").parquet(str(land))
-    spark.createDataFrame(
-        [(10**9, None, 10**9)], EVENTS_SCHEMA
-    ).withColumn("ts", F.lit(SENTINEL_TS).cast("timestamp")).select(
-        "event_id", "ts", "user_id"
-    ).coalesce(1).write.mode("append").parquet(str(land))
+        _pin_mtime(
+            lambda c=c: c.coalesce(1).write.mode("append").parquet(str(land)), i
+        )
+    sentinel = (
+        spark.createDataFrame([(10**9, None, 10**9)], EVENTS_SCHEMA)
+        .withColumn("ts", F.lit(SENTINEL_TS).cast("timestamp"))
+        .select("event_id", "ts", "user_id")
+    )
+    _pin_mtime(
+        lambda: sentinel.coalesce(1).write.mode("append").parquet(str(land)),
+        len(chunks),
+    )
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -73,6 +94,19 @@ def test_streaming_sketch_equals_batch_and_bounds_state(spark, sf_dir, tmp_path)
     }
     assert streamed == batch  # every real window emitted, estimates identical
     assert len(streamed) >= 28  # the full January day grid
+
+    # and the BATCH CATALOG twin agrees per day — proves the live stream,
+    # a streaming-function backfill, and the batch catalog entry share one
+    # estimator (single KMV_R source of truth in functions/hashing.py)
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import (
+        CATALOG,
+    )
+
+    catalog_est = {
+        r["day"]: r["n_est"]
+        for r in CATALOG["kmv_distinct_sketch"].fn(spark, sf_dir).collect()
+    }
+    assert {ws.date(): e for ws, e in streamed.items()} == catalog_est
 
     # bounded state: at most |open windows| rows (one row of R minima each)
     state_rows = []

@@ -108,6 +108,10 @@ def main() -> int:
         }
         if not ok:
             fail += 1
+        # release per-query persisted stages (LSH signatures, edge lists):
+        # 126 queries x cached intermediates would otherwise accumulate
+        # executor storage for the whole run.
+        spark.catalog.clearCache()
     # Machine-readable record of the full strict run (values bitwise,
     # dtype kinds) — written only for full-catalog runs so a partial
     # invocation can't masquerade as complete coverage.
