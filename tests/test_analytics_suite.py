@@ -383,3 +383,25 @@ def test_kmv_sketch_is_mergeable(spark, sf_dir):
     ge = {r["day"]: r["e"] for r in global_mins.select("day", kmv_estimate_col(R).alias("e")).collect()}
     me = {r["day"]: r["e"] for r in merged.select("day", kmv_estimate_col(R).alias("e")).collect()}
     assert ge == me
+
+
+def test_bench_compare_normalizes_host_factor():
+    """A uniform 1.2x slowdown is host weather, not a regression; a single
+    query at 3x on top of it IS one — and sub-50ms queries are ignored."""
+    from tools.bench_compare import compare
+
+    old = {"queries": {"a": 1.0, "b": 2.0, "c": 0.5, "tiny": 0.01, "gone": 1.0}}
+    new = {
+        "queries": {
+            "a": 1.2,
+            "b": 2.4,
+            "c": 0.5 * 1.2 * 3,  # real 3x regression under the same weather
+            "tiny": 0.04,  # 4x but under the 50ms floor: ignored
+            "fresh": 9.9,
+        }
+    }
+    r = compare(old, new, threshold=1.3)
+    assert abs(r["host_factor"] - 1.2) < 0.01
+    assert [x["query"] for x in r["regressions"]] == ["c"]
+    assert r["only_in_new"] == ["fresh"] and r["only_in_old"] == ["gone"]
+    assert not r["improvements"]
