@@ -35,14 +35,23 @@ def windowed_distinct_sketch(
     id_col: str = "user_id",
     key_cols: tuple[str, ...] = (),
     r: int = KMV_R,
+    slide: str | None = None,
 ) -> DataFrame:
     """Per-window (and optional per-key) distinct-``id_col`` estimate.
 
     Streaming callers must apply ``withWatermark(event_time_col, ...)``
     upstream so the window state is evictable; batch callers can use it
-    directly. Output: window bounds, keys, n_est.
+    directly. ``slide`` makes the windows overlapping (same contract as
+    windows.py::windowed_observation_stats) — each row then feeds every
+    window it falls in, and state is R BIGINTs per OPEN window, so the
+    overlap factor multiplies state rows, not row width. Output: window
+    bounds, keys, n_est.
     """
-    win = F.window(event_time_col, window_duration)
+    win = (
+        F.window(event_time_col, window_duration, slide)
+        if slide
+        else F.window(event_time_col, window_duration)
+    )
     mins = (
         df.withColumn("kmv_h0", kmv_hash_col(id_col))
         .groupBy(win.alias("w"), *key_cols)

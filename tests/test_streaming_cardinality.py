@@ -116,3 +116,27 @@ def test_streaming_sketch_equals_batch_and_bounds_state(spark, sf_dir, tmp_path)
         for so in p.get("stateOperators") or []:
             state_rows.append(int(so.get("numRowsTotal", 0) or 0))
     assert state_rows and max(state_rows) <= len(batch) + 2
+
+
+def test_sliding_sketch_overlap_consistency(spark, sf_dir):
+    """Sliding 2-day/1-day windows: each tumbling day's id set is a subset
+    of both sliding windows covering it, so every sliding estimate must be
+    >= the max of its two member days' tumbling estimates (minima only
+    decrease as sets grow) — and window bookkeeping must produce one
+    window per slide step."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    tumbling = {
+        r["window_start"].date(): r["n_est"]
+        for r in windowed_distinct_sketch(ev, "1 day").collect()
+    }
+    sliding = windowed_distinct_sketch(ev, "2 days", slide="1 day").collect()
+    assert len(sliding) >= len(tumbling)  # one window per slide step + edges
+    import datetime
+
+    for r in sliding:
+        days = [r["window_start"].date(), r["window_start"].date() + datetime.timedelta(days=1)]
+        members = [tumbling[d] for d in days if d in tumbling]
+        if members:
+            # union of the member days' id sets -> minima can only shrink
+            # -> estimate can only grow (up to rounding at 1dp)
+            assert r["n_est"] >= max(members) - 0.1
