@@ -54,6 +54,7 @@ def global_order_positions(
     key: Column,
     tiebreak: str,
     pos_col: str = "position",
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Dense 1..N positions over a global key order — the CORPUS-SCALE
     counterpart of :func:`dense_ids` (whose single global ``row_number``
@@ -71,8 +72,15 @@ def global_order_positions(
     cannot produce engine-dependent ranks. This is the deterministic
     training-order / epoch-shuffle primitive: key = md5(salt || id)
     gives a reproducible pseudo-random permutation of the corpus.
+
+    ``bucket_chars`` widens the bucket prefix for keys whose leading
+    characters are poorly distributed (e.g. magnitude-prefixed numeric
+    sort keys, where the first chars encode the digit count): a longer
+    prefix splits each magnitude class into finer ordered buckets.
     """
-    keyed = df.withColumn("__k", key).withColumn("__b", F.substring("__k", 1, 2))
+    keyed = df.withColumn("__k", key).withColumn(
+        "__b", F.substring("__k", 1, bucket_chars)
+    )
     wb = Window.partitionBy("__b").orderBy("__k", tiebreak)
     counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
     woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)

@@ -35,6 +35,9 @@ NON_EQUI_OK = {
     "bm25_keyword_topk",
     # per-column 1-row × 1-row stat joins (profiling_queries.py).
     "table_profile",
+    # 1-row broadcast of (N, total) totals for the Gini ratio, same as
+    # tfidf's in-flow corpus count.
+    "revenue_gini",
 }
 
 
@@ -508,3 +511,55 @@ def test_triangle_census_has_no_pairing_self_join(spark, sf_dir):
     assert final.count("FileScan parquet") == final.count("InMemoryTableScan")
     assert "collect_set" in final
     assert "Expand" not in final  # no count-distinct expansion
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    """Q6-shape: the whole WHERE clause is lineitem-local, so every
+    predicate (date range, discount band, quantity bound) must reach the
+    one and only scan — a Q6 that reads unpruned lineitem pages is the
+    canonical 100-TB scan regression."""
+    plan = _plan(spark, sf_dir, "forecast_revenue_scan")
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 1
+    pushed = scans[0].split("PushedFilters:")[-1]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    assert "Join" not in plan
+
+
+def test_large_volume_orders_single_lineitem_pass(spark, sf_dir):
+    """Q18-shape: the HAVING-IN subquery must reuse ONE lineitem
+    aggregation (filter on the aggregate, join the survivors back) —
+    the naive rewrite scans and shuffles lineitem twice."""
+    plan = _plan(spark, sf_dir, "large_volume_orders")
+    li_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_market_share_dimension_legs_broadcast(spark, sf_dir):
+    """Q8-shape: part (type-pruned), both nation legs and region must all
+    ride in as broadcasts with their filters at the dimension scans; the
+    fact side shuffles only on its join keys."""
+    plan = _plan(spark, sf_dir, "market_share_by_year")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    part_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "p_partkey" in l
+    ]
+    assert part_scans and "p_type" in part_scans[0].split("PushedFilters:")[-1]
+
+
+def test_shipping_priority_sorts_aggregate_not_fact(spark, sf_dir):
+    """Q3-shape: the top-10 must be a TakeOrderedAndProject over the
+    per-order aggregate — never a global sort of joined lineitem."""
+    plan = _plan(spark, sf_dir, "shipping_priority_topk")
+    assert "TakeOrderedAndProject" in plan
+    # both fact-side date filters reach their scans
+    for tbl, col in (("lineitem", "l_shipdate"), ("orders", "o_orderdate")):
+        scans = [
+            l for l in plan.splitlines() if "FileScan" in l and tbl in l
+        ]
+        assert scans and col in scans[0].split("PushedFilters:")[-1]
