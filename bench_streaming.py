@@ -14,6 +14,9 @@ Surfaces (all reuse the tested streaming operators verbatim):
   * interval_join  — watermarked stream-stream event-time interval join
   * distinct_sketch — windowed KMV-style distinct-count sketch (R minima
                      of state per open window)
+  * transitions    — per-user stateful event-transition counting (one
+                     state row per user carries the last event across
+                     micro-batch boundaries)
 
 Output: ONE JSON line (also written to STREAMBENCH.json):
   {"metric": "streaming_bench", "sf": ..., "surfaces": {name:
@@ -266,6 +269,28 @@ def bench_interval_join(spark, ev_dir: str, work: str) -> dict:
     return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
 
 
+def bench_transitions(spark, ev_dir: str, work: str) -> dict:
+    """Per-user stateful transition counting (arrival-order semantics on
+    the bench's hash-chunked replay; the ts-ordered-replay ≡ batch-query
+    law is proven in tests/test_streaming_transitions.py)."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.transitions import (
+        streaming_transitions,
+    )
+
+    stream = _reader(spark, ev_dir, EVENTS_SCHEMA)
+    out = streaming_transitions(stream)
+    t0 = time.monotonic()
+    q = (
+        out.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", os.path.join(work, "ckpt_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
+
+
 def bench_distinct_sketch(spark, ev_dir: str, work: str) -> dict:
     from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.cardinality import (
         windowed_distinct_sketch,
@@ -312,6 +337,7 @@ def main() -> None:
             ("dq_gate", bench_dq_gate, doc_dir),
             ("interval_join", bench_interval_join, ev_dir),
             ("distinct_sketch", bench_distinct_sketch, ev_dir),
+            ("transitions", bench_transitions, ev_dir),
         ):
             r = fn(spark, src, work)
             r["rows_per_sec"] = (
