@@ -1,0 +1,105 @@
+"""Algebraic laws for the wave-3 analytics (hypothesis where input shape
+matters, closed-form otherwise): Gini scale-invariance and bounds, Zipf
+slope invariance under corpus duplication, transition-share stochasticity,
+containment symmetry on identical docs.
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.warehouse_queries import (
+    q_event_transitions,
+    q_revenue_gini,
+    q_shingle_containment,
+    q_zipf_slope,
+)
+from tests.test_warehouse_suite import _write_docs, _write_orders
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# positive cent-scale revenues, >= 2 customers
+revenues = st.lists(
+    st.integers(min_value=1, max_value=10_000), min_size=2, max_size=20
+)
+
+
+def _gini(spark, vals):
+    d = Path(tempfile.mkdtemp(prefix="gini_"))
+    _write_orders(
+        d, [(i, i, v / 100.0) for i, v in enumerate(vals, start=1)]
+    )
+    return q_revenue_gini(spark, str(d)).collect()[0]
+
+
+@SETTINGS
+@given(revenues)
+def test_gini_is_scale_invariant(spark, vals):
+    """G(k*x) = G(x) for any positive scalar k — concentration is a
+    share-of-total property, not a magnitude property."""
+    g1 = _gini(spark, vals)["gini"]
+    g3 = _gini(spark, [3 * v for v in vals])["gini"]
+    assert g1 == g3
+
+
+@SETTINGS
+@given(revenues)
+def test_gini_bounds_and_python_oracle(spark, vals):
+    """0 <= G <= 1 - 1/n, and the distributed rank-sum matches the
+    independent textbook formula computed in plain Python."""
+    row = _gini(spark, vals)
+    n = len(vals)
+    xs = sorted(vals)
+    total = sum(xs)
+    expected = sum((2 * i - n - 1) * x for i, x in enumerate(xs, start=1)) / (
+        n * total
+    )
+    assert row["gini"] == round(expected, 6)
+    assert 0.0 <= row["gini"] <= 1.0 - 1.0 / n + 1e-9
+
+
+def test_transition_shares_are_row_stochastic(spark, sf_dir):
+    rows = q_event_transitions(spark, sf_dir).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["share"]
+    # rounding each share to 6dp leaves the row sum within 5e-6 * n_cells
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 5e-5, (prev, s)
+
+
+def test_zipf_slope_invariant_under_corpus_duplication(spark, tmp_path):
+    """Duplicating the corpus doubles every frequency: slope must be
+    unchanged and the intercept must shift by exactly ln(2)."""
+    freqs = [120 // i for i in range(1, 6)]  # 120,60,40,30,24
+    text = " ".join(
+        " ".join(f"t{i}" for _ in range(f)) for i, f in enumerate(freqs)
+    )
+    d1, d2 = tmp_path / "z1", tmp_path / "z2"
+    d1.mkdir(), d2.mkdir()
+    _write_docs(d1, [text])
+    _write_docs(d2, [text, text])
+    r1 = q_zipf_slope(spark, str(d1)).collect()[0]
+    r2 = q_zipf_slope(spark, str(d2)).collect()[0]
+    assert r1["n_terms"] == r2["n_terms"] == 5
+    assert r1["zipf_slope"] == r2["zipf_slope"] == -1.0
+    assert abs((r2["zipf_intercept"] - r1["zipf_intercept"]) - math.log(2)) < 1e-3
+
+
+def test_containment_identical_docs_is_one_both_ways(spark, tmp_path):
+    d = tmp_path / "cid"
+    d.mkdir()
+    text = " ".join(f"q{i}" for i in range(12))
+    _write_docs(d, [text, text])
+    rows = q_shingle_containment(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0]["cont_a"] == 1.0 and rows[0]["cont_b"] == 1.0
