@@ -85,6 +85,11 @@ def fuzzy_best_match(
         probe.select(F.col(probe_col))
         .orderBy(F.col(probe_col).asc())
         .limit(max_probe)
+        # limit() lands all probes in ONE partition, serializing the
+        # probe x candidate Levenshtein stage in a single task; hashing
+        # them back out parallelizes it AND pre-satisfies the ranking
+        # window's exchange on the same key (no extra shuffle).
+        .repartition(F.col(probe_col))
     )
     scored = (
         bounded.join(F.broadcast(candidates.select(F.col(cand_col)).distinct()))
