@@ -271,6 +271,142 @@ FROM j
 """
 
 
+# -- mergeable quantile sketch ------------------------------------------------
+#: bottom-K sample size per group (the sketch's accuracy knob).
+QSKETCH_K = 256
+#: survivor-count safety margin for the threshold prefilter.
+QSKETCH_MARGIN = 8
+#: 2^60 — the hash60 value range.
+_H60_RANGE = 1152921504606846976
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile estimates from a deterministic bottom-K-by-hash
+    sample — the mergeable quantile sketch a 100 TB profiler uses where an
+    exact per-group percentile would sort every row.
+
+    The sample is the K rows with the smallest hash60(event_id) per group:
+    a uniform (hash-random) but fully deterministic sample, and MERGEABLE
+    by construction — bottom-K of a union is the bottom-K of the parts'
+    bottom-Ks, so shard sketches combine losslessly (same min-wise algebra
+    as the KMV sketch above). Quantile q is then the ceil(q*k)-th order
+    statistic of the sample.
+
+    Scale shape: a threshold PREFILTER (h <= 2^60 div n * K*MARGIN, exact
+    integer arithmetic off a broadcast 5-row count lattice) drops ~all
+    rows map-side, so the per-group ranking windows see ~K*MARGIN
+    survivors instead of the corpus — the windows are bounded by
+    construction, never corpus-sized. Groups smaller than K*MARGIN pass
+    everything (threshold >= 2^60) and the sketch degrades to exact.
+    The accuracy report joins the exact interpolated median (Spark
+    percentile == DuckDB quantile_cont, proven bitwise by mad_outliers).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash60
+    from .base import spread
+
+    ev = spread(t(spark, sf_dir, "events"), "event_id").select(
+        "event_type", "event_id", "value"
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # thr ~ 2^60 * K*MARGIN / n, computed as 2^60 div (n div K*MARGIN) so
+    # the arithmetic never exceeds 2^60 (no bigint overflow under ANSI);
+    # groups with n <= K*MARGIN divide by 1 and pass every row.
+    thr = counts.withColumn(
+        "thr",
+        F.expr(
+            f"{_H60_RANGE}L div greatest(1L, n div {QSKETCH_K * QSKETCH_MARGIN}L)"
+        ),
+    )
+    surv = (
+        ev.withColumn("h", hash60(F.col("event_id").cast("string")))
+        .join(F.broadcast(thr), "event_type")
+        .filter(F.col("h") <= F.col("thr"))
+    )
+    w1 = Window.partitionBy("event_type").orderBy("h", "event_id")
+    samp = (
+        surv.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= QSKETCH_K)
+    )
+    w2 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wk = Window.partitionBy("event_type")
+    s2 = samp.withColumn("r2", F.row_number().over(w2)).withColumn(
+        "k", F.count(F.lit(1)).over(wk)
+    )
+
+    def stat(q: float, name: str):
+        return F.max(
+            F.when(
+                F.col("r2") == F.ceil(F.lit(q) * F.col("k")), F.col("value")
+            )
+        ).alias(name)
+
+    sk = s2.groupBy("event_type").agg(
+        F.max("k").cast("bigint").alias("sample_k"),
+        stat(0.5, "p50_est"),
+        stat(0.9, "p90_est"),
+        stat(0.99, "p99_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("_p50x")
+    )
+    return (
+        sk.join(F.broadcast(counts), "event_type")
+        .join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "sample_k",
+            "p50_est",
+            "p90_est",
+            "p99_est",
+            F.round(
+                F.abs(F.col("p50_est") - F.col("_p50x")) / F.abs("_p50x"), 4
+            ).alias("p50_rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_QSKETCH_SQL = f"""
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+base AS (
+  SELECT e.event_type, e.event_id, e.value,
+         ('0x' || substring(md5(CAST(e.event_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events e),
+surv AS (
+  SELECT b.* FROM base b JOIN counts c USING (event_type)
+  WHERE b.h <= {_H60_RANGE} // greatest(1, c.n // {QSKETCH_K * QSKETCH_MARGIN})),
+samp AS (
+  SELECT * FROM (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY h, event_id)
+             AS rk
+    FROM surv) WHERE rk <= {QSKETCH_K}),
+s2 AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS r2,
+         count(*) OVER (PARTITION BY event_type) AS k
+  FROM samp),
+sk AS (
+  SELECT event_type, CAST(max(k) AS BIGINT) AS sample_k,
+         max(CASE WHEN r2 = ceil(0.5 * k) THEN value END) AS p50_est,
+         max(CASE WHEN r2 = ceil(0.9 * k) THEN value END) AS p90_est,
+         max(CASE WHEN r2 = ceil(0.99 * k) THEN value END) AS p99_est
+  FROM s2 GROUP BY 1),
+ex AS (SELECT event_type, quantile_cont(value, 0.5) AS p50x
+       FROM events GROUP BY 1)
+SELECT sk.event_type, c.n, sk.sample_k, sk.p50_est, sk.p90_est, sk.p99_est,
+       round(abs(sk.p50_est - ex.p50x) / abs(ex.p50x), 4) AS p50_rel_err
+FROM sk JOIN counts c USING (event_type) JOIN ex USING (event_type)
+ORDER BY sk.event_type
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "table_profile": Q(
         q_table_profile, _profile_sql(), "per-column null/distinct/min/max profile"
@@ -280,5 +416,10 @@ ENTRIES: dict[str, Q] = {
         q_kmv_distinct_sketch,
         _kmv_sql(),
         "mergeable R-minima cardinality sketch vs exact",
+    ),
+    "quantile_sketch": Q(
+        q_quantile_sketch,
+        _QSKETCH_SQL,
+        "mergeable bottom-K-by-hash quantile sketch vs exact median",
     ),
 }

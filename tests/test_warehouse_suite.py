@@ -176,3 +176,56 @@ def test_zipf_slope_exact_power_law(spark, tmp_path):
     assert row["n_terms"] == 8
     assert row["zipf_slope"] == -1.0
     assert row["zipf_intercept"] == round(math.log(840), 4)
+
+
+# ------------------------------------------------------- quantile sketch
+def test_quantile_sketch_small_group_degrades_to_exact(spark, tmp_path):
+    """Groups smaller than the prefilter budget keep every row, so the
+    sketch's order statistics are EXACT ceil-position order statistics."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.profiling_queries import (
+        q_quantile_sketch,
+    )
+
+    d = tmp_path / "qs"
+    d.mkdir()
+    vals = [float(v) for v in (5, 1, 9, 3, 7, 2, 8, 4, 6, 10)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(10), pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1)] * 10, pa.timestamp("us")
+                ),
+                "user_id": pa.array([1] * 10, pa.int64()),
+                "event_type": pa.array(["x"] * 10, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * 10, pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    row = q_quantile_sketch(spark, str(d)).collect()[0]
+    assert row["n"] == 10 and row["sample_k"] == 10
+    ordered = sorted(vals)
+    # ceil(q*k)-th order statistics of the full group
+    assert row["p50_est"] == ordered[5 - 1]  # ceil(0.5*10)  = 5
+    assert row["p90_est"] == ordered[9 - 1]  # ceil(0.9*10)  = 9
+    assert row["p99_est"] == ordered[10 - 1]  # ceil(0.99*10) = 10
+
+
+def test_quantile_sketch_accuracy_on_real_events(spark, sf_dir):
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.profiling_queries import (
+        q_quantile_sketch,
+    )
+
+    for r in q_quantile_sketch(spark, sf_dir).collect():
+        assert r["sample_k"] >= 1
+        assert r["p50_est"] <= r["p90_est"] <= r["p99_est"]
+        # at sf0.001 each type has ~200 rows (< K): the sample is the whole
+        # group and the median estimate must sit within one step of exact
+        assert r["p50_rel_err"] < 0.05, (r["event_type"], r["p50_rel_err"])
