@@ -1,4 +1,4 @@
-"""Rot protection for bench_streaming.py: the seven availableNow surfaces
+"""Rot protection for bench_streaming.py: the nine availableNow surfaces
 must still drive end-to-end and emit a well-formed STREAMBENCH payload.
 Runs in-process at sf0.001 with 2 chunks so the whole sweep stays cheap;
 output is diverted so the committed sf0.1 STREAMBENCH.json is untouched."""
@@ -33,6 +33,7 @@ def test_bench_streaming_all_surfaces(spark, tmp_path, monkeypatch):
         "dq_gate",
         "interval_join",
         "distinct_sketch",
+        "transitions",
     }
     for name, s in surfaces.items():
         assert s["epochs"] >= 1, name
@@ -43,3 +44,4 @@ def test_bench_streaming_all_surfaces(spark, tmp_path, monkeypatch):
     assert surfaces["stream_topk"]["state_rows_max"] > 0
     assert surfaces["interval_join"]["state_rows_max"] > 0
     assert surfaces["distinct_sketch"]["state_rows_max"] > 0
+    assert surfaces["transitions"]["state_rows_max"] > 0
