@@ -451,20 +451,22 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4dp) — the per-doc duplication profile a curation pass thresholds on.
 
     Scale shape: the explode is a x(words-7) row fan-out computed
-    map-side (no shuffle); distinct (hash, doc) pairs then one
-    map-combinable count per hash; the per-doc rollup joins shingles back
-    on the uniformly-distributed md5 key — the same keyed-equi-join form
-    as the decontamination and MinHash shingle pipelines. Hot stop-phrase
-    hashes skew the join, which AQE skew-join absorbs.
+    map-side (no shuffle); ONE map-combined groupBy collapses the stream
+    to (hash, doc, cnt) rows, the cross-doc occurrence count nd is a
+    window over the hash key on that already-collapsed relation, and the
+    per-doc rollup is a plain groupBy — three exchanges, one scan, no
+    join. (The previous join-back encoding re-ran the shingle map stage
+    per consumer and shuffled the UNCOLLAPSED window stream a second
+    time: measured ~4x slower at sf1 for identical output.) A hot
+    stop-phrase hash puts its <= |docs| collapsed rows in one window
+    partition — count-only, absorbed.
     """
     docs = spread(t(spark, sf_dir, "documents"))
     # Explode the start index FIRST and hash row-wise: md5/concat_ws then
     # run inside WholeStageCodegen. The tempting one-expression form —
     # transform(sequence(...), i -> md5(...)) — evaluates the lambda body
     # interpreted (HOF closures sit outside codegen) and measures ~4x
-    # slower for identical output. wins is consumed twice (hash counts +
-    # per-doc rollup); the re-run of this cheap map stage costs less than
-    # persisting a corpus-scale shingle stream would.
+    # slower for identical output.
     wins = (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
         .select(
@@ -481,18 +483,19 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", F.expr(f"slice(ts, i, {SHINGLE_WORDS})"))).alias("h"),
         )
     )
-    hash_docs = (
-        wins.select("h", "doc_id")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("nd"))
+    from pyspark.sql import Window
+
+    pairs = wins.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    nd = pairs.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
     return (
-        wins.join(hash_docs, "h")
-        .groupBy("doc_id")
+        nd.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_shared"),
+            F.sum("cnt").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(0)).alias(
+                "n_shared"
+            ),
         )
         .select(
             "doc_id",
