@@ -99,22 +99,25 @@ def q_canonical_doc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest doc_id — the "keep the richest copy" dedup policy, vs
     dedup_exact's keep-any.
 
-    Shape: one keyed groupBy on the text hash plus one join back to the
-    doc spine — both map-combinable / equi-keyed, no window over
-    unbounded clusters. The integer key ``n_chars * ID_CAP - doc_id``
+    Shape: ONE exchange on the text hash; group size and winner come from
+    count/max windows over the hash partition (cluster sizes are bounded
+    by duplication multiplicity, not corpus size), which beats the
+    aggregate+join-back form — that shuffles the doc spine twice and
+    hashes the text per consumer (collapse-first rule, see
+    substring_dup_spans). The integer key ``n_chars * ID_CAP - doc_id``
     makes the winner engine-independent."""
+    from pyspark.sql import Window
+
     docs = t(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
         F.md5("text").alias("h"),
         (F.col("n_chars") * F.lit(ID_CAP) - F.col("doc_id")).alias("k"),
     )
-    groups = keyed.groupBy("h").agg(
-        F.count("*").alias("group_size"),
-        F.max("k").alias("winkey"),
-    )
+    w = Window.partitionBy("h")
     return (
-        keyed.join(groups, "h")
+        keyed.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("winkey", F.max("k").over(w))
         .select(
             "doc_id",
             F.expr(

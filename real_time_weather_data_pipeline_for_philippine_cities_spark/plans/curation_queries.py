@@ -98,20 +98,28 @@ def q_segment_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     C4/RefinedWeb-style pipelines threshold on after document-level dedup
     (a doc that survives near-dup screening can still be 60% boilerplate).
 
-    Shape: map-side segmenting, then three keyed map-combinable
-    aggregations (segment hash -> doc counts -> per-doc rollup) and one
-    hash-keyed join — no windows, no broadcast of anything corpus-sized.
-    100 TB: the segment-hash reduce key space is ~corpus_tokens/10, fully
-    hash-partitioned; hot boilerplate hashes are absorbed by partial
-    aggregation map-side. The dup fraction is a ratio of exact integer
+    Shape: map-side segmenting, one map-combined groupBy collapsing to
+    (doc, hash, cnt), the cross-doc count as a window over the hash key
+    on that collapsed relation, then the per-doc rollup — no joins, no
+    broadcast of anything corpus-sized. 100 TB: the segment-hash reduce
+    key space is ~corpus_tokens/10, fully hash-partitioned; a hot
+    boilerplate hash puts at most |docs| collapsed rows in one window
+    partition (count-only). The dup fraction is a ratio of exact integer
     counts, so both engines emit bit-identical doubles before rounding.
     """
+    from pyspark.sql import Window
+
     segs = _segments(spread(t(spark, sf_dir, "documents")))
     per_dh = segs.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
-    per_h = per_dh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    # n_docs as a window over the COLLAPSED (doc, h) relation — the
+    # aggregate+join-back form shuffles per_dh twice and recomputes the
+    # segmenting map stage per consumer (collapse-first rule, see
+    # substring_dup_spans).
+    with_nd = per_dh.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     return (
-        per_dh.join(per_h, "h")
-        .groupBy("doc_id")
+        with_nd.groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_segments"),
             F.sum(F.when(F.col("n_docs") > 1, F.col("c")).otherwise(0)).alias(
