@@ -398,15 +398,25 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     / (N*sum(x)) on exact integers (decimal(38,0) in Spark, HUGEINT in
     DuckDB), so round(...,6) is cross-engine stable.
     """
+    from pyspark import StorageLevel
+
     from ..operators.relational import global_order_positions
 
     orders = t(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(
-        F.sum(_cents(F.col("o_totalprice"))).alias("rc")
+    # Both intermediates are customer-cardinality (bounded, spill-safe)
+    # and each feeds two consumers (the ranking's window+offset branches;
+    # the totals row + the final rank-sum): without the persists the
+    # orders scan + aggregate re-ran four times for a 1-row answer.
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     digits = F.col("rc").cast("string")
     key = F.concat(F.lpad(F.length(digits).cast("string"), 2, "0"), digits)
-    pos = global_order_positions(rev, key, "o_custkey", "i", bucket_chars=4)
+    pos = global_order_positions(rev, key, "o_custkey", "i", bucket_chars=4).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     term = (
         (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)).cast("decimal(38,0)")
         * F.col("rc").cast("decimal(38,0)")
