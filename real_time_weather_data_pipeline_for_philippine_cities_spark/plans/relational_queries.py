@@ -401,8 +401,17 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact integer cents before summation: round(sum(raw), 2) is
+            # summation-order-dependent and flipped the last cent vs the
+            # oracle once sf1-scale magnitudes were reached (strict sf1
+            # sweep, r5 continuation).
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                )
+                / 100.0
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -411,7 +420,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REVENUE_BY_NATION_SQL = """
 SELECT n_name AS nation_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -457,15 +467,24 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     month groupBy of the pre-aggregated map side."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer cents before summation (same sf1 last-cent drift fix
+    # as revenue_by_nation).
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
         .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                )
+                / 100.0
             ).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            (F.sum(rev_cents) / 100.0).alias("total_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -473,10 +492,12 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROMO_SQL = """
 SELECT date_trunc('month', l_shipdate) AS ship_month,
-       round(sum(CASE WHEN p_type = 'PROMO'
-                      THEN l_extendedprice * (1 - l_discount)
-                      ELSE 0.0 END), 2) AS promo_revenue,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)
+                ELSE 0 END) / 100.0 AS promo_revenue,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS total_revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1

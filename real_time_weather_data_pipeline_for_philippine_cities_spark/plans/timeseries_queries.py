@@ -54,7 +54,8 @@ _SESSIONIZE_SQL = f"""
 WITH ordered AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_S * 1_000_000}
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
@@ -89,15 +90,20 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"),
                 "o_totalprice")
     )
+    # exact integer cents before summation (same sf1 last-cent drift fix
+    # as revenue_by_nation).
     return joined.rollup("region_name", "nation_name").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias(
+            "total_revenue"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
 _ROLLUP_SQL = """
 SELECT r_name AS region_name, n_name AS nation_name,
-       round(sum(o_totalprice), 2) AS total_revenue,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+         AS total_revenue,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
