@@ -403,10 +403,13 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import global_order_positions
 
     orders = t(spark, sf_dir, "orders")
-    # Both intermediates are customer-cardinality (bounded, spill-safe)
-    # and each feeds two consumers (the ranking's window+offset branches;
-    # the totals row + the final rank-sum): without the persists the
-    # orders scan + aggregate re-ran four times for a 1-row answer.
+    # The per-customer aggregate feeds four downstream consumers (the
+    # ranking's window+offset branches; the totals row; the final
+    # rank-sum): persisting it (customer-cardinality, spill-safe) cuts
+    # the orders scan+aggregate from 4 runs to 1. The positions frame is
+    # deliberately NOT persisted — its reconstruction from the cached
+    # aggregate is cheap, and a second materialization measured slower
+    # than the recompute at sf0.1.
     rev = (
         orders.groupBy("o_custkey")
         .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rc"))
@@ -414,9 +417,7 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     digits = F.col("rc").cast("string")
     key = F.concat(F.lpad(F.length(digits).cast("string"), 2, "0"), digits)
-    pos = global_order_positions(rev, key, "o_custkey", "i", bucket_chars=4).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    pos = global_order_positions(rev, key, "o_custkey", "i", bucket_chars=4)
     term = (
         (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)).cast("decimal(38,0)")
         * F.col("rc").cast("decimal(38,0)")
