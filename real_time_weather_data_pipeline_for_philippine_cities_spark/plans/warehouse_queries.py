@@ -483,18 +483,20 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the similarity definition itself, which simultaneously bounds
     candidate generation — at most cap*(cap-1)/2 pairs per shingle.
 
-    Plan: ONE groupBy(h) builds sorted per-shingle doc lists (<= cap),
-    materialized spill-safe because both the per-doc size rollup and the
-    pair stream consume it (the self-join encoding re-ran the tokenize+
-    hash scan per consumer and measured 1.4x slower at sf1). Pairs are
-    emitted as PACKED BIGINT keys (a*2^32 + b, the triangle-census trick
-    — struct pair keys measured 4.4x slower there) straight into a
-    map-combined count; unpacking uses integer `div`, never float
-    division. Contract: doc_id < 2^32 — repack wider or switch to struct
-    keys past that.
+    Plan: ONE groupBy(h) builds sorted per-shingle doc lists (<= cap);
+    one explode pass over each list emits BOTH the per-doc size tokens
+    (the bare doc_id, < 2^32) and the candidate-pair tokens (packed
+    (a+1)*2^32 + b BIGINTs — the triangle-census trick; the +1 offset
+    keeps pair keys disjoint from doc tokens even for doc_id 0), so the
+    expensive tokenize+shingle subtree has exactly ONE consumer — no
+    persist, no recompute (the self-join encoding ran it three times; a
+    persisted-lists variant paid a corpus-scale materialization; all
+    three tie at local test scale, but one-pass is the only shape whose
+    cost stays one shingle stream at 100 TB). A single map-combined
+    count then serves as both the size rollup and the shared-shingle
+    count; unpacking uses integer `div`, never float division.
+    Contract: doc_id < 2^32 - 1 — repack wider past that.
     """
-    from pyspark import StorageLevel
-
     from ..operators import dedup as D
 
     docs = spread(t(spark, sf_dir, "documents"))
@@ -509,29 +511,24 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("h")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .filter(F.size("ds") <= CONTAINMENT_DF_CAP)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = lists.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh")
+    toks = lists.select(
+        F.explode(
+            F.expr(
+                "concat(ds, flatten(transform(ds, (p, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), "
+                "q -> (p + 1) * 4294967296L + q))))"
+            )
+        ).alias("tok")
     )
-    pairs = (
-        lists.filter(F.size("ds") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (p, i) -> "
-                    "transform(slice(ds, i + 2, size(ds)), "
-                    "q -> p * 4294967296L + q)))"
-                )
-            ).alias("pk")
-        )
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .select(
-            F.expr("pk div 4294967296").alias("doc_a"),
-            (F.col("pk") % 4294967296).alias("doc_b"),
-            "shared",
-        )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    sizes = counts.filter(F.col("tok") < 4294967296).select(
+        F.col("tok").alias("doc_id"), F.col("c").alias("n_sh")
+    )
+    pairs = counts.filter(F.col("tok") >= 4294967296).select(
+        (F.expr("tok div 4294967296") - 1).alias("doc_a"),
+        (F.col("tok") % 4294967296).alias("doc_b"),
+        F.col("c").alias("shared"),
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
