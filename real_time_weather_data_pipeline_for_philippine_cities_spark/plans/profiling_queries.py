@@ -407,6 +407,118 @@ ORDER BY sk.event_type
 """
 
 
+# -- mergeable count-min frequency sketch -------------------------------------
+#: count-min depth (independent hash rows) — the failure-probability knob.
+CM_D = 4
+#: count-min width (buckets per row) — the overestimate knob: expected
+#: collision mass per bucket is n_rows / CM_W.
+CM_W = 1024
+#: heavy hitters reported (exact top-N probes for the accuracy readout).
+CM_TOPN = 20
+#: coefficient-family seed — disjoint from the KMV family's default so the
+#: two sketches never share a permutation.
+CM_SEED = 97
+
+
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-frequency estimates from a count-min sketch vs the
+    exact counts for the top-N heaviest users — the mergeable frequency
+    sketch a 100 TB profiler uses where an exact per-item count table
+    would itself be corpus-sized. Completes the mergeable-sketch family
+    (KMV cardinality, bottom-K quantiles, count-min frequencies).
+
+    Sketch build: one md5 per input row (hash28), then CM_D bucket ids
+    from the dedup family's integer permutations ((a*h+b) mod P mod W —
+    same portable arithmetic as the KMV sketch, disjoint seed family).
+    The posexplode multiplies rows CM_D x MAP-SIDE ONLY: the groupBy
+    partial-aggregates to at most CM_D*CM_W counter rows per map
+    partition, so the shuffle carries a bounded sketch (<= 4096 rows),
+    never the corpus. Counters are additive, hence shard-mergeable by
+    construction, and small enough to broadcast to the probe join.
+
+    Estimate: for each probe item, min over the CM_D counters it hashes
+    to — never an underestimate (every counter >= the item's true count),
+    so `cm_over = n_cm - n_exact >= 0` is an invariant the tests pin.
+    Probes are the exact top-CM_TOPN users (deterministic cut: count
+    DESC, user_id), making the entry its own accuracy report.
+
+    Determinism: counters and minima are exact BIGINT arithmetic — no
+    floats anywhere — and both the top-N cut and the output order carry
+    total tie-breaks."""
+    from ..functions.hashing import MINHASH_PRIME, hash28, minhash_coefficients
+    from .base import spread
+
+    coeffs = minhash_coefficients(CM_D, seed=CM_SEED)
+    ev = spread(t(spark, sf_dir, "events"), "event_id").select("user_id")
+
+    def buckets(h0: str):
+        return F.array(
+            *[(F.col(h0) * a + b) % MINHASH_PRIME % CM_W for a, b in coeffs]
+        )
+
+    hashed = ev.select(hash28(F.col("user_id").cast("string")).alias("cm_h0"))
+    counters = (
+        hashed.select(F.posexplode(buckets("cm_h0")).alias("seed", "bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.orderBy(F.col("n_exact").desc(), "user_id").limit(CM_TOPN)
+    probed = probes.select(
+        "user_id",
+        "n_exact",
+        hash28(F.col("user_id").cast("string")).alias("cm_h0"),
+    ).select(
+        "user_id", "n_exact", F.posexplode(buckets("cm_h0")).alias("seed", "bucket")
+    )
+    est = (
+        probed.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("user_id")
+        .agg(F.max("n_exact").alias("n_exact"), F.min("c").alias("n_cm"))
+    )
+    return est.select(
+        "user_id",
+        "n_exact",
+        "n_cm",
+        (F.col("n_cm") - F.col("n_exact")).alias("cm_over"),
+    ).orderBy(F.col("n_exact").desc(), "user_id")
+
+
+def _countmin_sql() -> str:
+    from ..functions.hashing import MINHASH_PRIME, minhash_coefficients
+
+    coeffs = minhash_coefficients(CM_D, seed=CM_SEED)
+    seed_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    return f"""
+WITH seeds(seed, a, b) AS (VALUES {seed_rows}),
+base AS (
+  SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT AS h0
+  FROM events),
+counters AS (
+  SELECT s.seed, ((b.h0 * s.a + s.b) % {MINHASH_PRIME}) % {CM_W} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM base b CROSS JOIN seeds s
+  GROUP BY 1, 2),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1),
+probes AS (
+  SELECT user_id, n_exact,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT AS h0
+  FROM exact ORDER BY n_exact DESC, user_id LIMIT {CM_TOPN}),
+probed AS (
+  SELECT p.user_id, p.n_exact,
+         s.seed, ((p.h0 * s.a + s.b) % {MINHASH_PRIME}) % {CM_W} AS bucket
+  FROM probes p CROSS JOIN seeds s),
+est AS (
+  SELECT p.user_id, max(p.n_exact) AS n_exact, min(c.c) AS n_cm
+  FROM probed p JOIN counters c USING (seed, bucket)
+  GROUP BY 1)
+SELECT user_id, n_exact, n_cm, n_cm - n_exact AS cm_over
+FROM est ORDER BY n_exact DESC, user_id
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "table_profile": Q(
         q_table_profile, _profile_sql(), "per-column null/distinct/min/max profile"
@@ -421,5 +533,10 @@ ENTRIES: dict[str, Q] = {
         q_quantile_sketch,
         _QSKETCH_SQL,
         "mergeable bottom-K-by-hash quantile sketch vs exact median",
+    ),
+    "countmin_heavy_hitters": Q(
+        q_countmin_heavy_hitters,
+        _countmin_sql(),
+        "mergeable count-min frequency sketch vs exact top-N",
     ),
 }

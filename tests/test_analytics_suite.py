@@ -405,3 +405,66 @@ def test_bench_compare_normalizes_host_factor():
     assert [x["query"] for x in r["regressions"]] == ["c"]
     assert r["only_in_new"] == ["fresh"] and r["only_in_old"] == ["gone"]
     assert not r["improvements"]
+
+
+# --------------------------------------------------- count-min sketch
+def test_countmin_never_underestimates_and_is_mergeable(spark, sf_dir):
+    """The two defining count-min properties. Soundness: every counter an
+    item hashes to counts AT LEAST that item's rows, so min-over-rows can
+    never underestimate (cm_over >= 0). Mergeability: counters are plain
+    additive counts, so per-shard sketches sum cell-wise into exactly the
+    union's sketch — the property that lets a 100 TB build run per shard."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.hashing import (
+        MINHASH_PRIME,
+        hash28,
+        minhash_coefficients,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.profiling_queries import (
+        CM_D,
+        CM_SEED,
+        CM_W,
+        q_countmin_heavy_hitters,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = q_countmin_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["cm_over"] >= 0, r
+        assert r["n_cm"] == r["n_exact"] + r["cm_over"]
+    # the probe cut is the exact top-N: counts arrive non-increasing
+    exacts = [r["n_exact"] for r in rows]
+    assert exacts == sorted(exacts, reverse=True)
+
+    # mergeability: shard the input 3 ways, build per-shard counters,
+    # sum cell-wise, compare to the global sketch
+    coeffs = minhash_coefficients(CM_D, seed=CM_SEED)
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 3).alias("shard"),
+        hash28(F.col("user_id").cast("string")).alias("h0"),
+    )
+    b = ev.select(
+        "shard",
+        F.posexplode(
+            F.array(*[(F.col("h0") * a + b_) % MINHASH_PRIME % CM_W for a, b_ in coeffs])
+        ).alias("seed", "bucket"),
+    )
+    global_c = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in b.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    merged = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in (
+            b.groupBy("shard", "seed", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("seed", "bucket")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+    }
+    assert global_c == merged

@@ -563,3 +563,16 @@ def test_shipping_priority_sorts_aggregate_not_fact(spark, sf_dir):
             l for l in plan.splitlines() if "FileScan" in l and tbl in l
         ]
         assert scans and col in scans[0].split("PushedFilters:")[-1]
+
+
+def test_countmin_counters_partial_agg_and_broadcast_probe(spark, sf_dir):
+    """The count-min build must partial-aggregate below the exchange (the
+    shuffle carries the bounded <= D*W counter sketch, never the corpus)
+    and the probe -> counters join must be a broadcast hash join on
+    (seed, bucket) — no sort-merge over a 4096-row side."""
+    plan = _plan(spark, sf_dir, "countmin_heavy_hitters")
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "partial_count" in final
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
