@@ -965,11 +965,114 @@ ORDER BY p.lang, p.split
 """
 
 
+# -- leakage-safe (cluster-keyed) dataset split ------------------------------
+#: salt for the CLUSTER-keyed split bucket — distinct from SPLIT_SALT so the
+#: doc-keyed and cluster-keyed assignments stay independent hash families.
+CLUSTER_SPLIT_SALT = "clsplit:"
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed on the DUPLICATE-CLUSTER id (the
+    content hash) instead of the doc id, with a leakage audit of the
+    naive doc-keyed split. Splitting by doc id puts byte-identical copies
+    of one document on both sides of the train/test wall — the textbook
+    eval-contamination mode; hashing the cluster key makes straddling
+    impossible BY CONSTRUCTION (every member shares the key), not by
+    post-hoc filtering. Per split: cluster/doc/duplicate-doc counts plus
+    ``naive_leaky_clusters`` — how many of this split's clusters the
+    doc-keyed split would have torn across two or more splits (>0 on any
+    corpus with duplicates: the measured cost of splitting naively).
+
+    Shape: one corpus shuffle on the content hash (count + distinct
+    partial-aggregated map-side; the distinct is over the ≤3 naive split
+    labels per cluster), then a 3-row final aggregate. The cluster split
+    is a pure function of content — stable under repartitioning, rerun,
+    engine choice, and even doc-id reassignment, which the doc-keyed
+    split does not survive."""
+    docs = t(spark, sf_dir, "documents")
+
+    def to_split(b):
+        return (
+            F.when(b < SPLIT_TRAIN_LT, F.lit("train"))
+            .when(b < SPLIT_VAL_LT, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    naive_b = F.expr(
+        f"CAST(conv(substring(md5(concat('{SPLIT_SALT}', CAST(doc_id AS STRING))), 1, 7),"
+        " 16, 10) AS LONG) % 10000"
+    )
+    keyed = docs.select(
+        F.md5("text").alias("h"), to_split(naive_b).alias("naive_split")
+    )
+    per_cluster = keyed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("naive_split").alias("n_naive_splits"),
+    )
+    cluster_b = F.expr(
+        f"CAST(conv(substring(md5(concat('{CLUSTER_SPLIT_SALT}', h)), 1, 7),"
+        " 16, 10) AS LONG) % 10000"
+    )
+    return (
+        per_cluster.select(
+            to_split(cluster_b).alias("split"), "n", "n_naive_splits"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("n").alias("n_docs"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("n_naive_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("naive_leaky_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+_LEAKAGE_SPLIT_SQL = f"""
+WITH keyed AS (
+  SELECT md5(text) AS h,
+         CASE WHEN ('0x' || substring(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000
+                   < {SPLIT_TRAIN_LT} THEN 'train'
+              WHEN ('0x' || substring(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000
+                   < {SPLIT_VAL_LT} THEN 'val'
+              ELSE 'test' END AS naive_split
+  FROM documents),
+per_cluster AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT naive_split) AS BIGINT) AS n_naive_splits
+  FROM keyed GROUP BY h),
+assigned AS (
+  SELECT CASE WHEN ('0x' || substring(md5('{CLUSTER_SPLIT_SALT}' || h), 1, 7))::BIGINT % 10000
+                   < {SPLIT_TRAIN_LT} THEN 'train'
+              WHEN ('0x' || substring(md5('{CLUSTER_SPLIT_SALT}' || h), 1, 7))::BIGINT % 10000
+                   < {SPLIT_VAL_LT} THEN 'val'
+              ELSE 'test' END AS split,
+         n, n_naive_splits
+  FROM per_cluster)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(sum(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS naive_leaky_clusters
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "dataset_split": Q(
         q_dataset_split,
         _DATASET_SPLIT_SQL,
         "hash-bucket train/val/test split with per-lang shares",
+    ),
+    "leakage_safe_split": Q(
+        q_leakage_safe_split,
+        _LEAKAGE_SPLIT_SQL,
+        "cluster-keyed split + naive-split leakage audit",
     ),
     "segment_dup_fraction": Q(
         q_segment_dup_fraction,

@@ -295,3 +295,59 @@ def test_image_dhash_hand_computed_and_buckets(spark, tmp_path):
     rows = {r["doc_id"]: r for r in q_image_dhash_buckets(spark, sf).collect()}
     assert rows[1]["dhash"] == rows[2]["dhash"]
     assert rows[1]["n_bucket"] == 2
+
+
+def test_leakage_safe_split_planted_duplicates(spark, tmp_path):
+    """Plant duplicate texts across many doc_ids so SOME cluster's members
+    land in different naive (doc-keyed) splits, then assert: the report
+    counts every planted doc and cluster exactly once, flags at least one
+    naive-leaky cluster, and the cluster-keyed assignment NEVER tears a
+    cluster (recomputed doc-level: one split per content hash)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+        CLUSTER_SPLIT_SALT,
+        SPLIT_SALT,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        q_leakage_safe_split,
+    )
+
+    def naive_split(doc_id: int) -> str:
+        b = int(hashlib.md5(f"{SPLIT_SALT}{doc_id}".encode()).hexdigest()[:7], 16) % 10000
+        return "train" if b < SPLIT_TRAIN_LT else ("val" if b < SPLIT_VAL_LT else "test")
+
+    # 60 copies of one text: with 90/5/5 buckets over 60 ids, the naive
+    # split is virtually guaranteed (and deterministically verified here)
+    # to straddle; plus 40 unique singleton docs.
+    dup_ids = list(range(1, 61))
+    assert len({naive_split(i) for i in dup_ids}) > 1  # planted leak is real
+    rows = [(i, "the shared duplicated document body", "dup") for i in dup_ids]
+    rows += [(100 + i, f"unique text number {i}", "uniq") for i in range(40)]
+    sf = _write_docs(tmp_path, rows)
+
+    rep = {r["split"]: r for r in q_leakage_safe_split(spark, sf).collect()}
+    assert sum(r["n_docs"] for r in rep.values()) == len(rows)
+    assert sum(r["n_clusters"] for r in rep.values()) == 41  # 1 dup + 40 uniq
+    assert sum(r["n_dup_docs"] for r in rep.values()) == 60
+    assert sum(r["naive_leaky_clusters"] for r in rep.values()) >= 1
+
+    # no-straddle invariant, doc-level: cluster split is one per hash
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cb = F.expr(
+        f"CAST(conv(substring(md5(concat('{CLUSTER_SPLIT_SALT}', md5(text))), 1, 7),"
+        " 16, 10) AS LONG) % 10000"
+    )
+    split = (
+        F.when(cb < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(cb < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_h = (
+        docs.select(F.md5("text").alias("h"), split.alias("s"))
+        .groupBy("h")
+        .agg(F.countDistinct("s").alias("k"))
+    )
+    assert per_h.filter(F.col("k") > 1).count() == 0
