@@ -519,6 +519,142 @@ FROM est ORDER BY n_exact DESC, user_id
 """
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set union/intersection/Jaccard estimates from two merged
+    KMV sketches vs the exact answers — the theta-sketch-style set algebra
+    a 100 TB profiler uses to answer "how many users did BOTH X and Y"
+    without shuffling user sets: each shard keeps R minima per set, and
+    the union sketch is the ELEMENTWISE MIN of the two sketches (computed
+    here as ``least(a_i, b_i)``, which is exactly the cross-shard merge
+    operation — so this query doubles as the mergeability proof).
+
+    Sets: purchasers (A) vs clickers (B) of the events table. One md5 per
+    row, then 2R conditional min() aggregates side by side in ONE
+    map-combined global pass — the sketch state is 2R BIGINTs total.
+    Estimator per set: n = R*P/S - 1 with S the exact integer sum of
+    minima; intersection by inclusion-exclusion (clamped at 0), Jaccard
+    as their ratio. All sums are order-independent integers, so the few
+    float ops are bit-identical cross-engine. The exact columns (one
+    groupBy(user_id) membership pass) are the accuracy report, not part
+    of the sketch path."""
+    from ..functions.hashing import (
+        KMV_R,
+        MINHASH_PRIME,
+        kmv_hash_col,
+        minhash_coefficients,
+    )
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("user_id", "event_type")
+    )
+    h = ev.select("event_type", kmv_hash_col("user_id"))
+    coeffs = minhash_coefficients(KMV_R)
+    perm = [(F.col("kmv_h0") * a + b) % MINHASH_PRIME for a, b in coeffs]
+    is_a = F.col("event_type") == "purchase"
+    mins = h.agg(
+        *[F.min(F.when(is_a, p)).alias(f"a{i}") for i, p in enumerate(perm)],
+        *[F.min(F.when(~is_a, p)).alias(f"b{i}") for i, p in enumerate(perm)],
+    )
+    sa = F.expr(" + ".join(f"a{i}" for i in range(KMV_R)))
+    sb = F.expr(" + ".join(f"b{i}" for i in range(KMV_R)))
+    su = F.expr(" + ".join(f"least(a{i}, b{i})" for i in range(KMV_R)))
+    rp = F.lit(KMV_R) * F.lit(float(MINHASH_PRIME))
+    est = mins.select(
+        (rp / sa - 1).alias("ra"),
+        (rp / sb - 1).alias("rb"),
+        (rp / su - 1).alias("ru"),
+    ).select(
+        F.round("ra", 1).alias("n_a_est"),
+        F.round("rb", 1).alias("n_b_est"),
+        F.round("ru", 1).alias("n_union_est"),
+        F.round(F.greatest(F.col("ra") + F.col("rb") - F.col("ru"), F.lit(0.0)), 1)
+        .alias("n_inter_est"),
+        F.round(
+            F.greatest(F.col("ra") + F.col("rb") - F.col("ru"), F.lit(0.0))
+            / F.col("ru"),
+            4,
+        ).alias("jaccard_est"),
+    )
+    membership = ev.groupBy("user_id").agg(
+        F.max(is_a.cast("int")).alias("in_a"),
+        F.max((~is_a).cast("int")).alias("in_b"),
+    )
+    exact = membership.agg(
+        F.sum("in_a").alias("n_a_exact"),
+        F.sum("in_b").alias("n_b_exact"),
+        F.count(F.lit(1)).alias("n_union_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter_exact"),
+    )
+    return exact.crossJoin(est).select(
+        "n_a_exact",
+        "n_b_exact",
+        "n_union_exact",
+        "n_inter_exact",
+        "n_a_est",
+        "n_b_est",
+        "n_union_est",
+        "n_inter_est",
+        "jaccard_est",
+    )
+
+
+def _kmv_set_ops_sql() -> str:
+    from ..functions.hashing import KMV_R, MINHASH_PRIME, minhash_coefficients
+
+    coeffs = minhash_coefficients(KMV_R)
+    a_cols = ",\n         ".join(
+        f"min(CASE WHEN event_type = 'purchase'"
+        f" THEN (h0 * {a} + {b}) % {MINHASH_PRIME} END) AS a{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    b_cols = ",\n         ".join(
+        f"min(CASE WHEN event_type = 'click'"
+        f" THEN (h0 * {a} + {b}) % {MINHASH_PRIME} END) AS b{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    sa = " + ".join(f"a{i}" for i in range(KMV_R))
+    sb = " + ".join(f"b{i}" for i in range(KMV_R))
+    su = " + ".join(f"least(a{i}, b{i})" for i in range(KMV_R))
+    rp = f"{KMV_R} * CAST({MINHASH_PRIME} AS DOUBLE)"
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT AS h0
+  FROM events WHERE event_type IN ('purchase', 'click')),
+mins AS (
+  SELECT {a_cols},
+         {b_cols}
+  FROM base),
+raw AS (
+  SELECT {rp} / ({sa}) - 1 AS ra,
+         {rp} / ({sb}) - 1 AS rb,
+         {rp} / ({su}) - 1 AS ru
+  FROM mins),
+est AS (
+  SELECT round(ra, 1) AS n_a_est, round(rb, 1) AS n_b_est,
+         round(ru, 1) AS n_union_est,
+         round(greatest(ra + rb - ru, 0.0), 1) AS n_inter_est,
+         round(greatest(ra + rb - ru, 0.0) / ru, 4) AS jaccard_est
+  FROM raw),
+membership AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_b
+  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+exact AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a_exact,
+         CAST(sum(in_b) AS BIGINT) AS n_b_exact,
+         CAST(count(*) AS BIGINT) AS n_union_exact,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_inter_exact
+  FROM membership)
+SELECT n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+       n_a_est, n_b_est, n_union_est, n_inter_est, jaccard_est
+FROM exact CROSS JOIN est
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "table_profile": Q(
         q_table_profile, _profile_sql(), "per-column null/distinct/min/max profile"
@@ -538,5 +674,10 @@ ENTRIES: dict[str, Q] = {
         q_countmin_heavy_hitters,
         _countmin_sql(),
         "mergeable count-min frequency sketch vs exact top-N",
+    ),
+    "kmv_set_ops": Q(
+        q_kmv_set_ops,
+        _kmv_set_ops_sql(),
+        "merged-KMV set union/intersection/Jaccard estimates vs exact",
     ),
 }

@@ -648,6 +648,125 @@ FROM s
 """
 
 
+# -- Q12: shipping-delay priority bands --------------------------------------
+def q_ship_delay_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-vs-other line counts per shipping-delay band (TPC-H Q12
+    shape, adapted: the testdata schema has no l_shipmode/l_commitdate/
+    l_receiptdate, so the grouping key is a computed delay band —
+    days between order date and ship date — instead of ship mode).
+
+    Scale shape: both sides column-pruned to the join key plus 2 columns
+    before the one fact-fact shuffle (lineitem ⋈ orders on the order key,
+    the join Q12 cannot avoid; AQE plans it as a sort-merge join at real
+    scale). The band CASE and the priority CASE are Catalyst expressions
+    evaluated post-join, and the final aggregate is 4 groups map-side
+    combined — the reduce exchange carries ~4 rows per map partition.
+    """
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay < 0, "early")
+        .when(delay <= 30, "prompt")
+        .when(delay <= 90, "standard")
+        .otherwise("late")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(band.alias("delay_band"), high.alias("is_high"))
+        .groupBy("delay_band")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+_SHIP_DELAY_BANDS_SQL = """
+SELECT CASE WHEN d < 0 THEN 'early'
+            WHEN d <= 30 THEN 'prompt'
+            WHEN d <= 90 THEN 'standard'
+            ELSE 'late' END AS delay_band,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS d,
+         o.o_orderpriority
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# -- Q16: supplier variety per part group -------------------------------------
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per (brand, type, size) part group,
+    excluding one brand, one type family, and a supplier denylist
+    (TPC-H Q16 shape, adapted: no partsupp table, so supplier↔part
+    pairs come from lineitem; no s_comment, so the NOT-IN denylist is
+    negative-balance suppliers).
+
+    Scale shape: the part dimension is filtered BEFORE its join (brand /
+    type-prefix / size-set predicates all reach the parquet scan) and
+    broadcast; the supplier denylist is a broadcast LEFT ANTI join —
+    NOT IN on a null-free key is exactly an anti join, no shuffle. The
+    COUNT(DISTINCT) runs as Catalyst's two-phase partial-distinct
+    aggregate on (group keys, suppkey), so the reduce exchange carries
+    deduplicated pairs, not raw lineitem rows.
+    """
+    sizes = [1, 4, 9, 14, 23, 36, 45, 49]
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (~F.col("p_type").startswith("MEDIUM"))
+            & F.col("p_size").isin(sizes)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    denylist = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(denylist),
+            li.l_suppkey == denylist.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+_SUPPLIER_VARIETY_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+LIMIT 20
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "shipping_priority_topk": Q(
         q_shipping_priority, _SHIPPING_PRIORITY_SQL, "unshipped top-revenue orders (Q3 shape)"
@@ -680,5 +799,15 @@ ENTRIES: dict[str, Q] = {
     ),
     "zipf_slope": Q(
         q_zipf_slope, _ZIPF_SQL, "corpus Zipf exponent via top-K log-log fit"
+    ),
+    "ship_delay_bands": Q(
+        q_ship_delay_bands,
+        _SHIP_DELAY_BANDS_SQL,
+        "delay-band priority line counts (Q12 shape)",
+    ),
+    "supplier_variety": Q(
+        q_supplier_variety,
+        _SUPPLIER_VARIETY_SQL,
+        "distinct suppliers per part group with denylist (Q16 shape)",
     ),
 }

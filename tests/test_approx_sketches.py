@@ -29,3 +29,55 @@ def test_percentile_approx_brackets_exact(spark, sf_dir):
     ).collect()[0]
     spread = ev.agg((F.max("value") - F.min("value")).alias("r")).collect()[0].r
     assert abs(row.approx - row.exact) <= 0.01 * spread, row
+
+
+def test_kmv_set_ops_merge_identity_and_inclusion_exclusion(spark, sf_dir):
+    """Two defining properties of the merged-KMV set algebra. (1) Merge
+    identity: least(a_i, b_i) of the per-set minima IS the sketch of the
+    union stream — computed both ways and compared bitwise. (2) The exact
+    columns obey inclusion-exclusion, and the estimates land within a loose
+    3-sigma-ish envelope of the exacts (R=32 → ~18% sigma)."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.hashing import (
+        KMV_R,
+        MINHASH_PRIME,
+        kmv_hash_col,
+        minhash_coefficients,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.profiling_queries import (
+        q_kmv_set_ops,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    row = q_kmv_set_ops(spark, sf_dir).collect()[0]
+    assert row.n_union_exact == row.n_a_exact + row.n_b_exact - row.n_inter_exact
+    for est, exact in (
+        ("n_a_est", "n_a_exact"),
+        ("n_b_est", "n_b_exact"),
+        ("n_union_est", "n_union_exact"),
+    ):
+        assert abs(row[est] - row[exact]) <= 0.55 * row[exact], (est, row)
+    assert 0.0 <= row.jaccard_est <= 1.0
+
+    # merge identity: sketch(A) elementwise-min sketch(B) == sketch(A ∪ B)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("user_id", "event_type")
+    )
+    coeffs = minhash_coefficients(KMV_R)
+    perm = [(F.col("kmv_h0") * a + b) % MINHASH_PRIME for a, b in coeffs]
+    h = ev.select("event_type", kmv_hash_col("user_id"))
+    is_a = F.col("event_type") == "purchase"
+    per_set = h.agg(
+        *[F.min(F.when(is_a, p)).alias(f"a{i}") for i, p in enumerate(perm)],
+        *[F.min(F.when(~is_a, p)).alias(f"b{i}") for i, p in enumerate(perm)],
+    ).collect()[0]
+    union = h.agg(
+        *[F.min(p).alias(f"u{i}") for i, p in enumerate(perm)]
+    ).collect()[0]
+    merged = [min(per_set[f"a{i}"], per_set[f"b{i}"]) for i in range(KMV_R)]
+    assert merged == [union[f"u{i}"] for i in range(KMV_R)]

@@ -38,6 +38,8 @@ NON_EQUI_OK = {
     # 1-row broadcast of (N, total) totals for the Gini ratio, same as
     # tfidf's in-flow corpus count.
     "revenue_gini",
+    # 1-row sketch-estimate frame × 1-row exact frame (profiling_queries).
+    "kmv_set_ops",
 }
 
 
@@ -574,5 +576,51 @@ def test_countmin_counters_partial_agg_and_broadcast_probe(spark, sf_dir):
     final = plan.split("+- == Initial Plan ==")[0]
     assert "partial_count" in final
     assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_ship_delay_bands_prunes_columns_and_partial_aggs(spark, sf_dir):
+    """Q12-shape: both fact scans must be column-pruned to the join key +
+    the 2 columns the bands need, and the 4-group aggregate must partial
+    below its exchange (the shuffle carries ~4 rows per map partition)."""
+    plan = _plan(spark, sf_dir, "ship_delay_bands")
+    li_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    ]
+    assert li_scans
+    schema = li_scans[0].split("ReadSchema:")[-1]
+    assert "l_shipdate" in schema and "l_extendedprice" not in schema
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "partial_sum" in final
+    assert "CartesianProduct" not in plan
+
+
+def test_supplier_variety_broadcasts_dims_and_anti_join(spark, sf_dir):
+    """Q16-shape: the filtered part dim and the supplier denylist must
+    both ride in as broadcasts (the denylist as a broadcast LEFT ANTI —
+    NOT IN on a null-free key), with the part predicates at its scan;
+    the top-20 is a TakeOrderedAndProject over the distinct aggregate."""
+    plan = _plan(spark, sf_dir, "supplier_variety")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    part_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "p_partkey" in l
+    ]
+    assert part_scans
+    pushed = part_scans[0].split("PushedFilters:")[-1]
+    assert "p_brand" in pushed and "p_size" in pushed
+
+
+def test_kmv_set_ops_single_pass_sketch_no_shuffle_of_rows(spark, sf_dir):
+    """The 2R conditional minima must collapse in ONE map-combined global
+    aggregate (partial_min below the 1-row exchange); the only joins are
+    the 1-row est × 1-row exact combine — never a row-level shuffle of
+    the user sets (that's the sketch's whole point)."""
+    plan = _plan(spark, sf_dir, "kmv_set_ops")
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "partial_min" in final
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final

@@ -103,3 +103,59 @@ def test_containment_identical_docs_is_one_both_ways(spark, tmp_path):
     rows = q_shingle_containment(spark, str(d)).collect()
     assert len(rows) == 1
     assert rows[0]["cont_a"] == 1.0 and rows[0]["cont_b"] == 1.0
+
+
+def test_ship_delay_bands_partition_all_joined_lines(spark, sf_dir):
+    """The four delay bands partition the joined fact rows: high+low summed
+    over bands equals the lineitem⋈orders row count, and every band's two
+    counts are non-negative (the CASE ladder can't drop or double-count)."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.warehouse_queries import (
+        q_ship_delay_bands,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = q_ship_delay_bands(spark, sf_dir).collect()
+    assert {r["delay_band"] for r in rows} <= {"early", "prompt", "standard", "late"}
+    total = sum(r["high_line_count"] + r["low_line_count"] for r in rows)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert total == joined
+    assert all(r["high_line_count"] >= 0 and r["low_line_count"] >= 0 for r in rows)
+
+
+def test_supplier_variety_denylist_only_shrinks_counts(spark, sf_dir):
+    """Monotonicity of the NOT-IN exclusion: recomputing any returned group
+    WITHOUT the denylist can only raise its distinct-supplier count, and the
+    returned counts arrive non-increasing (the ORDER BY contract)."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.warehouse_queries import (
+        q_supplier_variety,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = q_supplier_variety(spark, sf_dir).collect()
+    assert rows
+    cnts = [r["supplier_cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    g = rows[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == g["p_brand"])
+        & (F.col("p_type") == g["p_type"])
+        & (F.col("p_size") == g["p_size"])
+    )
+    unfiltered = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_suppkey")
+        .distinct()
+        .count()
+    )
+    assert unfiltered >= g["supplier_cnt"]
