@@ -1063,6 +1063,73 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of corpus sources,
+    how many distinct SEG_TOKENS-word segments they share — the
+    which-crawls-overlap report that decides dedup ordering and source
+    de-weighting in a multi-crawl 100 TB build (two snapshots of the same
+    crawl show up as one hot off-diagonal cell).
+
+    Shape: the segment hash is carried WITH its source through the
+    map-side explode (no join back to documents), collapsed to distinct
+    (h, source) once — one shuffle — then the pair counts come from an
+    equi-SELF-JOIN keyed on the segment hash. Per-key fan-out is bounded
+    by the source cardinality (a low-cardinality catalog attribute), so
+    the join output is linear in the distinct-segment stream even for
+    boilerplate hashes shared by every source. The matrix itself is
+    ≤ |sources|² rows — driver-safe output by construction.
+    """
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "source", F.split(F.lower("text"), " +").alias("tk")
+    ).withColumn("n", F.size("tk"))
+    segs = toks.select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(SEG_TOKENS))
+        ).alias("s"),
+        "tk",
+    ).select(
+        "source",
+        F.md5(
+            F.array_join(F.slice("tk", F.col("s") + 1, F.lit(SEG_TOKENS)), " ")
+        ).alias("h"),
+    )
+    srcs = segs.select("h", "source").distinct()
+    a = srcs.alias("a")
+    b = srcs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_segments"))
+        .orderBy(F.desc("shared_segments"), "src_a", "src_b")
+    )
+
+
+_DUP_SOURCE_MATRIX_SQL = f"""
+WITH segs AS (
+  SELECT source,
+         md5(list_aggregate(list_slice(tk, s + 1, s + {SEG_TOKENS}),
+                            'string_agg', ' ')) AS h
+  FROM (SELECT source, tk, unnest(generate_series(0, n - 1, {SEG_TOKENS})) AS s
+        FROM (SELECT source, string_split_regex(lower(text), ' +') AS tk,
+                     len(string_split_regex(lower(text), ' +')) AS n
+              FROM documents))),
+srcs AS (SELECT DISTINCT h, source FROM segs)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS shared_segments
+FROM srcs a JOIN srcs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY shared_segments DESC, src_a, src_b
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "dataset_split": Q(
         q_dataset_split,
@@ -1073,6 +1140,11 @@ ENTRIES: dict[str, Q] = {
         q_leakage_safe_split,
         _LEAKAGE_SPLIT_SQL,
         "cluster-keyed split + naive-split leakage audit",
+    ),
+    "dup_source_matrix": Q(
+        q_dup_source_matrix,
+        _DUP_SOURCE_MATRIX_SQL,
+        "cross-source shared-segment duplication matrix",
     ),
     "segment_dup_fraction": Q(
         q_segment_dup_fraction,

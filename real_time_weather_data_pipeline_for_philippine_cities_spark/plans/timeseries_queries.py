@@ -973,7 +973,66 @@ GROUP BY d.event_type, d.med, m.mad
 """
 
 
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent PRIOR non-purchase event type ('(none)' for cold
+    purchases), rolled up to purchases + distinct purchasers per channel.
+
+    Shape: one window partitioned by user (single shuffle on user_id)
+    whose frame is a running last_value(IGNORE NULLS) ending at the
+    previous row — a streaming frame, so state per user is one string
+    regardless of history length — then a 5-group map-combined rollup.
+    The as-of semantics cost no join at all (contrast asof_join, which
+    attributes across TABLES; this one attributes within one ordered
+    stream). Ties broken by event_id so both engines walk one order.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", prior)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_purchases"), "channel")
+    )
+
+
+_LAST_TOUCH_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events)
+SELECT coalesce(channel, '(none)') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY n_purchases DESC, channel
+"""
+
+
 ENTRIES: dict[str, Q] = {
+    "last_touch_attribution": Q(
+        q_last_touch_attribution,
+        _LAST_TOUCH_SQL,
+        "last-touch channel attribution via running IGNORE-NULLS frame",
+    ),
     "trailing_hour_stats": Q(
         q_trailing_hour_stats,
         _TRAILING_SQL,

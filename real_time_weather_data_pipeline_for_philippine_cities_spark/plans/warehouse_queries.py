@@ -767,6 +767,60 @@ LIMIT 20
 """
 
 
+# -- skyline: pareto frontier --------------------------------------------------
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier of the part catalog on (maximize p_size,
+    minimize p_retailprice): the sizes whose best price beats every
+    larger size's best price — the classic non-dominated-set operator of
+    the OLAP skyline literature, in its aggregate-first scalable form.
+
+    Shape: the corpus-sized work is ONE map-combined min() per size key
+    (p_size is a bounded catalog attribute, so the reduce side holds
+    ≤ |sizes| rows). The dominance test is then a single running-min
+    window over that collapsed relation ordered by size DESC — a
+    streaming frame on a bounded input, NOT the naive all-pairs
+    dominance self-join (quadratic in |parts|) nor a window over raw
+    parts. Strict '<' implements the usual skyline semantics: equal
+    price at a larger size dominates.
+    """
+    from pyspark.sql import Window
+
+    best = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_size")
+        .agg(F.min("p_retailprice").alias("best_price"))
+    )
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        best.withColumn("min_above", F.min("best_price").over(w))
+        .filter(
+            F.col("min_above").isNull()
+            | (F.col("best_price") < F.col("min_above"))
+        )
+        .select("p_size", "best_price")
+        .orderBy(F.desc("p_size"))
+    )
+
+
+_PARETO_FRONTIER_SQL = """
+WITH best AS (
+  SELECT p_size, min(p_retailprice) AS best_price
+  FROM part GROUP BY 1),
+ranked AS (
+  SELECT p_size, best_price,
+         min(best_price) OVER (ORDER BY p_size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS min_above
+  FROM best)
+SELECT p_size, best_price
+FROM ranked
+WHERE min_above IS NULL OR best_price < min_above
+ORDER BY p_size DESC
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "shipping_priority_topk": Q(
         q_shipping_priority, _SHIPPING_PRIORITY_SQL, "unshipped top-revenue orders (Q3 shape)"
@@ -809,5 +863,10 @@ ENTRIES: dict[str, Q] = {
         q_supplier_variety,
         _SUPPLIER_VARIETY_SQL,
         "distinct suppliers per part group with denylist (Q16 shape)",
+    ),
+    "pareto_frontier": Q(
+        q_pareto_frontier,
+        _PARETO_FRONTIER_SQL,
+        "skyline non-dominated set (aggregate-first, no all-pairs)",
     ),
 }

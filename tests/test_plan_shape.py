@@ -624,3 +624,40 @@ def test_kmv_set_ops_single_pass_sketch_no_shuffle_of_rows(spark, sf_dir):
     assert "partial_min" in final
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final
+
+
+def test_dup_source_matrix_hash_joins_on_segment_key(spark, sf_dir):
+    """The source-pair counts must come from a HASH join keyed on the
+    segment hash (src_a < src_b riding as the residual) — never a
+    nested-loop — and the documents scan must not read unused columns."""
+    plan = _plan(spark, sf_dir, "dup_source_matrix")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count(
+        "BroadcastHashJoin"
+    ) >= 1
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "documents" in l]
+    assert scans
+    schema = scans[0].split("ReadSchema:")[-1]
+    assert "lang" not in schema and "n_chars" not in schema
+
+
+def test_last_touch_attribution_single_user_window_no_join(spark, sf_dir):
+    """The as-of attribution must be ONE window partitioned by user (a
+    streaming frame — one shuffle on user_id), never a self-join of the
+    event stream."""
+    plan = _plan(spark, sf_dir, "last_touch_attribution")
+    assert plan.count("Window [") == 1
+    assert "windowspecdefinition(user_id" in plan
+    assert "Join" not in plan.replace("join", "Join") or "SortMergeJoin" not in plan
+
+
+def test_pareto_frontier_aggregates_before_window(spark, sf_dir):
+    """Skyline must run aggregate-first: a map-combined min() per size
+    collapses the corpus BEFORE the (bounded-input) running-min window —
+    never an all-pairs dominance self-join over raw parts."""
+    plan = _plan(spark, sf_dir, "pareto_frontier")
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "partial_min" in final
+    assert plan.count("Window [") == 1
+    assert "Join" not in final

@@ -159,3 +159,102 @@ def test_supplier_variety_denylist_only_shrinks_counts(spark, sf_dir):
         .count()
     )
     assert unfiltered >= g["supplier_cnt"]
+
+
+def test_pareto_frontier_is_a_strict_antichain(spark, sf_dir):
+    """Frontier rows ordered by size DESC must have strictly decreasing
+    best price (any tie or increase would be a dominated row), the largest
+    size is always present, and a brute-force dominance sweep over the
+    per-size minima finds no survivor the query missed."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.warehouse_queries import (
+        q_pareto_frontier,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = q_pareto_frontier(spark, sf_dir).collect()
+    sizes = [r["p_size"] for r in rows]
+    prices = [r["best_price"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(a > b for a, b in zip(prices, prices[1:]))
+    best = {
+        r["p_size"]: r["m"]
+        for r in load_table(spark, sf_dir, "part")
+        .groupBy("p_size")
+        .agg(F.min("p_retailprice").alias("m"))
+        .collect()
+    }
+    assert max(best) == sizes[0]
+    expect = [
+        s
+        for s in sorted(best, reverse=True)
+        if all(best[s] < best[s2] for s2 in best if s2 > s)
+    ]
+    assert sizes == expect
+
+
+def test_last_touch_attribution_conserves_purchases(spark, sf_dir):
+    """Every purchase is attributed exactly once: the channel rollup sums
+    to the raw purchase count, channels are real event types (or the
+    '(none)' cold-start bucket), and distinct users never exceed
+    purchases."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.timeseries_queries import (
+        q_last_touch_attribution,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = q_last_touch_attribution(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    types = {
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    }
+    assert {r["channel"] for r in rows} <= (types - {"purchase"}) | {"(none)"}
+    assert all(0 < r["n_users"] <= r["n_purchases"] for r in rows)
+
+
+def test_dup_source_matrix_counts_match_brute_force_pair(spark, sf_dir):
+    """The matrix's top cell must equal an independently computed distinct
+    shared-segment count for that pair, and every row is a canonical
+    (src_a < src_b) pair with a positive count."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+        SEG_TOKENS,
+        q_dup_source_matrix,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = q_dup_source_matrix(spark, sf_dir).collect()
+    assert rows
+    assert all(r["src_a"] < r["src_b"] and r["shared_segments"] > 0 for r in rows)
+    top = rows[0]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.split(F.lower("text"), " +").alias("tk")
+    ).withColumn("n", F.size("tk"))
+    segs = toks.select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(SEG_TOKENS))
+        ).alias("s"),
+        "tk",
+    ).select(
+        "source",
+        F.md5(
+            F.array_join(F.slice("tk", F.col("s") + 1, F.lit(SEG_TOKENS)), " ")
+        ).alias("h"),
+    )
+    ha = segs.filter(F.col("source") == top["src_a"]).select("h").distinct()
+    hb = segs.filter(F.col("source") == top["src_b"]).select("h").distinct()
+    assert ha.intersect(hb).count() == top["shared_segments"]
