@@ -519,6 +519,85 @@ FROM est ORDER BY n_exact DESC, user_id
 """
 
 
+#: Equal-width histogram bin count (numeric_histogram).
+HIST_BINS = 20
+
+
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin histogram of events.value — the mergeable
+    distribution profile that complements table_profile's min/max and the
+    quantile sketch (bin counts from different shards ADD, so a 100 TB
+    profile is a per-shard groupBy + a 20-row merge).
+
+    Two passes by necessity (bounds, then counts), but the first collapses
+    to ONE broadcast row: the bin index is floor((v-min)/width) clamped to
+    the last bin, computed identically on both engines from the same raw
+    parquet doubles (identical subtraction/division/floor → identical
+    bins, no epsilon games). The count pass is a single map-combined
+    20-group aggregate; empty bins are materialized by joining the counts
+    onto a sequence() bin spine so the histogram shape is total.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    w = (F.col("hi") - F.col("lo")) / HIST_BINS
+    binned = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / w).cast("int"),
+                F.lit(HIST_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(HIST_BINS - 1))).alias("bin"),
+            "lo",
+            "hi",
+        )
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / HIST_BINS, 6).alias("bin_lo"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / HIST_BINS, 6).alias("bin_hi"),
+        )
+    )
+    return (
+        spine.join(binned, "bin", "left")
+        .select(
+            "bin",
+            "bin_lo",
+            "bin_hi",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("bin")
+    )
+
+
+_NUMERIC_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT min(value) AS lo, max(value) AS hi
+  FROM events WHERE value IS NOT NULL),
+binned AS (
+  SELECT least(CAST(floor((value - lo) / ((hi - lo) / {HIST_BINS})) AS INT),
+               {HIST_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events CROSS JOIN b WHERE value IS NOT NULL
+  GROUP BY 1),
+spine AS (
+  SELECT unnest(generate_series(0, {HIST_BINS - 1})) AS bin, lo, hi FROM b)
+SELECT s.bin,
+       round(s.lo + s.bin * (s.hi - s.lo) / {HIST_BINS}, 6) AS bin_lo,
+       round(s.lo + (s.bin + 1) * (s.hi - s.lo) / {HIST_BINS}, 6) AS bin_hi,
+       coalesce(c.n, 0) AS n
+FROM spine s LEFT JOIN binned c USING (bin)
+ORDER BY s.bin
+"""
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-set union/intersection/Jaccard estimates from two merged
     KMV sketches vs the exact answers — the theta-sketch-style set algebra
@@ -679,5 +758,10 @@ ENTRIES: dict[str, Q] = {
         q_kmv_set_ops,
         _kmv_set_ops_sql(),
         "merged-KMV set union/intersection/Jaccard estimates vs exact",
+    ),
+    "numeric_histogram": Q(
+        q_numeric_histogram,
+        _NUMERIC_HISTOGRAM_SQL,
+        "mergeable equal-width 20-bin histogram with total bin spine",
     ),
 }

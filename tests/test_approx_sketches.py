@@ -81,3 +81,32 @@ def test_kmv_set_ops_merge_identity_and_inclusion_exclusion(spark, sf_dir):
     ).collect()[0]
     merged = [min(per_set[f"a{i}"], per_set[f"b{i}"]) for i in range(KMV_R)]
     assert merged == [union[f"u{i}"] for i in range(KMV_R)]
+
+
+def test_numeric_histogram_is_total_and_conserves_mass(spark, sf_dir):
+    """The 20 bins are contiguous (each bin_hi == next bin_lo), cover
+    [min, max], and the counts sum to the non-null row count — the
+    mass-conservation law a mergeable histogram must keep per shard."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.profiling_queries import (
+        HIST_BINS,
+        q_numeric_histogram,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = q_numeric_histogram(spark, sf_dir).collect()
+    assert [r["bin"] for r in rows] == list(range(HIST_BINS))
+    for a, b in zip(rows, rows[1:]):
+        assert a["bin_hi"] == b["bin_lo"]
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    ).collect()[0]
+    assert sum(r["n"] for r in rows) == stats["n"]
+    assert abs(rows[0]["bin_lo"] - stats["lo"]) < 1e-5
+    assert abs(rows[-1]["bin_hi"] - stats["hi"]) < 1e-5

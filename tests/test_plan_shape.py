@@ -40,6 +40,9 @@ NON_EQUI_OK = {
     "revenue_gini",
     # 1-row sketch-estimate frame × 1-row exact frame (profiling_queries).
     "kmv_set_ops",
+    # 1-row broadcast of (lo, hi) bounds for the bin arithmetic, same as
+    # tfidf's in-flow corpus count.
+    "numeric_histogram",
 }
 
 
@@ -661,3 +664,14 @@ def test_pareto_frontier_aggregates_before_window(spark, sf_dir):
     assert "partial_min" in final
     assert plan.count("Window [") == 1
     assert "Join" not in final
+
+
+def test_numeric_histogram_partial_counts_and_broadcast_spine(spark, sf_dir):
+    """The count pass must partial-aggregate below its exchange (the
+    shuffle carries ≤ 20 bin rows per map partition, never raw events)
+    and the spine fill must be a broadcast join — no sort-merge of two
+    20-row sides."""
+    plan = _plan(spark, sf_dir, "numeric_histogram")
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "partial_count" in final
+    assert "SortMergeJoin" not in final
