@@ -1063,6 +1063,118 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+#: bigram_pmi: minimum pair count (PMI of rare pairs is log-noise) and
+#: result size.
+PMI_MIN_COUNT = 5
+PMI_TOP = 25
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent token
+    pairs whose joint frequency beats the independence assumption — the
+    phrase-mining signal a tokenizer-training / stop-phrase pipeline
+    reads off a corpus (high-PMI pairs are multi-word units; low-PMI
+    frequent pairs are boilerplate glue).
+
+    PMI = ln(p(ab) / (p(a)p(b))) computed as ONE ln over a single ratio
+    of exact counts — ln((c_ab * N1 * N1) / (N2 * c_a * c_b)) with both
+    products formed in identical order as doubles — so both engines see
+    one identical division and one identical ln, no log-sum drift.
+
+    Shape: one tokenize pass feeds both the bigram explode and the
+    unigram explode; counts are map-combined groupBys keyed on the token
+    strings; the two unigram joins are hash joins on those keys (vocab-
+    sized, not corpus-sized, after the count collapse); the corpus
+    totals ride in as a 1-row broadcast, and the top-25 cut is a
+    TakeOrderedAndProject over the PMI_MIN_COUNT survivors.
+    """
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    toks = (
+        docs.select(F.split(F.lower("text"), " +").alias("tk"))
+        .select(F.filter("tk", lambda x: x != "").alias("tk"))
+        .withColumn("n", F.size("tk"))
+    )
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        toks.filter(F.col("n") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("i"), "tk"
+        )
+        .select(
+            F.element_at("tk", F.col("i")).alias("w1"),
+            F.element_at("tk", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    totals = uni.agg(F.sum("c").alias("n1_tot")).crossJoin(
+        big.agg(F.sum("c_ab").alias("n2_tot"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (
+                        F.col("c_ab").cast("double")
+                        * F.col("n1_tot")
+                        * F.col("n1_tot")
+                    )
+                    / (
+                        F.col("n2_tot").cast("double")
+                        * F.col("c_a")
+                        * F.col("c_b")
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+_BIGRAM_PMI_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), ' +'),
+                     x -> x <> '') AS tk
+  FROM documents),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+big AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1, 1)) AS i
+        FROM toks WHERE len(tk) >= 2)
+  GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_COUNT}),
+tot AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n1_tot,
+         (SELECT CAST(sum(c_ab) AS BIGINT) FROM big) AS n2_tot)
+SELECT b.w1, b.w2, b.c_ab,
+       round(ln((CAST(b.c_ab AS DOUBLE) * n1_tot * n1_tot)
+                / (CAST(n2_tot AS DOUBLE) * ua.c * ub.c)), 4) AS pmi
+FROM big b
+JOIN uni ua ON b.w1 = ua.w
+JOIN uni ub ON b.w2 = ub.w
+CROSS JOIN tot
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT {PMI_TOP}
+"""
+
+
 def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: for every pair of corpus sources,
     how many distinct SEG_TOKENS-word segments they share — the
@@ -1145,6 +1257,11 @@ ENTRIES: dict[str, Q] = {
         q_dup_source_matrix,
         _DUP_SOURCE_MATRIX_SQL,
         "cross-source shared-segment duplication matrix",
+    ),
+    "bigram_pmi": Q(
+        q_bigram_pmi,
+        _BIGRAM_PMI_SQL,
+        "top collocations by single-ln exact-count PMI",
     ),
     "segment_dup_fraction": Q(
         q_segment_dup_fraction,

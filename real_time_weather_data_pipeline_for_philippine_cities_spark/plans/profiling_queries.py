@@ -522,6 +522,74 @@ FROM est ORDER BY n_exact DESC, user_id
 #: Equal-width histogram bin count (numeric_histogram).
 HIST_BINS = 20
 
+#: Join keys profiled by join_key_skew_profile: (label, table, column).
+SKEW_KEYS = (
+    ("events.user_id", "events", "user_id"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+)
+
+
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out profile of the catalog's three hottest join keys — the
+    report a 100 TB planner reads BEFORE picking join strategies: a key
+    whose max fan-out dwarfs its mean (skew_ratio) needs salting or AQE
+    skew splitting (operators/skew.py); one whose p99 is tame can shuffle
+    plain. skew_ratio is max_fanout * n_keys / n_rows computed as an
+    integer product over exact counts, divided once — bit-identical
+    cross-engine.
+
+    Shape per key: one map-combined groupBy (the per-key counts) + a
+    1-row rollup of those counts; the three 1-row branches are unioned.
+    Nothing joins and nothing collects — at any scale this is three
+    count-shaped aggregations.
+    """
+    outs = []
+    for label, tbl, col in SKEW_KEYS:
+        cnts = (
+            t(spark, sf_dir, tbl)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("fanout"))
+        )
+        outs.append(
+            cnts.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("fanout").alias("n_rows"),
+                F.max("fanout").alias("max_fanout"),
+                F.round(F.expr("percentile(fanout, 0.99)"), 4).alias("p99_fanout"),
+            ).select(
+                F.lit(label).alias("join_key"),
+                "n_keys",
+                "n_rows",
+                "max_fanout",
+                "p99_fanout",
+                F.round(
+                    (F.col("max_fanout") * F.col("n_keys")).cast("double")
+                    / F.col("n_rows"),
+                    4,
+                ).alias("skew_ratio"),
+            )
+        )
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df.orderBy("join_key")
+
+
+def _skew_profile_sql() -> str:
+    parts = []
+    for label, tbl, col in SKEW_KEYS:
+        parts.append(f"""
+SELECT '{label}' AS join_key,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(fanout) AS BIGINT) AS n_rows,
+       max(fanout) AS max_fanout,
+       round(quantile_cont(fanout, 0.99), 4) AS p99_fanout,
+       round(CAST(max(fanout) * count(*) AS DOUBLE) / sum(fanout), 4)
+         AS skew_ratio
+FROM (SELECT CAST(count(*) AS BIGINT) AS fanout FROM {tbl} GROUP BY {col})""")
+    return " UNION ALL ".join(parts) + "\nORDER BY join_key"
+
 
 def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width 20-bin histogram of events.value — the mergeable
@@ -595,6 +663,122 @@ SELECT s.bin,
        coalesce(c.n, 0) AS n
 FROM spine s LEFT JOIN binned c USING (bin)
 ORDER BY s.bin
+"""
+
+
+#: Bucket count for ks_drift's parallel cumulative sums.
+KS_BUCKETS = 64
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the 'click' and
+    'view' value distributions — the numeric-drift gate that catches a
+    shifted feature distribution mixture_drift's count-based report
+    cannot see.
+
+    Exactness without float accumulation: KS = max |F1 - F2| is computed
+    as max |c1*nb - c2*na| over exact BIGINT cumulative counts, divided
+    ONCE by na*nb at the end — so both engines take the max of identical
+    integers and perform one identical double division (no running-sum
+    ulp drift by construction).
+
+    Scale shape: the value stream first COLLAPSES to one row per distinct
+    value (map-combined groupBy) — ties handled exactly, not by sort
+    order — then the cumulative counts run as KS_BUCKETS range-bucketed
+    windows plus one tiny window over the 64-row bucket-totals lattice
+    (the weighted_doc_sample pattern), never a single global-order window
+    over the corpus. The 1-row bounds/totals ride in as broadcasts.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .select("value", "event_type")
+    )
+    collapsed = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n2"),
+    )
+    bounds = collapsed.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.sum("n1").alias("na"),
+        F.sum("n2").alias("nb"),
+    )
+    w = (F.col("hi") - F.col("lo")) / KS_BUCKETS
+    binned = collapsed.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        "n1",
+        "n2",
+        "na",
+        "nb",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / w).cast("int"),
+            F.lit(KS_BUCKETS - 1),
+        ).alias("b"),
+    )
+    in_bucket = Window.partitionBy("b").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.select(
+        "b",
+        "na",
+        "nb",
+        F.sum("n1").over(in_bucket).alias("c1"),
+        F.sum("n2").over(in_bucket).alias("c2"),
+    )
+    totals = binned.groupBy("b").agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    prior = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "b",
+        F.coalesce(F.sum("t1").over(prior), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("t2").over(prior), F.lit(0)).alias("o2"),
+    )
+    d = cum.join(F.broadcast(offsets), "b").select(
+        "na",
+        "nb",
+        F.abs(
+            (F.col("c1") + F.col("o1")) * F.col("nb")
+            - (F.col("c2") + F.col("o2")) * F.col("na")
+        ).alias("d_int"),
+    )
+    return d.groupBy("na", "nb").agg(F.max("d_int").alias("m")).select(
+        F.round(
+            F.col("m").cast("double") / (F.col("na") * F.col("nb")), 6
+        ).alias("ks_stat"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+    )
+
+
+_KS_DRIFT_SQL = """
+WITH collapsed AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+  GROUP BY value),
+tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS na, CAST(sum(n2) AS BIGINT) AS nb
+  FROM collapsed),
+cum AS (
+  SELECT sum(n1) OVER (ORDER BY value) AS c1,
+         sum(n2) OVER (ORDER BY value) AS c2
+  FROM collapsed)
+SELECT round(CAST(max(abs(c1 * nb - c2 * na)) AS DOUBLE) / (na * nb), 6)
+         AS ks_stat,
+       na AS n_a, nb AS n_b
+FROM cum CROSS JOIN tot
+GROUP BY na, nb
 """
 
 
@@ -763,5 +947,15 @@ ENTRIES: dict[str, Q] = {
         q_numeric_histogram,
         _NUMERIC_HISTOGRAM_SQL,
         "mergeable equal-width 20-bin histogram with total bin spine",
+    ),
+    "join_key_skew_profile": Q(
+        q_join_key_skew_profile,
+        _skew_profile_sql(),
+        "fan-out / skew-ratio planner report for the hot join keys",
+    ),
+    "ks_drift": Q(
+        q_ks_drift,
+        _KS_DRIFT_SQL,
+        "exact two-sample KS drift statistic (integer cumulative counts)",
     ),
 }

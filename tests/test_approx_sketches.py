@@ -110,3 +110,65 @@ def test_numeric_histogram_is_total_and_conserves_mass(spark, sf_dir):
     assert sum(r["n"] for r in rows) == stats["n"]
     assert abs(rows[0]["bin_lo"] - stats["lo"]) < 1e-5
     assert abs(rows[-1]["bin_hi"] - stats["hi"]) < 1e-5
+
+
+def test_ks_drift_matches_brute_force(spark, sf_dir):
+    """The bucketed integer-arithmetic KS must equal a brute-force
+    two-sample KS computed driver-side over the collected values, and
+    land in [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.profiling_queries import (
+        q_ks_drift,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    row = q_ks_drift(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.ks_stat <= 1.0
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .select("value", "event_type")
+        .collect()
+    )
+    a = sorted(r.value for r in ev if r.event_type == "click")
+    b = sorted(r.value for r in ev if r.event_type == "view")
+    assert (len(a), len(b)) == (row.n_a, row.n_b)
+    import bisect
+
+    pts = sorted(set(a) | set(b))
+    ks = max(
+        abs(
+            bisect.bisect_right(a, v) * len(b)
+            - bisect.bisect_right(b, v) * len(a)
+        )
+        for v in pts
+    ) / (len(a) * len(b))
+    assert abs(row.ks_stat - round(ks, 6)) < 1e-9
+
+
+def test_join_key_skew_profile_internal_consistency(spark, sf_dir):
+    """Each profiled key's row count must equal the raw table count,
+    max >= p99 >= 1, and skew_ratio == max * n_keys / n_rows."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.profiling_queries import (
+        SKEW_KEYS,
+        q_join_key_skew_profile,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = {r["join_key"]: r for r in q_join_key_skew_profile(spark, sf_dir).collect()}
+    assert set(rows) == {label for label, _, _ in SKEW_KEYS}
+    for label, tbl, _col in SKEW_KEYS:
+        r = rows[label]
+        assert r["n_rows"] == load_table(spark, sf_dir, tbl).count()
+        assert r["max_fanout"] >= r["p99_fanout"] >= 1
+        assert r["n_keys"] <= r["n_rows"]
+        expect = round(r["max_fanout"] * r["n_keys"] / r["n_rows"], 4)
+        assert r["skew_ratio"] == expect

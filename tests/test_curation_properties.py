@@ -137,3 +137,61 @@ def test_dataset_split_exhaustive_disjoint_and_shares(spark, sf_dir):
     for lang, rs in by_lang.items():
         assert abs(sum(r["lang_share"] for r in rs) - 1.0) < 1e-5, lang
         assert len({r["split"] for r in rs}) == len(rs)  # disjoint strata
+
+
+def test_bigram_pmi_scores_verify_against_raw_counts(spark, sf_dir):
+    """Every returned pair meets the count floor, PMI arrives
+    non-increasing, and the top pair's score recomputes exactly from
+    independently counted unigram/bigram/corpus totals."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+        PMI_MIN_COUNT,
+        q_bigram_pmi,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = q_bigram_pmi(spark, sf_dir).collect()
+    assert rows
+    assert all(r["c_ab"] >= PMI_MIN_COUNT for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+    top = rows[0]
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.split(F.lower("text"), " +").alias("tk"))
+        .select(F.filter("tk", lambda x: x != "").alias("tk"))
+    )
+    uni = toks.select(F.explode("tk").alias("w")).groupBy("w").count()
+    n1 = uni.agg(F.sum("count")).collect()[0][0]
+    c_a = uni.filter(F.col("w") == top["w1"]).collect()[0]["count"]
+    c_b = uni.filter(F.col("w") == top["w2"]).collect()[0]["count"]
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, F.size("tk") - 1),
+                F.slice("tk", 2, F.size("tk") - 1),
+                lambda x, y: F.concat_ws("\x00", x, y),
+            )
+        ).alias("p")
+    ).filter(F.col("p") == f"{top['w1']}\x00{top['w2']}")
+    # n2_tot counts only pairs above the floor, mirroring the query
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+        q_bigram_pmi as _q,  # noqa: F401 (import kept for parity clarity)
+    )
+    assert big.count() == top["c_ab"]
+    # recompute with the query's own n2_tot definition
+    pairs = toks.filter(F.size("tk") >= 2).select(
+        F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"), "tk"
+    ).select(
+        F.element_at("tk", F.col("i")).alias("w1"),
+        F.element_at("tk", F.col("i") + 1).alias("w2"),
+    ).groupBy("w1", "w2").count().filter(F.col("count") >= PMI_MIN_COUNT)
+    n2 = pairs.agg(F.sum("count")).collect()[0][0]
+    expect = round(math.log((top["c_ab"] * n1 * n1) / (n2 * c_a * c_b)), 4)
+    assert abs(top["pmi"] - expect) < 1e-9

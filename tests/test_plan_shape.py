@@ -43,6 +43,10 @@ NON_EQUI_OK = {
     # 1-row broadcast of (lo, hi) bounds for the bin arithmetic, same as
     # tfidf's in-flow corpus count.
     "numeric_histogram",
+    # 1-row broadcast of (lo, hi, na, nb) bounds/totals, same pattern.
+    "ks_drift",
+    # 1-row broadcast of the (N1, N2) corpus token totals, same pattern.
+    "bigram_pmi",
 }
 
 
@@ -675,3 +679,38 @@ def test_numeric_histogram_partial_counts_and_broadcast_spine(spark, sf_dir):
     final = plan.split("+- == Initial Plan ==")[0]
     assert "partial_count" in final
     assert "SortMergeJoin" not in final
+
+
+def test_ks_drift_uses_bucketed_windows_not_global(spark, sf_dir):
+    """The KS cumulative counts must run as KS_BUCKETS range-bucketed
+    windows plus ONE tiny window over the bucket-totals lattice — never a
+    single global-order window over the collapsed value stream."""
+    plan = _plan(spark, sf_dir, "ks_drift")
+    assert "windowspecdefinition(b" in plan
+    assert plan.count("Window [") == 2
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "partial_sum" in final
+
+
+def test_bigram_pmi_joins_vocab_after_collapse(spark, sf_dir):
+    """The unigram joins must be hash joins on the token key over the
+    COUNT-COLLAPSED vocab relations (never corpus-sized sides in a
+    nested loop), and the top-25 must be a TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "bigram_pmi")
+    assert "TakeOrderedAndProject" in plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "partial_count" in final
+    # only the 1-row totals combines may nest-loop: the (N1 x N2) 1-row
+    # cross and its broadcast onto the scored pairs — never the vocab joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_join_key_skew_profile_is_pure_aggregation(spark, sf_dir):
+    """Three count-shaped branches unioned: map-combined partial counts,
+    no joins of any kind, nothing corpus-sized past the first agg."""
+    plan = _plan(spark, sf_dir, "join_key_skew_profile")
+    assert "Union" in plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "partial_count" in final
+    assert "Join" not in final
