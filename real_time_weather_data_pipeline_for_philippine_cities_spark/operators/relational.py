@@ -170,3 +170,35 @@ def first_match(
     if keep_priority_col:
         return out.withColumnRenamed("_prio", keep_priority_col)
     return out.drop("_prio")
+
+
+def pareto_frontier_max_min(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Skyline / Pareto frontier on (maximize ``x_col``, minimize
+    ``y_col``): the x values whose best (minimal) y strictly beats every
+    larger x's best y.
+
+    Aggregate-first scalable form: the corpus-sized work is ONE
+    map-combined min() per x key; the dominance test is a running-min
+    window over that collapsed relation ordered by x DESC — never the
+    quadratic all-pairs dominance self-join. Assumes ``x_col`` is a
+    bounded-cardinality attribute (the usual skyline axis); the window
+    input is |distinct x| rows. Strict '<' dominance: an equal y at a
+    larger x dominates.
+
+    Returns columns ``(x_col, best_y)`` ordered by ``x_col`` DESC.
+    """
+    best = df.groupBy(x_col).agg(F.min(y_col).alias("best_y"))
+    w = Window.orderBy(F.desc(x_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        best.withColumn("_min_above", F.min("best_y").over(w))
+        .filter(
+            F.col("_min_above").isNull()
+            | (F.col("best_y") < F.col("_min_above"))
+        )
+        .select(x_col, "best_y")
+        .orderBy(F.desc(x_col))
+    )

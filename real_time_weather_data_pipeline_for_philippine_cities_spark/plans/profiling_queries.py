@@ -666,30 +666,19 @@ ORDER BY s.bin
 """
 
 
-#: Bucket count for ks_drift's parallel cumulative sums.
-KS_BUCKETS = 64
-
-
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between the 'click' and
     'view' value distributions — the numeric-drift gate that catches a
     shifted feature distribution mixture_drift's count-based report
     cannot see.
 
-    Exactness without float accumulation: KS = max |F1 - F2| is computed
-    as max |c1*nb - c2*na| over exact BIGINT cumulative counts, divided
-    ONCE by na*nb at the end — so both engines take the max of identical
-    integers and perform one identical double division (no running-sum
-    ulp drift by construction).
-
-    Scale shape: the value stream first COLLAPSES to one row per distinct
-    value (map-combined groupBy) — ties handled exactly, not by sort
-    order — then the cumulative counts run as KS_BUCKETS range-bucketed
-    windows plus one tiny window over the 64-row bucket-totals lattice
-    (the weighted_doc_sample pattern), never a single global-order window
-    over the corpus. The 1-row bounds/totals ride in as broadcasts.
+    The integer-exact, bucket-parallel KS core lives in
+    ``operators/stats.ks_statistic`` (see its docstring for the
+    exactness and scale arguments); this entry binds it to the events
+    table and is hypothesis-property-tested against a driver-side brute
+    force on arbitrary samples.
     """
-    from pyspark.sql import Window
+    from ..operators.stats import ks_statistic
 
     ev = (
         t(spark, sf_dir, "events")
@@ -699,61 +688,11 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("value", "event_type")
     )
-    collapsed = ev.groupBy("value").agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n2"),
-    )
-    bounds = collapsed.agg(
-        F.min("value").alias("lo"),
-        F.max("value").alias("hi"),
-        F.sum("n1").alias("na"),
-        F.sum("n2").alias("nb"),
-    )
-    w = (F.col("hi") - F.col("lo")) / KS_BUCKETS
-    binned = collapsed.crossJoin(F.broadcast(bounds)).select(
+    return ks_statistic(
+        ev,
         "value",
-        "n1",
-        "n2",
-        "na",
-        "nb",
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / w).cast("int"),
-            F.lit(KS_BUCKETS - 1),
-        ).alias("b"),
-    )
-    in_bucket = Window.partitionBy("b").orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = binned.select(
-        "b",
-        "na",
-        "nb",
-        F.sum("n1").over(in_bucket).alias("c1"),
-        F.sum("n2").over(in_bucket).alias("c2"),
-    )
-    totals = binned.groupBy("b").agg(
-        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
-    )
-    prior = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "b",
-        F.coalesce(F.sum("t1").over(prior), F.lit(0)).alias("o1"),
-        F.coalesce(F.sum("t2").over(prior), F.lit(0)).alias("o2"),
-    )
-    d = cum.join(F.broadcast(offsets), "b").select(
-        "na",
-        "nb",
-        F.abs(
-            (F.col("c1") + F.col("o1")) * F.col("nb")
-            - (F.col("c2") + F.col("o2")) * F.col("na")
-        ).alias("d_int"),
-    )
-    return d.groupBy("na", "nb").agg(F.max("d_int").alias("m")).select(
-        F.round(
-            F.col("m").cast("double") / (F.col("na") * F.col("nb")), 6
-        ).alias("ks_stat"),
-        F.col("na").alias("n_a"),
-        F.col("nb").alias("n_b"),
+        F.col("event_type") == "click",
+        F.col("event_type") == "view",
     )
 
 

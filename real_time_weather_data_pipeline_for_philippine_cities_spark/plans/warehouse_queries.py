@@ -783,25 +783,13 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts. Strict '<' implements the usual skyline semantics: equal
     price at a larger size dominates.
     """
-    from pyspark.sql import Window
+    from ..operators.relational import pareto_frontier_max_min
 
-    best = (
-        t(spark, sf_dir, "part")
-        .groupBy("p_size")
-        .agg(F.min("p_retailprice").alias("best_price"))
-    )
-    w = Window.orderBy(F.desc("p_size")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    return (
-        best.withColumn("min_above", F.min("best_price").over(w))
-        .filter(
-            F.col("min_above").isNull()
-            | (F.col("best_price") < F.col("min_above"))
-        )
-        .select("p_size", "best_price")
-        .orderBy(F.desc("p_size"))
-    )
+    return pareto_frontier_max_min(
+        t(spark, sf_dir, "part").select("p_size", "p_retailprice"),
+        "p_size",
+        "p_retailprice",
+    ).withColumnRenamed("best_y", "best_price")
 
 
 _PARETO_FRONTIER_SQL = """

@@ -189,3 +189,67 @@ def test_scd2_actions_reconcile_dimension(spark):
     # every action class is present in the fixture
     kinds = {r.action for r in actions.select("action").distinct().collect()}
     assert kinds == {"keep", "insert", "close+insert"}
+
+
+@given(
+    a=st.lists(st.integers(-50, 50), min_size=1, max_size=25),
+    b=st.lists(st.integers(-50, 50), min_size=1, max_size=25),
+)
+@SETTINGS
+def test_ks_statistic_equals_brute_force_on_any_samples(spark, a, b):
+    """The bucketed integer-arithmetic KS operator must equal the
+    textbook max|F1-F2| brute force for ANY two samples — including
+    all-ties, single-distinct-value, and disjoint-support inputs the
+    events table never exercises."""
+    import bisect
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.stats import (
+        ks_statistic,
+    )
+
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "value double, tag string")
+    got = ks_statistic(
+        df, "value", F.col("tag") == "a", F.col("tag") == "b", buckets=4
+    ).collect()[0]
+    sa, sb = sorted(map(float, a)), sorted(map(float, b))
+    ks = max(
+        abs(
+            bisect.bisect_right(sa, v) * len(sb)
+            - bisect.bisect_right(sb, v) * len(sa)
+        )
+        for v in set(sa) | set(sb)
+    ) / (len(sa) * len(sb))
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert abs(got.ks_stat - round(ks, 6)) < 1e-9
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_pareto_frontier_operator_equals_brute_force(spark, pts):
+    """The aggregate-first skyline must return EXACTLY the non-dominated
+    (max x, min y) set a quadratic dominance sweep finds, for any point
+    cloud (duplicates, ties, single-x inputs included)."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.relational import (
+        pareto_frontier_max_min,
+    )
+
+    df = spark.createDataFrame(
+        [(x, float(y)) for x, y in pts], "x int, y double"
+    )
+    got = [(r.x, r.best_y) for r in pareto_frontier_max_min(df, "x", "y").collect()]
+    best = {}
+    for x, y in pts:
+        best[x] = min(best.get(x, float("inf")), float(y))
+    expect = [
+        (x, best[x])
+        for x in sorted(best, reverse=True)
+        if all(best[x] < best[x2] for x2 in best if x2 > x)
+    ]
+    assert got == expect
