@@ -312,6 +312,37 @@ def bench_distinct_sketch(spark, ev_dir: str, work: str) -> dict:
     return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
 
 
+def bench_ks_gate(spark, ev_dir: str, work: str) -> dict:
+    """Per-epoch numeric KS drift gate vs a frozen reference distribution
+    (streaming/drift.py::foreach_batch_ks_drift — the batch catalog's own
+    integer-exact KS core)."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.drift import (
+        foreach_batch_ks_drift,
+        write_reference_distribution,
+    )
+
+    ref = os.path.join(work, "ks_ref")
+    write_reference_distribution(
+        spark.read.schema(EVENTS_SCHEMA)
+        .json(ev_dir)
+        .filter("value IS NOT NULL"),
+        "value",
+        ref,
+    )
+    stream = _reader(spark, ev_dir, EVENTS_SCHEMA)
+    t0 = time.monotonic()
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_ks_drift(ref, os.path.join(work, "ks_report"))
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt_ks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -338,6 +369,7 @@ def main() -> None:
             ("interval_join", bench_interval_join, ev_dir),
             ("distinct_sketch", bench_distinct_sketch, ev_dir),
             ("transitions", bench_transitions, ev_dir),
+            ("ks_gate", bench_ks_gate, ev_dir),
         ):
             r = fn(spark, src, work)
             r["rows_per_sec"] = (

@@ -44,6 +44,17 @@ def ks_statistic(
         F.sum(F.when(is_a, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(is_b, 1).otherwise(0)).alias("n2"),
     )
+    return ks_from_counts(collapsed, value_col, buckets)
+
+
+def ks_from_counts(
+    collapsed: DataFrame, value_col: str, buckets: int = KS_BUCKETS
+) -> DataFrame:
+    """KS statistic from an already-collapsed ``(value, n1, n2)`` count
+    relation — the reuse point for the streaming gate
+    (streaming/drift.py), whose per-epoch counts join a frozen reference
+    distribution instead of tagging rows. Same integer-exact,
+    bucket-parallel core as ``ks_statistic`` (which calls this)."""
     bounds = collapsed.agg(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
@@ -94,9 +105,14 @@ def ks_statistic(
             - (F.col("c2") + F.col("o2")) * F.col("na")
         ).alias("d_int"),
     )
+    # KS is undefined when either sample is empty (na*nb == 0, e.g. a
+    # micro-batch with no non-null values) -> NULL, not a divide error.
     return d.groupBy("na", "nb").agg(F.max("d_int").alias("m")).select(
-        F.round(
-            F.col("m").cast("double") / (F.col("na") * F.col("nb")), 6
+        F.when(
+            F.col("na") * F.col("nb") > 0,
+            F.round(
+                F.col("m").cast("double") / (F.col("na") * F.col("nb")), 6
+            ),
         ).alias("ks_stat"),
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),

@@ -68,3 +68,60 @@ def foreach_batch_drift(
         )
 
     return fn
+
+
+# -- numeric KS drift gate ---------------------------------------------------
+def write_reference_distribution(
+    df: DataFrame, value_col: str, ref_path: str
+) -> None:
+    """Freeze the reference NUMERIC distribution as collapsed
+    ``(value, n_ref)`` counts. For an unbounded continuous domain,
+    quantize ``value_col`` before freezing (the KS over quantized values
+    bounds the true KS within one bin mass); the synthetic feeds here
+    have bounded distinct values so raw counts are exact."""
+    (
+        df.groupBy(F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+        .write.mode("overwrite")
+        .parquet(ref_path)
+    )
+
+
+def foreach_batch_ks_drift(
+    ref_path: str, report_path: str, value_col: str = "value"
+) -> Callable[[DataFrame, int], None]:
+    """Epoch function: exact two-sample KS statistic of this micro-batch's
+    ``value_col`` distribution vs the frozen reference, appended to
+    ``report_path`` stamped with the epoch id — the numeric companion of
+    the categorical KL gate above, sharing the batch catalog's own KS
+    core (operators/stats.ks_from_counts) so stream and batch agree by
+    construction.
+
+    Per-epoch cost: one map-combined count collapse over the batch plus a
+    distinct-value-sized join against the constant reference — independent
+    of corpus size."""
+    from ..operators.stats import ks_from_counts
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .groupBy(F.col(value_col).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n_inc"))
+        )
+        ref = spark.read.parquet(ref_path)
+        per = inc.join(ref, "value", "full_outer").select(
+            "value",
+            F.coalesce("n_inc", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n2"),
+        )
+        (
+            ks_from_counts(per, "value")
+            .withColumnRenamed("n_a", "n_batch")
+            .withColumnRenamed("n_b", "n_ref")
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(report_path)
+        )
+
+    return fn

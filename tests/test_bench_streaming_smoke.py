@@ -1,4 +1,4 @@
-"""Rot protection for bench_streaming.py: the nine availableNow surfaces
+"""Rot protection for bench_streaming.py: the ten availableNow surfaces
 must still drive end-to-end and emit a well-formed STREAMBENCH payload.
 Runs in-process at sf0.001 with 2 chunks so the whole sweep stays cheap;
 output is diverted so the committed sf0.1 STREAMBENCH.json is untouched."""
@@ -34,6 +34,7 @@ def test_bench_streaming_all_surfaces(spark, tmp_path, monkeypatch):
         "interval_join",
         "distinct_sketch",
         "transitions",
+        "ks_gate",
     }
     for name, s in surfaces.items():
         assert s["epochs"] >= 1, name

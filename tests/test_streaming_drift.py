@@ -90,3 +90,65 @@ def test_streaming_epoch_report_equals_batch_arithmetic(spark):
     # shares are exact smoothed ratios
     assert got["en"]["share_incoming"] == round(4 / 14, 6)
     assert got["en"]["share_base"] == round(9 / 12, 6)
+
+
+def test_streaming_ks_gate_flags_shifted_epoch(spark, tmp_path):
+    """Numeric KS gate e2e: a micro-batch drawn from the reference's own
+    support scores near 0; a location-shifted batch scores near 1; both
+    epochs append with their ids, and the epoch arithmetic is the batch
+    catalog's own ks_from_counts (identical statistic when recomputed
+    driver-side)."""
+    import json
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.drift import (
+        foreach_batch_ks_drift,
+        write_reference_distribution,
+    )
+
+    ref_vals = [float(v) for v in range(0, 50)] * 4
+    ref_df = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+    ref = str(tmp_path / "ref")
+    write_reference_distribution(ref_df, "value", ref)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("event_id long, value double").json(
+            str(landing)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_ks_drift(ref, report)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # epoch 0: same support as the reference -> tiny KS
+    (landing / "a.json").write_text(
+        "".join(
+            json.dumps({"event_id": i, "value": float(i % 50)}) + "\n"
+            for i in range(200)
+        )
+    )
+    run()
+    # epoch 1: shifted far right -> KS ~ 1
+    (landing / "b.json").write_text(
+        "".join(
+            json.dumps({"event_id": 1000 + i, "value": 500.0 + i}) + "\n"
+            for i in range(100)
+        )
+    )
+    run()
+
+    rows = {r["epoch_id"]: r for r in spark.read.parquet(report).collect()}
+    assert len(rows) == 2
+    lo, hi = sorted(rows)
+    assert rows[lo]["ks_stat"] < 0.05
+    assert rows[hi]["ks_stat"] > 0.95
+    assert rows[hi]["n_batch"] == 100 and rows[hi]["n_ref"] == len(ref_vals)
