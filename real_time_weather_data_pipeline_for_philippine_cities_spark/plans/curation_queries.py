@@ -1175,6 +1175,77 @@ LIMIT {PMI_TOP}
 """
 
 
+#: rare_category_collapse: sources below this corpus share fold to '(other)'.
+RARE_SHARE_PCT = 3
+
+
+def q_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-collapse of the source category: sources holding under
+    RARE_SHARE_PCT% of the corpus fold into one '(other)' bucket — the
+    cardinality-control step a mixture/balance stage runs first so a
+    thousand one-document crawls don't each demand a mixture weight.
+
+    All arithmetic is exact-integer: the share test is
+    ``cnt * 100 < total * RARE_SHARE_PCT`` (no division), the total rides
+    in as a 1-row broadcast over the COLLAPSED per-source counts (bounded
+    cardinality — never the corpus), and the fold is a second tiny
+    re-aggregation. Reported share is each final bucket's exact count
+    over the total, rounded once on both engines.
+    """
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    folded = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.when(
+                F.col("cnt") * 100 < F.col("total") * RARE_SHARE_PCT,
+                F.lit("(other)"),
+            )
+            .otherwise(F.col("source"))
+            .alias("category"),
+            "cnt",
+            "total",
+        )
+        .groupBy("category")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.max("total").alias("total"),
+        )
+    )
+    return folded.select(
+        "category",
+        "n_docs",
+        "n_sources",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 4).alias(
+            "share"
+        ),
+    ).orderBy(F.desc("n_docs"), "category")
+
+
+_RARE_COLLAPSE_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+folded AS (
+  SELECT CASE WHEN cnt * 100 < total * {RARE_SHARE_PCT}
+              THEN '(other)' ELSE source END AS category,
+         cnt, total
+  FROM counts CROSS JOIN tot)
+SELECT category,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       round(CAST(sum(cnt) AS DOUBLE) / max(total), 4) AS share
+FROM folded
+GROUP BY 1
+ORDER BY n_docs DESC, category
+"""
+
+
 def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: for every pair of corpus sources,
     how many distinct SEG_TOKENS-word segments they share — the
@@ -1262,6 +1333,11 @@ ENTRIES: dict[str, Q] = {
         q_bigram_pmi,
         _BIGRAM_PMI_SQL,
         "top collocations by single-ln exact-count PMI",
+    ),
+    "rare_category_collapse": Q(
+        q_rare_category_collapse,
+        _RARE_COLLAPSE_SQL,
+        "integer-share tail-collapse of rare source categories",
     ),
     "segment_dup_fraction": Q(
         q_segment_dup_fraction,

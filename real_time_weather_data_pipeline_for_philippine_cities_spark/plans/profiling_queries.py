@@ -721,6 +721,69 @@ GROUP BY na, nb
 """
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics: the p01/p99 clamped mean the
+    robust-feature pipeline reports next to mad_outliers' detection view
+    (a handful of sensor spikes should not move a feature's centroid).
+
+    Two passes: the per-type percentile bounds collapse to one row per
+    type (bounded key space) and ride back in as a BROADCAST join; the
+    clamp is an elementwise least/greatest (bit-identical IEEE ops), and
+    the only float reductions — raw vs winsorized mean — are rounded on
+    both engines. clipped_n is an exact integer count of affected rows.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # bounds are ROUNDED (6dp) before the clamp on BOTH engines: the
+    # engines' percentile interpolation can differ by one ulp, and a
+    # bound one ulp below a heavily-tied data value silently flips every
+    # tie at that value into the clipped count (caught by the sf1 strict
+    # sweep: 227.40999999999997 vs 227.41 moved 10 rows).
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias(
+            "wvalue"
+        ),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") != F.col("wvalue")).cast("long")).alias(
+                "clipped_n"
+            ),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg("wvalue"), 4).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WINSORIZED_SQL = """
+WITH b AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.01), 6) AS p01,
+         round(quantile_cont(value, 0.99), 6) AS p99
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+c AS (
+  SELECT e.event_type, e.value,
+         least(greatest(e.value, b.p01), b.p99) AS wvalue
+  FROM events e JOIN b USING (event_type)
+  WHERE e.value IS NOT NULL)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value <> wvalue THEN 1 ELSE 0 END) AS BIGINT)
+         AS clipped_n,
+       round(avg(value), 4) AS raw_mean,
+       round(avg(wvalue), 4) AS winsorized_mean
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-set union/intersection/Jaccard estimates from two merged
     KMV sketches vs the exact answers — the theta-sketch-style set algebra
@@ -896,5 +959,10 @@ ENTRIES: dict[str, Q] = {
         q_ks_drift,
         _KS_DRIFT_SQL,
         "exact two-sample KS drift statistic (integer cumulative counts)",
+    ),
+    "winsorized_stats": Q(
+        q_winsorized_stats,
+        _WINSORIZED_SQL,
+        "p01/p99-clamped robust means per type (broadcast bounds)",
     ),
 }

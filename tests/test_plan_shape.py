@@ -47,6 +47,9 @@ NON_EQUI_OK = {
     "ks_drift",
     # 1-row broadcast of the (N1, N2) corpus token totals, same pattern.
     "bigram_pmi",
+    # 1-row broadcast of the corpus total over the collapsed per-source
+    # counts, same pattern.
+    "rare_category_collapse",
 }
 
 

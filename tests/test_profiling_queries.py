@@ -120,3 +120,76 @@ def test_dq_checks_counts_planted_violations(spark, tmp_path):
         "lineitem_nonpositive_price": 1,
         "lineitem_discount_range": 1,
     }
+
+
+def test_winsorized_stats_clamps_only_the_tails(spark, sf_dir):
+    """Per type: the clipped row count is (exactly) the rows strictly
+    outside [p01, p99] — about 2% — and the winsorized mean recomputes
+    from a driver-side clamp of the raw values."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.profiling_queries import (
+        q_winsorized_stats,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = {r["event_type"]: r for r in q_winsorized_stats(spark, sf_dir).collect()}
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for etype, vals in by_type.items():
+        r = rows[etype]
+        assert r["n"] == len(vals)
+        assert 0 <= r["clipped_n"] <= max(2, int(0.03 * len(vals)) + 2)
+        # driver-side recompute with Spark's own percentile values
+        bounds = (
+            load_table(spark, sf_dir, "events")
+            .filter(
+                F.col("value").isNotNull() & (F.col("event_type") == etype)
+            )
+            .agg(
+                F.expr("percentile(value, 0.01)").alias("p01"),
+                F.expr("percentile(value, 0.99)").alias("p99"),
+            )
+            .collect()[0]
+        )
+        clamped = [min(max(v, bounds.p01), bounds.p99) for v in vals]
+        assert abs(r["winsorized_mean"] - round(sum(clamped) / len(clamped), 4)) < 1e-3
+        assert r["clipped_n"] == sum(
+            1 for v in vals if v < bounds.p01 or v > bounds.p99
+        )
+
+
+def test_rare_category_collapse_conserves_and_thresholds(spark, sf_dir):
+    """Mass conservation (n_docs sums to the corpus, n_sources to the
+    distinct source count), every surviving category holds >= the share
+    floor by the exact integer test, and '(other)' aggregates only
+    sub-floor sources."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
+        RARE_SHARE_PCT,
+        q_rare_category_collapse,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = q_rare_category_collapse(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    n_sources = docs.select("source").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert sum(r["n_sources"] for r in rows) == n_sources
+    for r in rows:
+        if r["category"] != "(other)":
+            assert r["n_sources"] == 1
+            assert r["n_docs"] * 100 >= total * RARE_SHARE_PCT
+        assert abs(r["share"] - round(r["n_docs"] / total, 4)) < 1e-9
