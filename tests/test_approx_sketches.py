@@ -172,3 +172,33 @@ def test_join_key_skew_profile_internal_consistency(spark, sf_dir):
         assert r["n_keys"] <= r["n_rows"]
         expect = round(r["max_fanout"] * r["n_keys"] / r["n_rows"], 4)
         assert r["skew_ratio"] == expect
+
+
+def test_numeric_histogram_bins_merge_across_shards(spark, sf_dir):
+    """Shard mergeability: binning each half of the data separately with
+    the GLOBAL bounds and adding the per-bin counts reproduces the
+    whole-table histogram exactly — the property that lets a 100 TB
+    profile run per shard and merge 20-row sketches."""
+    from pyspark.sql import functions as F
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.profiling_queries import (
+        HIST_BINS,
+        q_numeric_histogram,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        load_table,
+    )
+
+    whole = {r["bin"]: r["n"] for r in q_numeric_histogram(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    w = (hi - lo) / HIST_BINS
+    bin_col = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("int"),
+        F.lit(HIST_BINS - 1),
+    ).alias("bin")
+    merged = {b: 0 for b in range(HIST_BINS)}
+    for shard in (ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)):
+        for r in shard.select(bin_col).groupBy("bin").count().collect():
+            merged[r["bin"]] += r["count"]
+    assert merged == whole

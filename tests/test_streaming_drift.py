@@ -152,3 +152,47 @@ def test_streaming_ks_gate_flags_shifted_epoch(spark, tmp_path):
     assert rows[lo]["ks_stat"] < 0.05
     assert rows[hi]["ks_stat"] > 0.95
     assert rows[hi]["n_batch"] == 100 and rows[hi]["n_ref"] == len(ref_vals)
+
+
+def test_streaming_ks_gate_restart_appends_nothing_new(spark, tmp_path):
+    """Effectively-once: restarting the availableNow query with NO new
+    landed files must not re-run committed epochs — the report row count
+    is unchanged after the second run (checkpoint replay semantics, same
+    contract as the KL gate and the JDBC epoch sink)."""
+    import json
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.drift import (
+        foreach_batch_ks_drift,
+        write_reference_distribution,
+    )
+
+    ref_df = spark.createDataFrame([(float(v),) for v in range(20)], "value double")
+    ref = str(tmp_path / "ref")
+    write_reference_distribution(ref_df, "value", ref)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    (landing / "a.json").write_text(
+        "".join(
+            json.dumps({"event_id": i, "value": float(i % 20)}) + "\n"
+            for i in range(50)
+        )
+    )
+
+    def run():
+        stream = spark.readStream.schema("event_id long, value double").json(
+            str(landing)
+        )
+        q = (
+            stream.writeStream.foreachBatch(foreach_batch_ks_drift(ref, report))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    n1 = spark.read.parquet(report).count()
+    run()  # no new files -> no new epochs
+    assert spark.read.parquet(report).count() == n1 == 1
