@@ -107,12 +107,14 @@ def ks_from_counts(
     )
     # KS is undefined when either sample is empty (na*nb == 0, e.g. a
     # micro-batch with no non-null values) -> NULL, not a divide error.
+    # The statistic passes through RAW (no rounding): the single division
+    # of identical exact integers is bit-identical cross-engine, whereas
+    # round() on a raw division can diverge on shortest-decimal
+    # half-cases (the cheapest_supplier_per_part lesson).
     return d.groupBy("na", "nb").agg(F.max("d_int").alias("m")).select(
         F.when(
             F.col("na") * F.col("nb") > 0,
-            F.round(
-                F.col("m").cast("double") / (F.col("na") * F.col("nb")), 6
-            ),
+            F.col("m").cast("double") / (F.col("na") * F.col("nb")),
         ).alias("ks_stat"),
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),

@@ -57,38 +57,46 @@ HH_N = 3
 HH_TOP = 25
 
 
-def _segments(docs: DataFrame) -> DataFrame:
-    """(doc_id, h): md5 of each non-overlapping SEG_TOKENS-word window.
+def _segments(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """(key_col, h): md5 of each non-overlapping SEG_TOKENS-word window.
 
     Entirely map-side (split + sequence + explode + slice inside codegen);
-    the trailing partial window is kept, mirroring the oracle.
+    the trailing partial window is kept, mirroring the oracle. The key is
+    parameterized so every consumer (per-doc span accounting AND the
+    per-source dup matrix) shares ONE segment-encoding definition — a
+    tokenization tweak cannot silently change what "shared segment"
+    means in only one of them.
     """
     toks = docs.select(
-        "doc_id", F.split(F.lower("text"), " +").alias("tk")
+        key_col, F.split(F.lower("text"), " +").alias("tk")
     ).withColumn("n", F.size("tk"))
     return toks.select(
-        "doc_id",
+        key_col,
         F.explode(
             F.sequence(F.lit(0), F.col("n") - 1, F.lit(SEG_TOKENS))
         ).alias("s"),
         "tk",
     ).select(
-        "doc_id",
+        key_col,
         F.md5(
             F.array_join(F.slice("tk", F.col("s") + 1, F.lit(SEG_TOKENS)), " ")
         ).alias("h"),
     )
 
 
-_SEGMENTS_SQL = f"""
-  SELECT doc_id,
+def _segments_sql(key_col: str = "doc_id") -> str:
+    return f"""
+  SELECT {key_col},
          md5(list_aggregate(list_slice(tk, s + 1, s + {SEG_TOKENS}),
                             'string_agg', ' ')) AS h
-  FROM (SELECT doc_id, tk, unnest(generate_series(0, n - 1, {SEG_TOKENS})) AS s
-        FROM (SELECT doc_id, string_split_regex(lower(text), ' +') AS tk,
+  FROM (SELECT {key_col}, tk, unnest(generate_series(0, n - 1, {SEG_TOKENS})) AS s
+        FROM (SELECT {key_col}, string_split_regex(lower(text), ' +') AS tk,
                      len(string_split_regex(lower(text), ' +')) AS n
               FROM documents))
 """
+
+
+_SEGMENTS_SQL = _segments_sql()
 
 
 # -- segment-level duplication fraction ------------------------------------
@@ -1099,7 +1107,7 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    big = (
+    big_all = (
         toks.filter(F.col("n") >= 2)
         .select(
             F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("i"), "tk"
@@ -1110,10 +1118,13 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
     )
+    big = big_all.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    # N2 counts ALL bigram occurrences, not just the floor survivors:
+    # normalizing p(ab) by a truncated total would inflate every score by
+    # a constant ln(N2_all / N2_filtered) and shift the independence zero.
     totals = uni.agg(F.sum("c").alias("n1_tot")).crossJoin(
-        big.agg(F.sum("c_ab").alias("n2_tot"))
+        big_all.agg(F.sum("c_ab").alias("n2_tot"))
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
@@ -1154,15 +1165,15 @@ WITH toks AS (
 uni AS (
   SELECT w, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
-big AS (
+big_all AS (
   SELECT tk[i] AS w1, tk[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_ab
   FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1, 1)) AS i
         FROM toks WHERE len(tk) >= 2)
-  GROUP BY 1, 2
-  HAVING count(*) >= {PMI_MIN_COUNT}),
+  GROUP BY 1, 2),
+big AS (SELECT * FROM big_all WHERE c_ab >= {PMI_MIN_COUNT}),
 tot AS (
   SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n1_tot,
-         (SELECT CAST(sum(c_ab) AS BIGINT) FROM big) AS n2_tot)
+         (SELECT CAST(sum(c_ab) AS BIGINT) FROM big_all) AS n2_tot)
 SELECT b.w1, b.w2, b.c_ab,
        round(ln((CAST(b.c_ab AS DOUBLE) * n1_tot * n1_tot)
                 / (CAST(n2_tot AS DOUBLE) * ua.c * ub.c)), 4) AS pmi
@@ -1263,21 +1274,7 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ |sources|² rows — driver-safe output by construction.
     """
     docs = spread(t(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
-        "source", F.split(F.lower("text"), " +").alias("tk")
-    ).withColumn("n", F.size("tk"))
-    segs = toks.select(
-        "source",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n") - 1, F.lit(SEG_TOKENS))
-        ).alias("s"),
-        "tk",
-    ).select(
-        "source",
-        F.md5(
-            F.array_join(F.slice("tk", F.col("s") + 1, F.lit(SEG_TOKENS)), " ")
-        ).alias("h"),
-    )
+    segs = _segments(docs, key_col="source")
     srcs = segs.select("h", "source").distinct()
     a = srcs.alias("a")
     b = srcs.alias("b")
@@ -1296,14 +1293,7 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUP_SOURCE_MATRIX_SQL = f"""
-WITH segs AS (
-  SELECT source,
-         md5(list_aggregate(list_slice(tk, s + 1, s + {SEG_TOKENS}),
-                            'string_agg', ' ')) AS h
-  FROM (SELECT source, tk, unnest(generate_series(0, n - 1, {SEG_TOKENS})) AS s
-        FROM (SELECT source, string_split_regex(lower(text), ' +') AS tk,
-                     len(string_split_regex(lower(text), ' +')) AS n
-              FROM documents))),
+WITH segs AS ({_segments_sql("source")}),
 srcs AS (SELECT DISTINCT h, source FROM segs)
 SELECT a.source AS src_a, b.source AS src_b,
        CAST(count(*) AS BIGINT) AS shared_segments

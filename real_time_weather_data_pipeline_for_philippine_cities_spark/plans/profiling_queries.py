@@ -609,7 +609,13 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
-    w = (F.col("hi") - F.col("lo")) / HIST_BINS
+    # constant-valued input: hi == lo would make the bin width 0 (ANSI
+    # divide-by-zero); any positive width bins the one value at 0 — the
+    # same guard as operators/stats.ks_from_counts, mirrored in the
+    # oracle.
+    w = F.when(
+        F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / HIST_BINS
+    ).otherwise(F.lit(1.0))
     binned = (
         ev.crossJoin(F.broadcast(bounds))
         .select(
@@ -650,7 +656,7 @@ WITH b AS (
   SELECT min(value) AS lo, max(value) AS hi
   FROM events WHERE value IS NOT NULL),
 binned AS (
-  SELECT least(CAST(floor((value - lo) / ((hi - lo) / {HIST_BINS})) AS INT),
+  SELECT least(CAST(floor((value - lo) / (CASE WHEN hi > lo THEN (hi - lo) / {HIST_BINS} ELSE 1.0 END)) AS INT),
                {HIST_BINS - 1}) AS bin,
          CAST(count(*) AS BIGINT) AS n
   FROM events CROSS JOIN b WHERE value IS NOT NULL
@@ -713,7 +719,7 @@ cum AS (
   SELECT sum(n1) OVER (ORDER BY value) AS c1,
          sum(n2) OVER (ORDER BY value) AS c2
   FROM collapsed)
-SELECT round(CAST(max(abs(c1 * nb - c2 * na)) AS DOUBLE) / (na * nb), 6)
+SELECT CAST(max(abs(c1 * nb - c2 * na)) AS DOUBLE) / (na * nb)
          AS ks_stat,
        na AS n_a, nb AS n_b
 FROM cum CROSS JOIN tot
@@ -837,8 +843,11 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest(F.col("ra") + F.col("rb") - F.col("ru"), F.lit(0.0)), 1)
         .alias("n_inter_est"),
         F.round(
-            F.greatest(F.col("ra") + F.col("rb") - F.col("ru"), F.lit(0.0))
-            / F.col("ru"),
+            F.least(
+                F.greatest(F.col("ra") + F.col("rb") - F.col("ru"), F.lit(0.0))
+                / F.col("ru"),
+                F.lit(1.0),
+            ),
             4,
         ).alias("jaccard_est"),
     )
@@ -901,7 +910,7 @@ est AS (
   SELECT round(ra, 1) AS n_a_est, round(rb, 1) AS n_b_est,
          round(ru, 1) AS n_union_est,
          round(greatest(ra + rb - ru, 0.0), 1) AS n_inter_est,
-         round(greatest(ra + rb - ru, 0.0) / ru, 4) AS jaccard_est
+         round(least(greatest(ra + rb - ru, 0.0) / ru, 1.0), 4) AS jaccard_est
   FROM raw),
 membership AS (
   SELECT user_id,

@@ -180,18 +180,20 @@ def test_bigram_pmi_scores_verify_against_raw_counts(spark, sf_dir):
             )
         ).alias("p")
     ).filter(F.col("p") == f"{top['w1']}\x00{top['w2']}")
-    # n2_tot counts only pairs above the floor, mirroring the query
+    # n2_tot counts the full bigram mass, mirroring the query
     from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.curation_queries import (
         q_bigram_pmi as _q,  # noqa: F401 (import kept for parity clarity)
     )
     assert big.count() == top["c_ab"]
     # recompute with the query's own n2_tot definition
+    # N2 = ALL bigram occurrences (the query normalizes by the full
+    # bigram mass, not the floor survivors)
     pairs = toks.filter(F.size("tk") >= 2).select(
         F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"), "tk"
     ).select(
         F.element_at("tk", F.col("i")).alias("w1"),
         F.element_at("tk", F.col("i") + 1).alias("w2"),
-    ).groupBy("w1", "w2").count().filter(F.col("count") >= PMI_MIN_COUNT)
+    ).groupBy("w1", "w2").count()
     n2 = pairs.agg(F.sum("count")).collect()[0][0]
     expect = round(math.log((top["c_ab"] * n1 * n1) / (n2 * c_a * c_b)), 4)
     assert abs(top["pmi"] - expect) < 1e-9

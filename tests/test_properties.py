@@ -221,7 +221,7 @@ def test_ks_statistic_equals_brute_force_on_any_samples(spark, a, b):
         for v in set(sa) | set(sb)
     ) / (len(sa) * len(sb))
     assert (got.n_a, got.n_b) == (len(a), len(b))
-    assert abs(got.ks_stat - round(ks, 6)) < 1e-9
+    assert got.ks_stat == ks  # raw passthrough: bit-identical division
 
 
 @given(
