@@ -322,25 +322,37 @@ def bench_ks_gate(spark, ev_dir: str, work: str) -> dict:
     )
 
     ref = os.path.join(work, "ks_ref")
+    # the landing dir is PARQUET (see _land) — reading it as json parses
+    # every row to NULL and freezes an empty reference, turning the gate
+    # into a degenerate no-op (round-5 advice finding).
     write_reference_distribution(
         spark.read.schema(EVENTS_SCHEMA)
-        .json(ev_dir)
+        .parquet(ev_dir)
         .filter("value IS NOT NULL"),
         "value",
         ref,
     )
+    report = os.path.join(work, "ks_report")
     stream = _reader(spark, ev_dir, EVENTS_SCHEMA)
     t0 = time.monotonic()
     q = (
-        stream.writeStream.foreachBatch(
-            foreach_batch_ks_drift(ref, os.path.join(work, "ks_report"))
-        )
+        stream.writeStream.foreachBatch(foreach_batch_ks_drift(ref, report))
         .option("checkpointLocation", os.path.join(work, "ckpt_ks"))
         .trigger(availableNow=True)
         .start()
     )
     _run(q)
-    return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
+    wall = round(time.monotonic() - t0, 3)
+    # prove the gate actually computed: every epoch's report row must carry
+    # a real ks_stat against a non-empty reference (nb > 0).
+    rep = spark.read.parquet(report)
+    live = rep.filter("ks_stat IS NOT NULL AND n_ref > 0").count()
+    return {
+        "wall_sec": wall,
+        "ks_live_epochs": live,
+        "ks_report_epochs": rep.count(),
+        **_progress_stats(q),
+    }
 
 
 def main() -> None:

@@ -95,12 +95,23 @@ def kmv_minima_aggs(r: int = KMV_R, h_col: str = "kmv_h0") -> list[Column]:
     ]
 
 
+def kmv_sum_col(r: int = KMV_R) -> Column:
+    """The exact BIGINT sum S of the ``m0..m{r-1}`` minima — the sketch's
+    integer state digest. Consumers that need cross-engine / cross-shard
+    comparisons should compare S (exact) rather than float estimates."""
+    return F.expr(" + ".join(f"m{i}" for i in range(r))).cast("long")
+
+
 def kmv_estimate_col(r: int = KMV_R) -> Column:
     """Distinct-count estimate from the ``m0..m{r-1}`` minima columns.
 
     The min of n uniforms on [0, P) has mean ~P/(n+1), so with S the exact
     BIGINT sum of the R minima: n_est = R*P/S - 1. S is an
     order-independent integer sum; the division/subtraction are the only
-    float ops — bit-identical cross-engine."""
+    float ops — single elementwise IEEE ops on identical integers, so the
+    raw double is bit-identical cross-engine. Deliberately UNROUNDED:
+    round-on-raw-division lands on .5 half-cases where engines' rounding
+    modes diverge (the repo-wide determinism rule — see operators/stats.py
+    and the round-5 advice)."""
     s = F.expr(" + ".join(f"m{i}" for i in range(r)))
-    return F.round(F.lit(r) * F.lit(float(MINHASH_PRIME)) / s - 1, 1)
+    return F.lit(r) * F.lit(float(MINHASH_PRIME)) / s - 1

@@ -68,22 +68,31 @@ def fuzzy_best_match(
     cand_col: str = "cand_name",
     max_dist: int = 10,
     max_probe: int = FUZZY_PROBE_CAP,
+    on_excess: str = "error",
 ) -> DataFrame:
     """Best Levenshtein candidate per probe name — the principled upgrade
     of the reference's substring 'fuzzy' cascade (weather_data_fetcher.py
     :104-130): closest candidate within ``max_dist`` edits, ties broken by
     candidate name.
 
-    Scale contract: probe is capped to the ``max_probe`` smallest
-    ``probe_col`` values inside the operator (TakeOrderedAndProject — a
-    bounded top-k, no global sort), candidates are broadcast, and the
-    Levenshtein + ranking run JVM-side in whole-stage codegen. Cost is
-    therefore ≤ max_probe × |candidates| regardless of caller filters —
-    the geocode-batch semantic made structural.
+    Scale contract: the probe side is deduplicated to DISTINCT names (the
+    output is per-name anyway, and counting duplicate rows against the cap
+    would admit fewer names than budgeted — round-5 advice), then capped
+    to the ``max_probe`` smallest names inside the operator. The distinct
+    is a map-side-combined aggregate (the shuffle carries distinct names,
+    not probe rows) and the cap is a bounded top-k on it. When the cap
+    would bind, the operator RAISES by default; ``on_excess='truncate'``
+    accepts the bounded batch with a warning — never silent. Candidates
+    are broadcast and the Levenshtein + ranking run JVM-side in
+    whole-stage codegen, so cost is ≤ max_probe × |candidates| regardless
+    of caller filters — the geocode-batch semantic made structural.
     """
+    from .similarity import _check_bounded_input
+
+    names = probe.select(F.col(probe_col)).distinct()
+    _check_bounded_input(names, probe_col, max_probe, on_excess, "fuzzy_best_match")
     bounded = (
-        probe.select(F.col(probe_col))
-        .orderBy(F.col(probe_col).asc())
+        names.orderBy(F.col(probe_col).asc())
         .limit(max_probe)
         # limit() lands all probes in ONE partition, serializing the
         # probe x candidate Levenshtein stage in a single task; hashing

@@ -582,6 +582,33 @@ def cosine_candidates_vs_bounded_df(
 EXACT_PAIRS_CAP = 4096
 
 
+def _check_bounded_input(
+    df: DataFrame, order_col: str, cap: int, on_excess: str, what: str
+) -> None:
+    """Enforce a structural input cap LOUDLY (round-5 advice: a silently
+    binding cap turns an exact baseline into a silently incomplete one).
+
+    Probes ``cap + 1`` rows via a bounded top-k (TakeOrderedAndProject —
+    never a full sort/scan of the input) at operator-construction time.
+    ``on_excess='error'`` (the default for library callers) raises;
+    ``'truncate'`` warns and proceeds with the ``cap`` smallest keys — the
+    explicit opt-in used by the verification-budget catalog entries whose
+    oracles mirror the same LIMIT."""
+    if on_excess not in ("error", "truncate"):
+        raise ValueError(f"on_excess must be 'error' or 'truncate': {on_excess!r}")
+    n = df.select(order_col).orderBy(F.col(order_col).asc()).limit(cap + 1).count()
+    if n > cap:
+        msg = (
+            f"{what}: input exceeds the structural cap ({cap}); "
+            f"only the {cap} smallest {order_col} values are considered"
+        )
+        if on_excess == "error":
+            raise ValueError(msg + " — pass on_excess='truncate' to accept")
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+
+
 def near_dup_pairs_cosine_blocked(
     emb: DataFrame,
     threshold: float = 0.45,
@@ -589,6 +616,7 @@ def near_dup_pairs_cosine_blocked(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     max_rows: int = EXACT_PAIRS_CAP,
+    on_excess: str = "error",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — EXACT, via block-pair replication
     + Arrow-vectorized verification. Same answer as ``near_dup_pairs_cosine``
@@ -598,7 +626,10 @@ def near_dup_pairs_cosine_blocked(
     Input contract: at most ``max_rows`` vectors (the max_rows smallest
     ids) are considered — see EXACT_PAIRS_CAP. An exact quadratic baseline
     pointed at an unbounded corpus is a scale bug by definition; callers
-    needing full-corpus near-dup use the ANN operators.
+    needing full-corpus near-dup use the ANN operators. When the cap would
+    actually bind, the operator RAISES by default; pass
+    ``on_excess='truncate'`` to accept the bounded verification budget
+    (a warning is still emitted) — never a silent truncation.
 
     Why not banded LSH candidates here: at threshold 0.45 the qualifying
     pairs sit at cos 0.45–0.51 (angle ≈ 60°), so the per-hyperplane
@@ -623,6 +654,9 @@ def near_dup_pairs_cosine_blocked(
     """
     pairs_schema = "vec_a long, vec_b long, dot double, na double, nb double"
     margin = threshold - 1e-6
+    _check_bounded_input(
+        emb, id_col, max_rows, on_excess, "near_dup_pairs_cosine_blocked"
+    )
 
     def verify(key, pdf):  # type: ignore[no-untyped-def]
         import numpy as np

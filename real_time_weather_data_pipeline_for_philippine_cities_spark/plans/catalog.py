@@ -48,47 +48,21 @@ for _mod_name in (
 # whose plan was edited this round — a green row for the OLD plan proves
 # nothing about the new one, and the artifact files can't see the diff.
 _PLAN_CHANGED: list[str] = [
-    # round 5: exact all-pairs baseline now enforces EXACT_PAIRS_CAP
-    # (operators/similarity.py) — bounded top-k on vec_id feeds the block
-    # pairing; oracle capped identically. Re-prove under the new bound.
-    "near_dup_embeddings",
-    # round 5: rebuilt on operators.geocode.fuzzy_best_match with the
-    # FUZZY_PROBE_CAP bound enforced inside the operator; oracle mirrors
-    # the cap. Re-prove under the new shape.
+    # round 6: KMV estimates un-rounded (round-on-raw-division half-case
+    # hazard, round-5 advice) and the exact integer sketch digests
+    # (kmv_s / s_a / s_b / s_union) added to both schemas; oracles
+    # mirrored. Re-prove under the new schema.
+    "kmv_distinct_sketch",
+    "kmv_set_ops",
+    # round 6: probe side now deduped to DISTINCT names before the
+    # FUZZY_PROBE_CAP bound (row-counted cap admitted fewer names than
+    # budgeted) + loud on_excess contract; oracle probe CTE mirrored
+    # with DISTINCT. Re-prove under the new plan.
     "fuzzy_name_match",
-    # round 5: bounded-bench scoring moved from the interpreted broadcast-
-    # join fold to the Arrow kernel cosine_candidates_vs_bounded
-    # (operators/similarity.py) — re-prove under the new plan.
-    "embedding_decontam",
-    # round 5: gap rows now generated by lead()+sequence() explode from
-    # observed buckets (no grid join, no span re-aggregate; 2 shuffles
-    # total) — re-prove under the new plan.
-    "resample_interpolate",
-    # round 5: spread() before tokenize (scan-stage parallelism fix) —
-    # re-prove both under the new exchange.
-    "tfidf_top_terms",
-    "bm25_keyword_topk",
-    "vocab_coverage",
-    # round 5 (continuation): join-back encoding replaced by one
-    # groupBy(h, doc) + window-over-h — 3 exchanges, one scan, no join
-    # (~4x at sf1) — re-prove under the new plan.
-    "substring_dup_spans",
-    # round 5 (continuation): same collapse-first rewrite (window over
-    # the collapsed/keyed relation instead of aggregate+join-back).
-    "segment_dup_fraction",
-    "canonical_doc_assign",
-    # round 5 (continuation): sf1 strict sweep found last-cent summation
-    # drift (raw-double round(sum,2) -> exact cents) in three early
-    # queries, and a seconds-vs-microseconds session-gap boundary
-    # disagreement; all four re-defined exactly on both engines.
-    "revenue_by_nation",
-    "promo_revenue_share",
-    "rollup_revenue",
-    "sessionize_events",
-    # round 5 (continuation 2): the 5-column quality projection is now
-    # persisted (two consumers; unpersisted, the text-feature scan ran
-    # twice — 7.2 -> 6.0 s at sf1). Re-prove under the cached plan.
-    "token_budget_select",
+    # round 6: EXACT_PAIRS_CAP is now loud (eager bounded top-k probe +
+    # explicit truncate opt-in in the catalog entry). Output plan is
+    # unchanged but the operator internals moved — cheap re-proof.
+    "near_dup_embeddings",
 ]
 
 

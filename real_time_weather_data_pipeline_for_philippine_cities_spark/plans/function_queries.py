@@ -261,7 +261,7 @@ def _fuzzy_sql() -> str:
 
     return f"""
 WITH probe AS (
-  SELECT c_name AS query_name FROM customer WHERE c_custkey <= 200
+  SELECT DISTINCT c_name AS query_name FROM customer WHERE c_custkey <= 200
   ORDER BY query_name ASC LIMIT {FUZZY_PROBE_CAP}),
 scored AS (
   SELECT p.query_name, s.cand_name,

@@ -159,9 +159,14 @@ def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded to the EXACT_PAIRS_CAP smallest vec_ids inside the operator
     (oracle applies the identical cap), so this exactness baseline can
     never be pointed at an unbounded corpus — the ANN entries
-    (ann_lsh_cosine / ivf_cosine_topk) are the full-corpus scale path."""
+    (ann_lsh_cosine / ivf_cosine_topk) are the full-corpus scale path.
+    ``on_excess='truncate'`` is the explicit verification-budget opt-in
+    (the operator warns when the cap binds, e.g. at sf1's 20k vectors;
+    library callers get a raise by default)."""
     emb = t(spark, sf_dir, "embeddings")
-    return S.near_dup_pairs_cosine_blocked(emb, threshold=0.45, n_blocks=8)
+    return S.near_dup_pairs_cosine_blocked(
+        emb, threshold=0.45, n_blocks=8, on_excess="truncate"
+    )
 
 
 # -- benchmark decontamination (8-gram overlap sweep) ----------------------

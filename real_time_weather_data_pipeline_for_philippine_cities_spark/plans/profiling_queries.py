@@ -218,7 +218,12 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one division and one subtraction on exact integers, bit-identical
     cross-engine. The exact COUNT(DISTINCT) column is the accuracy
     report, not part of the sketch path."""
-    from ..functions.hashing import kmv_estimate_col, kmv_hash_col, kmv_minima_aggs
+    from ..functions.hashing import (
+        kmv_estimate_col,
+        kmv_hash_col,
+        kmv_minima_aggs,
+        kmv_sum_col,
+    )
     from .base import spread
 
     ev = spread(t(spark, sf_dir, "events"), "event_id").select(
@@ -227,14 +232,23 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins = ev.select("day", kmv_hash_col("user_id")).groupBy("day").agg(
         *kmv_minima_aggs(KMV_R)
     )
-    est = mins.select("day", kmv_estimate_col(KMV_R).alias("n_est"))
+    # kmv_s is the sketch's exact integer digest — consumers comparing
+    # sketches across shards/engines compare it without any float ops;
+    # n_est / rel_err pass the raw doubles through unrounded (elementwise
+    # IEEE ops on identical integers are bit-identical; round-on-raw-
+    # division is the forbidden half-case pattern).
+    est = mins.select(
+        "day",
+        kmv_sum_col(KMV_R).alias("kmv_s"),
+        kmv_estimate_col(KMV_R).alias("n_est"),
+    )
     exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("n_exact"))
     return (
         est.join(exact, "day")
-        .select("day", "n_exact", "n_est")
+        .select("day", "n_exact", "kmv_s", "n_est")
         .withColumn(
             "rel_err",
-            F.round(F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 4),
+            F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"),
         )
     )
 
@@ -261,12 +275,12 @@ est AS (SELECT day, {s_expr} AS s FROM mins),
 ex AS (SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_exact
        FROM events GROUP BY day),
 j AS (
-  SELECT day, n_exact,
-         round({KMV_R} * CAST({MINHASH_PRIME} AS DOUBLE)
-               / CAST(s AS DOUBLE) - 1, 1) AS n_est
+  SELECT day, n_exact, s,
+         {KMV_R} * CAST({MINHASH_PRIME} AS DOUBLE)
+           / CAST(s AS DOUBLE) - 1 AS n_est
   FROM est JOIN ex USING (day))
-SELECT day, n_exact, n_est,
-       round(abs(n_est - n_exact) / n_exact, 4) AS rel_err
+SELECT day, n_exact, CAST(s AS BIGINT) AS kmv_s, n_est,
+       abs(n_est - n_exact) / n_exact AS rel_err
 FROM j
 """
 
@@ -832,23 +846,32 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = F.expr(" + ".join(f"b{i}" for i in range(KMV_R)))
     su = F.expr(" + ".join(f"least(a{i}, b{i})" for i in range(KMV_R)))
     rp = F.lit(KMV_R) * F.lit(float(MINHASH_PRIME))
+    # s_a/s_b/s_union are the sketches' exact integer digests (the
+    # cross-shard/cross-engine comparison currency); the estimates pass
+    # the raw doubles through UNROUNDED — each is a fixed-order chain of
+    # elementwise IEEE ops on identical integers, bit-identical across
+    # engines, whereas round-on-raw-division lands on half-cases where
+    # engine rounding modes diverge (round-5 advice).
     est = mins.select(
+        sa.cast("long").alias("s_a"),
+        sb.cast("long").alias("s_b"),
+        su.cast("long").alias("s_union"),
         (rp / sa - 1).alias("ra"),
         (rp / sb - 1).alias("rb"),
         (rp / su - 1).alias("ru"),
     ).select(
-        F.round("ra", 1).alias("n_a_est"),
-        F.round("rb", 1).alias("n_b_est"),
-        F.round("ru", 1).alias("n_union_est"),
-        F.round(F.greatest(F.col("ra") + F.col("rb") - F.col("ru"), F.lit(0.0)), 1)
+        "s_a",
+        "s_b",
+        "s_union",
+        F.col("ra").alias("n_a_est"),
+        F.col("rb").alias("n_b_est"),
+        F.col("ru").alias("n_union_est"),
+        F.greatest(F.col("ra") + F.col("rb") - F.col("ru"), F.lit(0.0))
         .alias("n_inter_est"),
-        F.round(
-            F.least(
-                F.greatest(F.col("ra") + F.col("rb") - F.col("ru"), F.lit(0.0))
-                / F.col("ru"),
-                F.lit(1.0),
-            ),
-            4,
+        F.least(
+            F.greatest(F.col("ra") + F.col("rb") - F.col("ru"), F.lit(0.0))
+            / F.col("ru"),
+            F.lit(1.0),
         ).alias("jaccard_est"),
     )
     membership = ev.groupBy("user_id").agg(
@@ -866,6 +889,9 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b_exact",
         "n_union_exact",
         "n_inter_exact",
+        "s_a",
+        "s_b",
+        "s_union",
         "n_a_est",
         "n_b_est",
         "n_union_est",
@@ -902,15 +928,19 @@ mins AS (
          {b_cols}
   FROM base),
 raw AS (
-  SELECT {rp} / ({sa}) - 1 AS ra,
+  SELECT CAST(({sa}) AS BIGINT) AS s_a,
+         CAST(({sb}) AS BIGINT) AS s_b,
+         CAST(({su}) AS BIGINT) AS s_union,
+         {rp} / ({sa}) - 1 AS ra,
          {rp} / ({sb}) - 1 AS rb,
          {rp} / ({su}) - 1 AS ru
   FROM mins),
 est AS (
-  SELECT round(ra, 1) AS n_a_est, round(rb, 1) AS n_b_est,
-         round(ru, 1) AS n_union_est,
-         round(greatest(ra + rb - ru, 0.0), 1) AS n_inter_est,
-         round(least(greatest(ra + rb - ru, 0.0) / ru, 1.0), 4) AS jaccard_est
+  SELECT s_a, s_b, s_union,
+         ra AS n_a_est, rb AS n_b_est,
+         ru AS n_union_est,
+         greatest(ra + rb - ru, 0.0) AS n_inter_est,
+         least(greatest(ra + rb - ru, 0.0) / ru, 1.0) AS jaccard_est
   FROM raw),
 membership AS (
   SELECT user_id,
@@ -924,6 +954,7 @@ exact AS (
          CAST(sum(in_a * in_b) AS BIGINT) AS n_inter_exact
   FROM membership)
 SELECT n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+       s_a, s_b, s_union,
        n_a_est, n_b_est, n_union_est, n_inter_est, jaccard_est
 FROM exact CROSS JOIN est
 """

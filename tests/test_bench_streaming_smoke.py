@@ -40,6 +40,14 @@ def test_bench_streaming_all_surfaces(spark, tmp_path, monkeypatch):
         assert s["epochs"] >= 1, name
         assert s["rows"] > 0, name
         assert s["wall_sec"] > 0, name
+    # the KS gate must have computed REAL statistics against a non-empty
+    # reference in every epoch — a frozen-empty reference (the round-5
+    # read-as-json bug) produced NULL ks_stat rows this would catch.
+    assert surfaces["ks_gate"]["ks_report_epochs"] >= 1
+    assert (
+        surfaces["ks_gate"]["ks_live_epochs"]
+        == surfaces["ks_gate"]["ks_report_epochs"]
+    )
     # stateful surfaces must report state metrics from the engine
     assert surfaces["windowed_agg"]["state_rows_max"] > 0
     assert surfaces["stream_topk"]["state_rows_max"] > 0
