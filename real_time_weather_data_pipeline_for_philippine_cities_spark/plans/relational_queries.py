@@ -755,9 +755,96 @@ FROM cur FULL OUTER JOIN inc ON cur.key = inc.key
 """
 
 
+# -- SCD2 merge APPLY: post-merge dimension state (VERDICT r05 #4) ----------
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTES the merge the plan above only classifies: operators.scd2
+    .scd2_apply over a versioned dimension (current rows = the %13 subset
+    at epoch 0, plus closed LEGACY history rows for the %11 subset — so
+    the history-passthrough branch is exercised) and the same simulated
+    snapshot as scd2_merge_plan, at epoch 1. One full-outer join on the
+    business key; the 1-or-2 rows per key come from a single inline
+    explode, so no per-action re-join. The atomic write-next-then-promote
+    path and the apply-twice-equals-apply-once idempotence law are pinned
+    in tests/test_scd2_apply.py."""
+    from ..operators.scd2 import scd2_apply
+
+    base = t(spark, sf_dir, "customer")
+    cur = base.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(0).cast("int").alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = base.filter(
+        (F.col("c_custkey") % 13 != 0) & (F.col("c_custkey") % 11 == 0)
+    ).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("LEGACY").alias("segment"),
+        F.lit(0.0).alias("acctbal"),
+        F.lit(-1).cast("int").alias("valid_from"),
+        F.lit(0).cast("int").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    snapshot = base.select(
+        F.col("c_custkey").alias("key"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("RELOCATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.round(
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 7 == 0, F.lit(100.0)).otherwise(F.lit(0.0)),
+            2,
+        ).alias("acctbal"),
+    )
+    return scd2_apply(
+        cur.unionByName(hist), snapshot, ["key"], ["segment", "acctbal"], epoch=1
+    )
+
+
+_SCD2_APPLY_SQL = """
+WITH cur AS (
+  SELECT c_custkey AS key, c_mktsegment AS segment, c_acctbal AS acctbal
+  FROM customer WHERE c_custkey % 13 <> 0),
+inc AS (
+  SELECT c_custkey AS key,
+         CASE WHEN c_custkey % 7 = 0 THEN 'RELOCATED' ELSE c_mktsegment END AS segment,
+         round(c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END, 2)
+           AS acctbal
+  FROM customer),
+j AS (
+  SELECT cur.key AS dkey, inc.key AS skey,
+         cur.segment AS dseg, cur.acctbal AS dbal,
+         inc.segment AS sseg, inc.acctbal AS sbal,
+         (cur.key IS NOT NULL AND inc.key IS NOT NULL
+          AND (cur.segment IS DISTINCT FROM inc.segment
+               OR cur.acctbal IS DISTINCT FROM inc.acctbal)) AS changed
+  FROM cur FULL OUTER JOIN inc ON cur.key = inc.key)
+SELECT dkey AS key, dseg AS segment, dbal AS acctbal,
+       0 AS valid_from, 1 AS valid_to, false AS is_current
+FROM j WHERE changed                                    -- closed old versions
+UNION ALL
+SELECT skey AS key, sseg AS segment, sbal AS acctbal,
+       1 AS valid_from, CAST(NULL AS INTEGER) AS valid_to, true AS is_current
+FROM j WHERE changed OR dkey IS NULL                    -- re-inserts + new keys
+UNION ALL
+SELECT dkey AS key, dseg AS segment, dbal AS acctbal,
+       0 AS valid_from, CAST(NULL AS INTEGER) AS valid_to, true AS is_current
+FROM j WHERE dkey IS NOT NULL AND NOT changed           -- unchanged currents
+UNION ALL
+SELECT c_custkey AS key, 'LEGACY' AS segment, 0.0 AS acctbal,
+       -1 AS valid_from, 0 AS valid_to, false AS is_current
+FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 11 = 0
+"""
+
+
 ENTRIES: dict[str, Q] = {
     "scd2_merge_plan": Q(
         q_scd2_merge_plan, _SCD2_SQL, "SCD2 snapshot-vs-dim MERGE action set"
+    ),
+    "scd2_apply": Q(
+        q_scd2_apply, _SCD2_APPLY_SQL, "post-merge SCD2 dimension state"
     ),
     "salted_skew_join_agg": Q(
         q_salted_priority_revenue, _SALTED_SQL, "salted hot-key shuffle join"

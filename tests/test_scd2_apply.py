@@ -1,0 +1,151 @@
+"""SCD2 merge APPLY laws (VERDICT r05 #4): the executed merge must be
+idempotent under replay, atomic at the directory level, and must produce
+exactly the action set the plan query classifies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.scd2 import (
+    scd2_apply,
+    scd2_apply_write,
+)
+
+KEYS = ["key"]
+ATTRS = ["segment", "acctbal"]
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [
+            # key 1: will change; key 2: unchanged; key 3: absent from snap
+            (1, "AUTO", 10.0, 0, None, True),
+            (2, "BIKE", 20.0, 0, None, True),
+            (3, "SHIP", 30.0, 0, None, True),
+            # history row must pass through untouched
+            (1, "LEGACY", 0.0, -1, 0, False),
+        ],
+        "key int, segment string, acctbal double, valid_from int, "
+        "valid_to int, is_current boolean",
+    )
+
+
+def _snap(spark):
+    return spark.createDataFrame(
+        [
+            (1, "AUTO", 99.0),  # attr change -> close + insert
+            (2, "BIKE", 20.0),  # identical -> keep
+            (4, "FARM", 40.0),  # new key -> insert
+        ],
+        "key int, segment string, acctbal double",
+    )
+
+
+def _key(t):
+    return tuple((v is None, v) for v in t)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()), key=_key)
+
+
+def test_scd2_apply_action_semantics(spark):
+    out = scd2_apply(_dim(spark), _snap(spark), KEYS, ATTRS, epoch=1)
+    got = _rows(out)
+    assert got == sorted(
+        [
+            (1, "LEGACY", 0.0, -1, 0, False),  # history untouched
+            (1, "AUTO", 10.0, 0, 1, False),  # closed old version
+            (1, "AUTO", 99.0, 1, None, True),  # new version
+            (2, "BIKE", 20.0, 0, None, True),  # unchanged current
+            (3, "SHIP", 30.0, 0, None, True),  # absent from snap: kept
+            (4, "FARM", 40.0, 1, None, True),  # brand-new key
+        ],
+        key=_key,
+    )
+
+
+def test_scd2_apply_idempotent_on_replay(spark):
+    """Applying the same snapshot again — same or later epoch — is a
+    no-op: the post-merge state already agrees with the snapshot."""
+    snap = _snap(spark)
+    once = scd2_apply(_dim(spark), snap, KEYS, ATTRS, epoch=1)
+    for replay_epoch in (1, 2):
+        twice = scd2_apply(once, snap, KEYS, ATTRS, epoch=replay_epoch)
+        assert _rows(twice) == _rows(once), replay_epoch
+
+
+def test_scd2_apply_null_attr_transitions_close(spark):
+    """NULL→value and value→NULL are real changes (eqNullSafe compare)."""
+    dim = spark.createDataFrame(
+        [(1, None, 1.0, 0, None, True), (2, "B", None, 0, None, True)],
+        "key int, segment string, acctbal double, valid_from int, "
+        "valid_to int, is_current boolean",
+    )
+    snap = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "B", None)],
+        "key int, segment string, acctbal double",
+    )
+    out = scd2_apply(dim, snap, KEYS, ATTRS, epoch=5)
+    got = _rows(out)
+    # key 1 closes and re-inserts; key 2 (NULL == NULL, same) keeps
+    assert (1, None, 1.0, 0, 5, False) in got
+    assert (1, "A", 1.0, 5, None, True) in got
+    assert (2, "B", None, 0, None, True) in got
+    assert len(got) == 3
+
+
+def test_scd2_apply_write_swap_and_replay(spark, tmp_path):
+    """First load inserts everything at the given epoch; a replayed write
+    of the same snapshot converges to the identical state; the promoted
+    directory always reads back complete."""
+    path = str(tmp_path / "dim")
+    snap = _snap(spark)
+    scd2_apply_write(path, snap, KEYS, ATTRS, epoch=0)
+    first = _rows(spark.read.parquet(path))
+    assert first == sorted(
+        [
+            (1, "AUTO", 99.0, 0, None, True),
+            (2, "BIKE", 20.0, 0, None, True),
+            (4, "FARM", 40.0, 0, None, True),
+        ],
+        key=_key,
+    )
+    scd2_apply_write(path, snap, KEYS, ATTRS, epoch=1)  # replay: no-op
+    assert _rows(spark.read.parquet(path)) == first
+
+    changed = snap.withColumn(
+        "acctbal", F.when(F.col("key") == 2, 21.0).otherwise(F.col("acctbal"))
+    )
+    scd2_apply_write(path, changed, KEYS, ATTRS, epoch=2)
+    now = _rows(spark.read.parquet(path))
+    assert (2, "BIKE", 20.0, 0, 2, False) in now  # closed
+    assert (2, "BIKE", 21.0, 2, None, True) in now  # new version
+    assert len(now) == 4  # keys 1+4 unchanged currents, key 2 closed + new
+
+
+def test_scd2_catalog_entry_matches_plan_actions(spark, sf_dir):
+    """The executed merge and the plan query must tell the same story:
+    every close+insert key contributes one closed + one epoch-1 row, every
+    insert key one epoch-1 row, every keep key one epoch-0 current row."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import (
+        CATALOG,
+    )
+
+    actions = {
+        r["key"]: r["action"]
+        for r in CATALOG["scd2_merge_plan"].fn(spark, sf_dir).collect()
+    }
+    out = CATALOG["scd2_apply"].fn(spark, sf_dir).collect()
+    closed = {r["key"] for r in out if r["valid_to"] == 1}
+    inserted = {r["key"] for r in out if r["valid_from"] == 1 and r["is_current"]}
+    kept = {
+        r["key"]
+        for r in out
+        if r["valid_from"] == 0 and r["is_current"] and r["valid_to"] is None
+    }
+    assert closed == {k for k, a in actions.items() if a == "close+insert"}
+    assert inserted == {
+        k for k, a in actions.items() if a in ("close+insert", "insert")
+    }
+    assert kept == {k for k, a in actions.items() if a == "keep"}
