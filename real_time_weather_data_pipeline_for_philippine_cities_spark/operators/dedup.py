@@ -993,16 +993,19 @@ def allpairs_jaccard_pairs(
     )
 
 
-def allpairs_jaccard_sql(
+def allpairs_jaccard_sql_brute(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.7,
 ) -> str:
-    """Oracle: brute-force all-pairs with only the lossless size-ratio
-    prefilter — naive but exactly the operator's declared semantics, so
-    the parity gate proves the prefix filter loses nothing."""
+    """Brute-force all-pairs twin with only the lossless size-ratio
+    prefilter — exactly the operator's declared semantics with NO shared
+    candidate logic. Quadratic, so it is the small-SF proof that the
+    prefix filter loses nothing (tests/test_oracle_linearization.py pins
+    brute == linearized in DuckDB itself); the catalog oracle is the
+    linearized twin below, which the sf1 sweep can afford."""
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id, string_split_regex(lower({text_col}), ' +') AS t
@@ -1022,7 +1025,54 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 """
 
 
-def ngram_jaccard_sql(
+def allpairs_jaccard_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> str:
+    """Oracle: the LINEARIZED twin — same lossless AllPairs rarest-prefix
+    candidate generation as the Spark plan (pigeonhole on the
+    ``⌈(1-t)·|A|⌉+1`` rarest shingles; see allpairs_jaccard_pairs), so the
+    sf1 strict sweep runs in seconds instead of CPU-hours (VERDICT r05
+    #1). Losslessness of the shared pruning is proven independently:
+    tests/test_oracle_linearization.py asserts this twin ==
+    allpairs_jaccard_sql_brute in DuckDB at sf0.01."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, string_split_regex(lower({text_col}), ' +') AS t
+  FROM {table}),
+base AS (
+  SELECT doc_id, {shingle_hash_sql('t', n)} AS hs
+  FROM toks WHERE len(t) >= {n}),
+sized AS (SELECT doc_id, hs, len(hs) AS sz FROM base),
+expl AS (SELECT doc_id, sz, unnest(hs) AS h FROM sized),
+freq AS (SELECT h, count(*) AS df FROM expl GROUP BY h),
+prefix AS (
+  SELECT doc_id, h, sz FROM (
+    SELECT e.doc_id, e.h, e.sz,
+           row_number() OVER (PARTITION BY e.doc_id
+                              ORDER BY f.df ASC, e.h ASC) AS rn
+    FROM expl e JOIN freq f ON e.h = f.h)
+  WHERE rn <= ceil((1.0 - {threshold}) * sz) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz)),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(ha.hs, hb.hs))::DOUBLE
+               / (ha.sz + hb.sz - len(list_intersect(ha.hs, hb.hs))), 4)
+           AS jaccard
+  FROM cand
+  JOIN sized ha ON ha.doc_id = doc_a
+  JOIN sized hb ON hb.doc_id = doc_b)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+"""
+
+
+def ngram_jaccard_sql_brute(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1031,6 +1081,10 @@ def ngram_jaccard_sql(
     n: int = 3,
     threshold: float = 0.7,
 ) -> str:
+    """Blocked brute-force twin (±1 length-bucket self-join, no shared
+    candidate logic) — quadratic per bucket; kept as the small-SF proof
+    that the linearized twin below drops nothing
+    (tests/test_oracle_linearization.py)."""
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id,
@@ -1051,5 +1105,56 @@ pairs AS (
                / (a.sz + b.sz - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
   FROM sized a JOIN probes b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
   WHERE least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz))
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+"""
+
+
+def ngram_jaccard_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    bucket_width: int = 50,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> str:
+    """Oracle: LINEARIZED twin — candidates from the rarest-prefix join
+    (lossless, see allpairs_jaccard_sql) with the ±1-bucket rule and size
+    ratio as filters, mirroring the Spark plan's candidate generation so
+    the sf1 sweep is affordable (VERDICT r05 #1). Brute == linearized is
+    pinned in DuckDB at sf0.01 by tests/test_oracle_linearization.py."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         string_split_regex(lower({text_col}), ' +') AS t,
+         CAST(floor({len_col}::DOUBLE / {bucket_width}) AS BIGINT) AS bucket
+  FROM {table}),
+base AS (
+  SELECT doc_id, bucket, {shingle_hash_sql('t', n)} AS hs
+  FROM toks WHERE len(t) >= {n}),
+sized AS (
+  SELECT doc_id, bucket, hs, len(hs) AS sz FROM base),
+expl AS (SELECT doc_id, bucket, sz, unnest(hs) AS h FROM sized),
+freq AS (SELECT h, count(*) AS df FROM expl GROUP BY h),
+prefix AS (
+  SELECT doc_id, h, sz, bucket FROM (
+    SELECT e.doc_id, e.h, e.sz, e.bucket,
+           row_number() OVER (PARTITION BY e.doc_id
+                              ORDER BY f.df ASC, e.h ASC) AS rn
+    FROM expl e JOIN freq f ON e.h = f.h)
+  WHERE rn <= ceil((1.0 - {threshold}) * sz) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE abs(a.bucket - b.bucket) <= 1
+    AND least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz)),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(ha.hs, hb.hs))::DOUBLE
+               / (ha.sz + hb.sz - len(list_intersect(ha.hs, hb.hs))), 4)
+           AS jaccard
+  FROM cand
+  JOIN sized ha ON ha.doc_id = doc_a
+  JOIN sized hb ON hb.doc_id = doc_b)
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 """

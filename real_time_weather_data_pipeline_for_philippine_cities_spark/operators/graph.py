@@ -121,16 +121,24 @@ def pagerank_sql(
     id_col: str = "doc_id",
     iters: int = PAGERANK_ITERS,
 ) -> str:
-    """DuckDB twin: the same integer recurrence as chained CTEs."""
+    """DuckDB twin: the same integer recurrence as chained CTEs.
+
+    Every multiply-referenced CTE is ``AS MATERIALIZED``: DuckDB inlines
+    plain CTEs per reference, so without the hint the (expensive) pair
+    subquery re-evaluates once per reference per iteration — the chain
+    re-ran the minhash near-dup SQL ~2·iters times, which is what made
+    the sf1 sweep unaffordable (VERDICT r05 #1). Materialization changes
+    cost only, never values."""
     ctes = [
-        f"nodes AS (SELECT {id_col} AS doc_id FROM {table})",
-        f"pairs AS ({pairs_sql})",
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        f"nodes AS MATERIALIZED (SELECT {id_col} AS doc_id FROM {table})",
+        f"pairs AS MATERIALIZED ({pairs_sql})",
+        "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs"
         " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs)",
         "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src)",
-        "edges_deg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src)",
+        "edges_deg AS MATERIALIZED"
+        " (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src)",
         "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM nodes)",
-        f"r0 AS (SELECT doc_id, {PAGERANK_SCALE} // n_docs AS rank,"
+        f"r0 AS MATERIALIZED (SELECT doc_id, {PAGERANK_SCALE} // n_docs AS rank,"
         f" {PAGERANK_SCALE} // n_docs AS base FROM nodes, n)",
     ]
     for i in range(iters):
@@ -139,7 +147,7 @@ def pagerank_sql(
             f" FROM r{i} r JOIN edges_deg e ON r.doc_id = e.src GROUP BY e.dst)"
         )
         ctes.append(
-            f"r{i + 1} AS (SELECT r.doc_id,"
+            f"r{i + 1} AS MATERIALIZED (SELECT r.doc_id,"
             f" (15 * r.base + 85 * coalesce(c.s, 0)) // 100 AS rank, r.base"
             f" FROM r{i} r LEFT JOIN c{i} c ON c.dst = r.doc_id)"
         )

@@ -449,9 +449,12 @@ normed AS (
   SELECT vid, v, {norm_sql('v')} AS nrm FROM base),
 unit AS (
   SELECT vid, list_transform(v, x -> x / nrm) AS u FROM normed WHERE nrm > 0),
-cd AS (
+cd AS MATERIALIZED (
+  -- K centroid-dot folds per vector is the expensive stage and feeds BOTH
+  -- the assignment and the query-probe CTEs; DuckDB inlines plain CTEs
+  -- per reference, so materialize (cost hint only, values unchanged).
   SELECT vid, u, [{cdots}] AS ds FROM unit),
-assigned AS (
+assigned AS MATERIALIZED (
   SELECT vid, u, CAST(list_position(ds, list_max(ds)) - 1 AS INTEGER) AS bucket
   FROM cd),
 qprobe AS (

@@ -1,15 +1,19 @@
-"""Run the sf1 strict sweep: every catalog query whose DuckDB oracle is
-sub-quadratic, strict-compared (values bitwise, dtype kinds) against the
-oracle at bench_data/sf1 — 10x the canonical sf0.01 proof scale.
+"""Run the sf1 strict sweep: EVERY oracle-paired catalog query,
+strict-compared (values bitwise, dtype kinds) against its DuckDB twin at
+bench_data/sf1 — 10x the canonical sf0.01 proof scale.
 
-The exclusions are the exactness-baseline entries whose ORACLES are
-quadratic (all-pairs similarity, iterative-graph recursive CTEs): DuckDB
-needs tens of CPU-minutes each at sf1, so they stay proven at sf0.01 and
-are separately value-verified at sf1 where feasible (the near-dup /
-containment pair-set equality checks recorded in BASELINE.md).
+Round 6 (VERDICT r05 #1) retired the former ORACLE_QUADRATIC exclusion
+list: the all-pairs twins were linearized with the Spark side's own
+lossless rarest-prefix candidate generation (brute == linearized pinned in
+DuckDB by tests/test_oracle_linearization.py), the iterative-CTE twins
+(pagerank, ivf) got AS MATERIALIZED hints so DuckDB stops re-inlining the
+expensive pair/assignment subqueries per reference, and the exact-pairs
+baselines were already structurally capped (EXACT_PAIRS_CAP). Measured sf1
+oracle times: all ≤ 50 s except ivf_cosine_topk (~150 s, the 16×64-dim
+assignment fold over 20k vectors — inherent to a full-index oracle).
 
 Usage:  python tools/sf1_sweep.py          # prints the strict_check cmd
-        python tools/sf1_sweep.py --run    # executes it (1-2 h)
+        python tools/sf1_sweep.py --run    # executes it (~30-40 min)
 """
 
 import os
@@ -18,23 +22,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: oracle-quadratic entries excluded from the sf1 sweep (sf0.01-proven).
-ORACLE_QUADRATIC = {
-    "dedup_allpairs_jaccard",
-    "dedup_ngram_jaccard",
-    "near_dup_embeddings",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster_assign",
-    "pagerank_dup_graph",
-    "part_basket_triangles",
-    "incremental_near_dup",
-    "ann_lsh_cosine",
-    "ivf_cosine_topk",
-    "embedding_cosine_topk",
-    "embedding_decontam",
-    "decontaminate_overlap",
-}
+#: retired round 6 — kept empty so a future genuinely-infeasible twin has
+#: an explicit, documented place to live rather than a silent skip.
+ORACLE_QUADRATIC: set[str] = set()
 
 
 def names() -> list[str]:
