@@ -63,6 +63,16 @@ _PLAN_CHANGED: list[str] = [
     # explicit truncate opt-in in the catalog entry). Output plan is
     # unchanged but the operator internals moved — cheap re-proof.
     "near_dup_embeddings",
+    # round 6: single combined-alternation scan replaces the per-category
+    # regexp_count + chained regexp_replace cascade (VERDICT #7); oracle
+    # rewritten to the same single-pass semantics. Re-prove.
+    "pii_scan",
+    # round 6: oracle linearization (rarest-prefix candidate SQL replaces
+    # the brute-force twins; Spark plans unchanged) — re-prove against the
+    # new twins. Brute == linearized is pinned in DuckDB by
+    # tests/test_oracle_linearization.py.
+    "dedup_allpairs_jaccard",
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -68,6 +68,27 @@ def test_pii_scan_detects_planted_pii(spark, tmp_path):
     assert got[1]["redacted_len"] == len("contact  or  today")
     assert got[3]["redacted_len"] == len("call  now")
 
+    # the DuckDB twin must agree on PLANTED pii too, not just the pii-free
+    # synthetic corpus the strict gate sees (single-pass classification is
+    # a round-6 rewrite — pin detection parity on real matches)
+    import duckdb
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.corpus_queries import (
+        _PII_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    oracle = {r[0]: r for r in con.execute(_PII_SQL).fetchall()}
+    for doc_id, row in got.items():
+        assert oracle[doc_id] == (
+            doc_id,
+            row["n_email"],
+            row["n_ipv4"],
+            row["n_phone"],
+            row["redacted_len"],
+        ), doc_id
+
 
 def test_canonical_doc_assign_keeps_richest_copy(spark, tmp_path):
     # cluster A: identical text -> same md5 -> same n_chars, tie broken by
