@@ -39,7 +39,15 @@ def names() -> list[str]:
 
 def main() -> None:
     ns = names()
-    cmd = [sys.executable, "tools/strict_check.py", *ns]
+    # with no exclusions the sweep IS the full catalog: invoke the no-args
+    # form so strict_check writes the STRICT_sf1.json artifact (it refuses
+    # to write one for partial runs).
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import (
+        CATALOG,
+    )
+
+    full = len(ns) == sum(1 for q in CATALOG.values() if q.oracle is not None)
+    cmd = [sys.executable, "tools/strict_check.py", *([] if full else ns)]
     env = {
         **os.environ,
         "STRICT_SF_DIR": os.environ.get(
