@@ -166,11 +166,20 @@ PII_PATTERNS: dict[str, str] = {
 PII_COMBINED = "(?:" + ")|(?:".join(PII_PATTERNS.values()) + ")"
 
 
-def pii_columns(text_col: str = "text") -> dict[str, F.Column]:
-    """Per-category match counts plus the redacted length, from a SINGLE
-    combined-alternation scan of the text (VERDICT r05 #7 — the former
-    form ran one regexp_count per category plus a chained regexp_replace
-    cascade: 6 full-text regex passes; this is 1).
+def pii_match_col(text_col: str = "text") -> F.Column:
+    """The single combined-alternation scan — the only regex that touches
+    the full text. PROJECT it once below the per-category columns (the
+    hash-once pattern): inlining it into each count would show 4
+    regexp_extract_all in the plan and lean on runtime subexpression
+    elimination instead of the plan itself."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(PII_COMBINED), F.lit(0))
+
+
+def pii_columns(ms_col: str = "__pii_ms", len_col: str = "__pii_len") -> dict[str, F.Column]:
+    """Per-category match counts plus the redacted length, from the
+    pre-projected match array (VERDICT r05 #7 — the former form ran one
+    regexp_count per category plus a chained regexp_replace cascade: 6
+    full-text regex passes; now ONE, via ``pii_match_col``).
 
     Semantics: one leftmost-first scan; each non-overlapping match is
     classified by anchored full-match against its (disjoint) category,
@@ -178,7 +187,7 @@ def pii_columns(text_col: str = "text") -> dict[str, F.Column]:
     single-scan matches never overlap. The per-match classification
     regexes run on match-sized strings (tens of chars), not documents.
     """
-    ms = F.regexp_extract_all(F.col(text_col), F.lit(PII_COMBINED), F.lit(0))
+    ms = F.col(ms_col)
     cols: dict[str, F.Column] = {}
     for name, pat in PII_PATTERNS.items():
         anchored = f"^(?:{pat})$"
@@ -190,43 +199,54 @@ def pii_columns(text_col: str = "text") -> dict[str, F.Column]:
 
         cols[f"n_{name}"] = F.size(F.filter(ms, _is(anchored))).cast("long")
     cols["redacted_len"] = (
-        F.length(F.col(text_col))
+        F.col(len_col)
         - F.aggregate(F.transform(ms, F.length), F.lit(0), lambda a, x: a + x)
     ).cast("long")
     return cols
 
 
-def pii_sql_exprs(text_col: str = "text") -> list[str]:
-    """DuckDB twin of ``pii_columns`` — same single combined scan, same
-    anchored classification, same arithmetic redaction length."""
+def pii_sql_exprs(ms_col: str = "ms", len_col: str = "l") -> list[str]:
+    """DuckDB twin of ``pii_columns`` — same anchored classification and
+    arithmetic redaction length over a pre-projected match array (the twin
+    mirrors the project-once structure so its cost is also one scan)."""
     exprs = []
     for name, pat in PII_PATTERNS.items():
         exprs.append(
-            f"CAST(len(list_filter(regexp_extract_all({text_col}, '{PII_COMBINED}'),"
+            f"CAST(len(list_filter({ms_col},"
             f" m -> regexp_full_match(m, '{pat}'))) AS BIGINT) AS n_{name}"
         )
     exprs.append(
-        f"CAST(len({text_col}) - coalesce(list_sum(list_transform("
-        f"regexp_extract_all({text_col}, '{PII_COMBINED}'), m -> len(m))), 0)"
-        " AS BIGINT) AS redacted_len"
+        f"CAST({len_col} - coalesce(list_sum(list_transform("
+        f"{ms_col}, m -> len(m))), 0) AS BIGINT) AS redacted_len"
     )
     return exprs
 
 
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count + redact PII patterns (email / IPv4 / phone) per document.
-    Pure regexp expressions inside codegen — scan-scaling; the synthetic
-    corpus is PII-free by construction, so the catalog run proves the
-    cross-engine regex-dialect contract while the planted-structure test
-    (tests/test_corpus_queries.py) proves detection."""
+    """Count + redact PII patterns (email / IPv4 / phone) per document via
+    ONE combined-alternation scan projected below the counts (plan-pinned:
+    exactly one regexp_extract_all, no replace cascade, no shuffle beyond
+    spread). The synthetic corpus is PII-free by construction, so the
+    catalog run proves the cross-engine regex-dialect contract while the
+    planted-structure test (tests/test_corpus_queries.py) proves detection
+    on real matches, Spark AND DuckDB."""
     docs = spread(t(spark, sf_dir, "documents"))
-    cols = pii_columns("text")
-    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("__pii_len"),
+        pii_match_col("text").alias("__pii_ms"),
+    )
+    cols = pii_columns()
+    return base.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 _PII_SQL = f"""
-SELECT doc_id, {", ".join(pii_sql_exprs("text"))}
-FROM documents
+WITH base AS MATERIALIZED (
+  SELECT doc_id, len(text) AS l,
+         regexp_extract_all(text, '{PII_COMBINED}') AS ms
+  FROM documents)
+SELECT doc_id, {", ".join(pii_sql_exprs())}
+FROM base
 """
 
 

@@ -717,3 +717,34 @@ def test_join_key_skew_profile_is_pure_aggregation(spark, sf_dir):
     final = plan.split("+- == Initial Plan ==")[0]
     assert "partial_count" in final
     assert "Join" not in final
+
+
+def test_scd2_apply_single_join_single_generate(spark, sf_dir):
+    """The executed merge is ONE full-outer sort-merge/hash join on the
+    business key with the 1-or-2 output rows per key produced by ONE
+    explode — no per-action-branch re-join (a union of three filtered
+    joins would re-shuffle the dim per branch)."""
+    plan = _plan(spark, sf_dir, "scd2_apply")
+    assert plan.count("Generate explode") == 1, plan[:1500]
+    join_ops = sum(
+        plan.count(op) for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert join_ops == 1, f"expected exactly 1 join, saw {join_ops}"
+    assert "FullOuter" in plan
+
+
+def test_pii_scan_single_regex_pass(spark, sf_dir):
+    """The combined-alternation rewrite must keep ONE regexp_extract_all
+    over the document text (the only full-text regex); per-category
+    classification runs on the extracted match arrays. No regexp_replace
+    cascade, no join, no shuffle — a pure map-side scan."""
+    plan = _plan(spark, sf_dir, "pii_scan")
+    assert plan.count("regexp_extract_all") == 1, plan[:2000]
+    assert "regexp_replace" not in plan
+    assert "regexp_count" not in plan
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert op not in plan, op
+    # the only exchange allowed is spread()'s scan-parallelism repartition
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "REPARTITION_BY_COL" in plan
