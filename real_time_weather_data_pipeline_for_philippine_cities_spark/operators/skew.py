@@ -1,10 +1,19 @@
 """Skew mitigation for shuffle joins (SURVEY.md §4.2 scale notes).
 
-First line of defense is AQE (`spark.sql.adaptive.skewJoin.enabled`, on in
-session.tune) — it splits oversized post-shuffle partitions at runtime.
-``salted_join`` is the explicit fallback for the cases AQE can't rewrite:
-streaming joins, joins feeding a required distribution, or engines/configs
-without AQE. Aggregation skew needs no salting in Spark — hash aggregates
+RECOMMENDED PATH AT SCALE: AQE (`spark.sql.adaptive.skewJoin.enabled`, on
+in session.tune) — it splits oversized post-shuffle partitions at runtime.
+Measured head-to-head on a planted 50%-hot-key join
+(tools/skew_experiment.py, 20M/50M rows, value-identity asserted): skew
+OFF 5.94 s, AQE 2.60 s, salted 2.33 s at 50M — AQE and salting both
+recover the ~2.4× skew penalty and land within ~10% of each other, so the
+zero-code path wins by default (no small-side ×n_salt replication, no
+join-type restriction, no salt-width tuning). ``salted_join`` stays as
+the explicit fallback for exactly the cases AQE cannot rewrite: streaming
+joins, joins feeding a required distribution, or engines/configs without
+AQE. The split mechanics are plan-pinned in tests/test_skew_aqe.py
+(`skew=true` on the planted key, results ≡ salted bit-for-bit).
+
+Aggregation skew needs no salting in Spark — hash aggregates
 map-side-combine before the shuffle — except for distinct/collect
 aggregates, where pre-aggregating by (key, salt) first is the same trick.
 
