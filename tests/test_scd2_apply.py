@@ -149,3 +149,79 @@ def test_scd2_catalog_entry_matches_plan_actions(spark, sf_dir):
         k for k, a in actions.items() if a in ("close+insert", "insert")
     }
     assert kept == {k for k, a in actions.items() if a == "keep"}
+
+
+# -- hypothesis laws ---------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# random dim/snapshot over a small shared key space so all three actions
+# (close+insert / insert / keep) and key-absent-from-snapshot occur
+_dim_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from(["A", "B", None]),
+        st.sampled_from([1.0, 2.0, None]),
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda r: r[0],
+)
+_snap_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from(["A", "B", None]),
+        st.sampled_from([1.0, 2.0, None]),
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda r: r[0],
+)
+
+
+@_SETTINGS
+@given(_dim_rows, _snap_rows)
+def test_scd2_laws_random_states(spark, dim_rows, snap_rows):
+    """Three laws on random states: (1) replay idempotence — applying the
+    same snapshot again changes nothing; (2) version-chain validity —
+    exactly one current row per key, closed rows have valid_to set;
+    (3) currency — after the merge, every snapshot key's current
+    attributes equal the snapshot's."""
+    schema_d = (
+        "key int, segment string, acctbal double, valid_from int, "
+        "valid_to int, is_current boolean"
+    )
+    dim = spark.createDataFrame(
+        [(k, s, b, 0, None, True) for k, s, b in dim_rows], schema_d
+    )
+    snap = spark.createDataFrame(
+        list(snap_rows), "key int, segment string, acctbal double"
+    )
+    once = scd2_apply(dim, snap, KEYS, ATTRS, epoch=1)
+    once_rows = _rows(once)
+
+    # (1) replay idempotence
+    again = scd2_apply(once, snap, KEYS, ATTRS, epoch=2)
+    assert _rows(again) == once_rows
+
+    # (2) version-chain validity
+    by_key = {}
+    for r in once_rows:
+        by_key.setdefault(r[0], []).append(r)
+    snap_by_key = {k: (s, b) for k, s, b in snap_rows}
+    for k, rows in by_key.items():
+        currents = [r for r in rows if r[5]]
+        assert len(currents) == 1, (k, rows)
+        for r in rows:
+            if not r[5]:
+                assert r[4] is not None, r  # closed rows carry valid_to
+        # (3) currency: snapshot keys' current attrs == snapshot attrs
+        if k in snap_by_key:
+            cur = currents[0]
+            assert (cur[1], cur[2]) == snap_by_key[k], (k, cur)
