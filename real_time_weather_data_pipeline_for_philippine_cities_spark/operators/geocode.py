@@ -80,24 +80,30 @@ def fuzzy_best_match(
     would admit fewer names than budgeted — round-5 advice), then capped
     to the ``max_probe`` smallest names inside the operator. The distinct
     is a map-side-combined aggregate (the shuffle carries distinct names,
-    not probe rows) and the cap is a bounded top-k on it. When the cap
-    would bind, the operator RAISES by default; ``on_excess='truncate'``
-    accepts the bounded batch with a warning — never silent. Candidates
-    are broadcast and the Levenshtein + ranking run JVM-side in
-    whole-stage codegen, so cost is ≤ max_probe × |candidates| regardless
-    of caller filters — the geocode-batch semantic made structural.
+    not probe rows); its ``max_probe + 1`` smallest names are fetched by
+    ONE bounded top-k job (bounds.bounded_key_cutoff) and the admitted
+    batch becomes a local relation — the probe side is never scanned
+    twice (round-6 review finding). When the cap would bind, the operator
+    RAISES by default; ``on_excess='truncate'`` accepts the bounded batch
+    with a warning — never silent. Candidates are broadcast and the
+    Levenshtein + ranking run JVM-side in whole-stage codegen, so cost is
+    ≤ max_probe × |candidates| regardless of caller filters — the
+    geocode-batch semantic made structural.
     """
-    from .similarity import _check_bounded_input
+    from .bounds import bounded_key_cutoff
 
     names = probe.select(F.col(probe_col)).distinct()
-    _check_bounded_input(names, probe_col, max_probe, on_excess, "fuzzy_best_match")
+    _, admitted = bounded_key_cutoff(
+        names, probe_col, max_probe, on_excess, "fuzzy_best_match"
+    )
     bounded = (
-        names.orderBy(F.col(probe_col).asc())
-        .limit(max_probe)
-        # limit() lands all probes in ONE partition, serializing the
-        # probe x candidate Levenshtein stage in a single task; hashing
-        # them back out parallelizes it AND pre-satisfies the ranking
-        # window's exchange on the same key (no extra shuffle).
+        probe.sparkSession.createDataFrame(
+            [(v,) for v in admitted], f"{probe_col} string"
+        )
+        # a local ≤max_probe-row relation lands in ONE partition,
+        # serializing the probe x candidate Levenshtein stage in a single
+        # task; hashing it out parallelizes it AND pre-satisfies the
+        # ranking window's exchange on the same key (no extra shuffle).
         .repartition(F.col(probe_col))
     )
     scored = (

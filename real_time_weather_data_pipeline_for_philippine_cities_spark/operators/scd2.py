@@ -34,6 +34,28 @@ from pyspark.sql import functions as F
 VERSION_COLS = ("valid_from", "valid_to", "is_current")
 
 
+def _assert_unique_keys(df: DataFrame, keys: list[str], what: str) -> DataFrame:
+    """In-plan duplicate-business-key guard: a count window over the key
+    raises at EXECUTION time (MERGE semantics) when any key appears twice.
+    The window's partitioning is the join's own key partitioning, so the
+    guard adds no shuffle; ``assert_true`` lives inside the kept filter
+    expression so column pruning cannot drop it."""
+    from pyspark.sql import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    guard = F.assert_true(
+        F.col("__u") <= 1,
+        F.lit(
+            f"scd2_apply: duplicate business key in {what} — a MERGE "
+            "source/target must match at most once per key (dedupe or "
+            "aggregate the input first)"
+        ),
+    )
+    # assert_true yields NULL when it passes, so the filter keeps every
+    # row of a valid input and the expression survives column pruning.
+    return df.withColumn("__u", n).filter(guard.isNull()).drop("__u")
+
+
 def scd2_apply(
     dim: DataFrame,
     snapshot: DataFrame,
@@ -56,16 +78,27 @@ def scd2_apply(
 
     NULL-safe attribute comparison (``eqNullSafe``) so a NULL→value or
     value→NULL change closes the row like any other change.
+
+    Key-uniqueness contract (same as Delta/Iceberg MERGE, which REJECTS a
+    source that matches a target row more than once): duplicate business
+    keys on the snapshot — or among the dim's current rows — would fan the
+    full-outer join out and emit multiple ``is_current`` versions of one
+    key, silently corrupting the chain and breaking replay convergence.
+    Both sides carry an IN-PLAN guard (count window over the key on the
+    join's own partitioning — no extra job, no extra shuffle) that fails
+    the merge loudly instead.
     """
     keys = list(key_cols)
     attrs = list(attr_cols)
-    cur = dim.filter(F.col("is_current"))
+    cur = _assert_unique_keys(dim.filter(F.col("is_current")), keys, "dim current")
     hist = dim.filter(~F.col("is_current"))
 
     # presence flags must not depend on attr nullability: tag each side
     # with a literal before the join (is_current doubles as the dim tag —
     # it is non-null on every dim row by contract).
-    snapshot_tagged = snapshot.withColumn("__s_present", F.lit(True))
+    snapshot_tagged = _assert_unique_keys(
+        snapshot, keys, "snapshot"
+    ).withColumn("__s_present", F.lit(True))
     j = cur.alias("d").join(snapshot_tagged.alias("s"), keys, "full_outer")
     in_dim = F.col("d.is_current").isNotNull()
     in_snap = F.coalesce(F.col("s.__s_present"), F.lit(False))
@@ -101,6 +134,17 @@ def scd2_apply(
     return merged.unionByName(hist.select(*merged.columns))
 
 
+def _committed(path: str) -> bool:
+    """A directory is a COMMITTED state only if Spark's success marker is
+    present — a crashed overwrite deletes the marker first, so a
+    half-written directory never reads as valid (and a partially-readable
+    one is never silently trusted)."""
+    import os
+
+    local = path[len("file:"):] if path.startswith("file:") else path
+    return os.path.exists(os.path.join(local, "_SUCCESS"))
+
+
 def scd2_apply_write(
     dim_path: str,
     snapshot: DataFrame,
@@ -108,20 +152,40 @@ def scd2_apply_write(
     attr_cols: Sequence[str],
     epoch: int,
 ) -> None:
-    """Execute the merge against a parquet-backed dimension ATOMICALLY:
-    read ``dim_path`` (absent = empty dimension, first load), compute the
-    post-merge state, write it to ``dim_path + '_next'``, then promote —
-    the same two-step directory swap as the streaming snapshot state
-    (streaming/ingest.py): a reader never observes a half-written merge,
-    and a crash between write and promote leaves the current state intact
-    so the replayed epoch (idempotent, see scd2_apply) converges."""
-    from pyspark.errors import AnalysisException
+    """Execute the merge against a parquet-backed dimension with
+    crash-replay safety. Protocol per merge:
 
+      1. resolve the committed base state: ``dim_path`` if its commit
+         marker is present; else ``dim_path + '_next'`` if committed (a
+         prior run crashed mid-promote — COMPLETE that promote first, so
+         the only good copy is never overwritten while it is needed);
+         else true first load (empty dimension);
+      2. write the post-merge state to ``_next`` (the base is untouched);
+      3. promote ``_next`` → ``dim_path``.
+
+    Crash anywhere leaves at least one COMMITTED copy: during (2) the
+    base is intact; during (3) the ``_next`` copy is intact and step (1)
+    of the replay finishes the promote before anything overwrites it.
+    Combined with scd2_apply's replay idempotence, re-running the epoch
+    after any crash converges to the same state. Validity is judged by
+    Spark's ``_SUCCESS`` marker, never by "the read happened to work" —
+    a half-written directory must not be mistaken for a dimension (and a
+    missing one must NOT silently reset the dimension to empty; that was
+    the round-6 review's data-loss finding). On a real deployment this
+    whole protocol is one transactional-table MERGE (Delta/Iceberg);
+    this is the minimal plain-parquet equivalent.
+    """
     spark = snapshot.sparkSession
     keys, attrs = list(key_cols), list(attr_cols)
-    try:
+    next_path = dim_path + "_next"
+
+    if not _committed(dim_path) and _committed(next_path):
+        # crashed mid-promote last run: finish it before touching _next
+        spark.read.parquet(next_path).write.mode("overwrite").parquet(dim_path)
+
+    if _committed(dim_path):
         dim = spark.read.parquet(dim_path)
-    except AnalysisException:  # first load: all snapshot rows insert
+    else:  # true first load: all snapshot rows insert
         dim = spark.createDataFrame(
             [],
             snapshot.select(
@@ -133,6 +197,5 @@ def scd2_apply_write(
             ).schema,
         )
     out = scd2_apply(dim, snapshot, keys, attrs, epoch)
-    out.write.mode("overwrite").parquet(dim_path + "_next")
-    promoted = spark.read.parquet(dim_path + "_next")
-    promoted.write.mode("overwrite").parquet(dim_path)
+    out.write.mode("overwrite").parquet(next_path)
+    spark.read.parquet(next_path).write.mode("overwrite").parquet(dim_path)

@@ -585,33 +585,6 @@ def cosine_candidates_vs_bounded_df(
 EXACT_PAIRS_CAP = 4096
 
 
-def _check_bounded_input(
-    df: DataFrame, order_col: str, cap: int, on_excess: str, what: str
-) -> None:
-    """Enforce a structural input cap LOUDLY (round-5 advice: a silently
-    binding cap turns an exact baseline into a silently incomplete one).
-
-    Probes ``cap + 1`` rows via a bounded top-k (TakeOrderedAndProject —
-    never a full sort/scan of the input) at operator-construction time.
-    ``on_excess='error'`` (the default for library callers) raises;
-    ``'truncate'`` warns and proceeds with the ``cap`` smallest keys — the
-    explicit opt-in used by the verification-budget catalog entries whose
-    oracles mirror the same LIMIT."""
-    if on_excess not in ("error", "truncate"):
-        raise ValueError(f"on_excess must be 'error' or 'truncate': {on_excess!r}")
-    n = df.select(order_col).orderBy(F.col(order_col).asc()).limit(cap + 1).count()
-    if n > cap:
-        msg = (
-            f"{what}: input exceeds the structural cap ({cap}); "
-            f"only the {cap} smallest {order_col} values are considered"
-        )
-        if on_excess == "error":
-            raise ValueError(msg + " — pass on_excess='truncate' to accept")
-        import warnings
-
-        warnings.warn(msg, stacklevel=3)
-
-
 def near_dup_pairs_cosine_blocked(
     emb: DataFrame,
     threshold: float = 0.45,
@@ -655,9 +628,11 @@ def near_dup_pairs_cosine_blocked(
     pick P so a block fits executor memory — compute stays BLAS-speed and
     embarrassingly parallel, the classic exact all-pairs blocking.
     """
+    from .bounds import bounded_key_cutoff
+
     pairs_schema = "vec_a long, vec_b long, dot double, na double, nb double"
     margin = threshold - 1e-6
-    _check_bounded_input(
+    cutoff, _ = bounded_key_cutoff(
         emb, id_col, max_rows, on_excess, "near_dup_pairs_cosine_blocked"
     )
 
@@ -716,15 +691,15 @@ def near_dup_pairs_cosine_blocked(
             }
         )
 
+    bounded = emb if cutoff is None else emb.filter(F.col(id_col) <= cutoff)
     base = (
-        emb.select(
+        bounded.select(
             F.col(id_col).cast("long").alias("vid"), vec_double_col(emb_col).alias("v")
         )
-        # enforced input cap (see EXACT_PAIRS_CAP): deterministic smallest
-        # ids; orderBy+limit plans as a per-partition top-k merge, not a
-        # global sort, so the bound itself is scan-cheap.
-        .orderBy(F.col("vid").asc())
-        .limit(max_rows)
+        # enforced input cap (see EXACT_PAIRS_CAP): the cutoff came from
+        # ONE bounded top-k job (bounds.bounded_key_cutoff) and bounds the
+        # plan as a plain pushed-to-scan id filter — cheaper than the old
+        # orderBy+limit subplan, and never computed twice.
         .withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int"))
     )
     bp = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]

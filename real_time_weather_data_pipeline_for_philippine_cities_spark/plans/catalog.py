@@ -73,6 +73,12 @@ _PLAN_CHANGED: list[str] = [
     # tests/test_oracle_linearization.py.
     "dedup_allpairs_jaccard",
     "dedup_ngram_jaccard",
+    # round 6 (self-review): their oracles' CTEs gained AS MATERIALIZED —
+    # intended as cost-only, but the ledger must not record old-SQL greens
+    # as covering edited SQL on judgment alone (a typo during the rewrite
+    # would otherwise never force re-proof).
+    "pagerank_dup_graph",
+    "ivf_cosine_topk",
 ]
 
 

@@ -68,19 +68,24 @@ def test_fuzzy_probe_cap_counts_distinct_names_not_rows(spark):
     assert got == {f"name_{i:03d}" for i in range(10)}
 
 
-def test_fuzzy_probe_cap_is_topk_not_global_sort(spark):
-    """When the cap binds (probe maxRows exceeds it), the bound plans as
-    TakeOrderedAndProject (bounded per-partition top-k), never a full
-    Exchange+Sort of the probe side. (When Catalyst can PROVE the probe is
-    under the cap — e.g. a Range smaller than max_probe — EliminateLimits
-    removes the bound entirely, which is equally safe.)"""
+def test_fuzzy_probe_side_is_local_relation_not_rescan(spark):
+    """The admitted probe batch comes from ONE bounded top-k job
+    (bounds.bounded_key_cutoff) and enters the plan as a local ≤cap-row
+    relation — the result plan must NOT rescan or re-sort the original
+    probe side (the round-6 review's double-distinct finding)."""
     probe = spark.range(5000).select(
         F.format_string("n%05d", F.col("id")).alias("query_name")
     )
     cand = spark.createDataFrame([("n00000",)], ["cand_name"])
     df = fuzzy_best_match(probe, cand, on_excess="truncate")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
+    assert (
+        "LocalTableScan" in plan
+        or "LocalRelation" in plan
+        or "Scan ExistingRDD" in plan
+    )
+    assert "Range (0, 5000" not in plan  # the raw probe is not in the plan
+    assert "TakeOrderedAndProject" not in plan  # the bound already ran
 
 
 def test_fuzzy_default_cap_positive():

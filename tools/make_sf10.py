@@ -70,15 +70,20 @@ def main() -> None:
         "events": f"""SELECT event_id + i * {off['events']} AS event_id, ts,
             user_id + i * {off['user']} AS user_id, event_type, value, props
             FROM events, {copies}""",
-        "documents": f"""SELECT doc_id + i * {off['documents']} AS doc_id,
-            CASE WHEN i = 0 THEN text ELSE
-              list_aggregate(list_transform(string_split(text, ' '),
-                             w -> w || '_c' || i), 'string_agg', ' ') END AS text,
-            lang, source,
-            CASE WHEN i = 0 THEN n_chars ELSE
-              CAST(length(list_aggregate(list_transform(string_split(text, ' '),
-                   w -> w || '_c' || i), 'string_agg', ' ')) AS BIGINT) END AS n_chars
-            FROM documents, {copies}""",
+        # the per-word transform is the dominant per-row cost — compute it
+        # ONCE in a subquery and derive n_chars from the result (the old
+        # inline form evaluated it twice per row; round-6 review finding)
+        "documents": f"""SELECT doc_id, text2 AS text, lang, source,
+            CASE WHEN i = 0 THEN n_chars
+                 ELSE CAST(length(text2) AS BIGINT) END AS n_chars
+            FROM (
+              SELECT doc_id + i * {off['documents']} AS doc_id,
+                     CASE WHEN i = 0 THEN text ELSE
+                       list_aggregate(list_transform(string_split(text, ' '),
+                                      w -> w || '_c' || i), 'string_agg', ' ')
+                     END AS text2,
+                     lang, source, n_chars, i
+              FROM documents, {copies})""",
         "embeddings": f"""SELECT vec_id + i * {off['embeddings']} AS vec_id,
             CASE WHEN i = 0 THEN embedding
                  WHEN (i // {EMB_DIM}) % 2 = 0 THEN {rotated}
