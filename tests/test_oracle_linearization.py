@@ -54,3 +54,59 @@ def test_linearized_at_lower_threshold_too(con):
     linear = _rows(con, allpairs_jaccard_sql(threshold=0.5))
     assert len(brute) >= len(_rows(con, allpairs_jaccard_sql_brute()))
     assert linear == brute
+
+
+def test_ngram_linearized_equals_brute_lower_threshold(con):
+    """±1-bucket blocking composed with the prefix filter at a looser
+    threshold (longer prefixes, more candidates) — the composition must
+    stay lossless, not just the default point."""
+    brute = _rows(con, ngram_jaccard_sql_brute(threshold=0.5))
+    linear = _rows(con, ngram_jaccard_sql(threshold=0.5))
+    assert len(brute) >= len(_rows(con, ngram_jaccard_sql_brute()))
+    assert linear == brute
+
+
+def test_linearized_on_planted_adversarial_docs(tmp_path):
+    """Planted structure the synthetic corpus lacks: exact dups, a
+    one-word edit (high jaccard, not 1.0), shared rare shingles below
+    threshold, and a doc whose every shingle is globally common (prefix =
+    commonest shingles — the pigeonhole bound's worst case)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, common),
+        (2, common),  # exact dup of 1
+        (3, common.replace("lazy", "sleepy")),  # near dup of 1/2
+        (4, "totally different content words here nothing shared at all"),
+        (5, "the quick brown cat naps under the busy dog again and again"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    for t in (0.5, 0.7, 0.9):
+        brute = sorted(c.execute(allpairs_jaccard_sql_brute(threshold=t)).fetchall())
+        linear = sorted(c.execute(allpairs_jaccard_sql(threshold=t)).fetchall())
+        assert linear == brute, t
+        nb = sorted(c.execute(ngram_jaccard_sql_brute(threshold=t)).fetchall())
+        nl = sorted(c.execute(ngram_jaccard_sql(threshold=t)).fetchall())
+        assert nl == nb, t
+    # sanity: the exact dup is found at the default threshold; the
+    # one-word edit (3 changed shingles of ~10 → jaccard ≈ 0.54) at 0.5
+    found = {(a, b) for a, b, _ in c.execute(allpairs_jaccard_sql()).fetchall()}
+    assert (1, 2) in found
+    loose = {(a, b) for a, b, _ in c.execute(allpairs_jaccard_sql(threshold=0.5)).fetchall()}
+    assert (1, 3) in loose and (2, 3) in loose
