@@ -731,6 +731,11 @@ def test_scd2_apply_single_join_single_generate(spark, sf_dir):
     )
     assert join_ops == 1, f"expected exactly 1 join, saw {join_ops}"
     assert "FullOuter" in plan
+    # the duplicate-key guard windows must ride the join's own key
+    # partitioning — exactly the two per-side exchanges the join needs,
+    # nothing extra
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
 
 
 def test_pii_scan_single_regex_pass(spark, sf_dir):
