@@ -104,10 +104,19 @@ def fuzzy_best_match(
         # serializing the probe x candidate Levenshtein stage in a single
         # task; hashing it out parallelizes it AND pre-satisfies the
         # ranking window's exchange on the same key (no extra shuffle).
-        .repartition(F.col(probe_col))
+        # EXPLICIT small partition count: the default (200+) spreads
+        # ≤max_probe rows over hundreds of near-empty tasks across the
+        # 3-stage chain — pure scheduler overhead (measured ~2x the whole
+        # query at sf0.1); one task per core is the right fan-out for a
+        # bounded probe batch.
+        .repartition(32, F.col(probe_col))
     )
+    # crossJoin + project + filter (NOT a join condition): putting the
+    # distance bound in the join condition makes the BNLJ evaluate
+    # levenshtein once for the condition and AGAIN for the projected
+    # edit_dist (no cross-operator CSE) — measured 2x the scoring cost.
     scored = (
-        bounded.join(F.broadcast(candidates.select(F.col(cand_col)).distinct()))
+        bounded.crossJoin(F.broadcast(candidates.select(F.col(cand_col)).distinct()))
         .withColumn(
             "edit_dist",
             F.levenshtein(F.lower(probe_col), F.lower(cand_col)).cast("long"),
