@@ -90,16 +90,20 @@ def fuzzy_best_match(
     ≤ max_probe × |candidates| regardless of caller filters — the
     geocode-batch semantic made structural.
     """
+    from pyspark.sql.types import StructField, StructType
+
     from .bounds import bounded_key_cutoff
 
     names = probe.select(F.col(probe_col)).distinct()
     _, admitted = bounded_key_cutoff(
         names, probe_col, max_probe, on_excess, "fuzzy_best_match"
     )
+    # the rebuilt local relation must carry the PROBE's own column type —
+    # the parameter is generic, and a hard-coded string schema would
+    # coerce (or reject) non-string probe keys.
+    probe_field = StructType([StructField(probe_col, probe.schema[probe_col].dataType)])
     bounded = (
-        probe.sparkSession.createDataFrame(
-            [(v,) for v in admitted], f"{probe_col} string"
-        )
+        probe.sparkSession.createDataFrame([(v,) for v in admitted], probe_field)
         # a local ≤max_probe-row relation lands in ONE partition,
         # serializing the probe x candidate Levenshtein stage in a single
         # task; hashing it out parallelizes it AND pre-satisfies the
@@ -107,9 +111,12 @@ def fuzzy_best_match(
         # EXPLICIT small partition count: the default (200+) spreads
         # ≤max_probe rows over hundreds of near-empty tasks across the
         # 3-stage chain — pure scheduler overhead (measured ~2x the whole
-        # query at sf0.1); one task per core is the right fan-out for a
-        # bounded probe batch.
-        .repartition(32, F.col(probe_col))
+        # query at sf0.1); one task per CORE is the right fan-out for a
+        # bounded probe batch, so size it from the cluster's own
+        # defaultParallelism, never a literal core count.
+        .repartition(
+            probe.sparkSession.sparkContext.defaultParallelism, F.col(probe_col)
+        )
     )
     # crossJoin + project + filter (NOT a join condition): putting the
     # distance bound in the join condition makes the BNLJ evaluate

@@ -48,37 +48,21 @@ for _mod_name in (
 # whose plan was edited this round — a green row for the OLD plan proves
 # nothing about the new one, and the artifact files can't see the diff.
 _PLAN_CHANGED: list[str] = [
-    # round 6: KMV estimates un-rounded (round-on-raw-division half-case
-    # hazard, round-5 advice) and the exact integer sketch digests
-    # (kmv_s / s_a / s_b / s_union) added to both schemas; oracles
-    # mirrored. Re-prove under the new schema.
-    "kmv_distinct_sketch",
-    "kmv_set_ops",
-    # round 6: probe side now deduped to DISTINCT names before the
-    # FUZZY_PROBE_CAP bound (row-counted cap admitted fewer names than
-    # budgeted) + loud on_excess contract; oracle probe CTE mirrored
-    # with DISTINCT. Re-prove under the new plan.
+    # round 7: fuzzy probe fan-out parametrized to defaultParallelism
+    # (was a literal 32 — identical plan on this host, but the operator
+    # internals moved: round-6 verdict #3) and the rebuilt local relation
+    # now derives the probe column's type from the probe schema (round-6
+    # advice). Cheap re-proof.
     "fuzzy_name_match",
-    # round 6: EXACT_PAIRS_CAP is now loud (eager bounded top-k probe +
-    # explicit truncate opt-in in the catalog entry). Output plan is
-    # unchanged but the operator internals moved — cheap re-proof.
+    # round 7: bounded_key_cutoff drops NULL keys before the top-k and
+    # raises on duplicate keys at the cap boundary (round-6 advice) — the
+    # probe job feeding this entry's `<= cutoff` bound changed.
     "near_dup_embeddings",
-    # round 6: single combined-alternation scan replaces the per-category
-    # regexp_count + chained regexp_replace cascade (VERDICT #7); oracle
-    # rewritten to the same single-pass semantics. Re-prove.
-    "pii_scan",
-    # round 6: oracle linearization (rarest-prefix candidate SQL replaces
-    # the brute-force twins; Spark plans unchanged) — re-prove against the
-    # new twins. Brute == linearized is pinned in DuckDB by
-    # tests/test_oracle_linearization.py.
-    "dedup_allpairs_jaccard",
-    "dedup_ngram_jaccard",
-    # round 6 (self-review): their oracles' CTEs gained AS MATERIALIZED —
-    # intended as cost-only, but the ledger must not record old-SQL greens
-    # as covering edited SQL on judgment alone (a typo during the rewrite
-    # would otherwise never force re-proof).
-    "pagerank_dup_graph",
-    "ivf_cosine_topk",
+    # round 7: scd2_apply_write's promote rewritten from read-and-rewrite
+    # to O(1) directory renames (round-6 verdict #4) + remote-scheme
+    # rejection (round-6 advice). The merge plan itself is unchanged, but
+    # re-prove the catalog entry under the reworked module.
+    "scd2_apply",
 ]
 
 

@@ -261,35 +261,136 @@ def test_scd2_apply_rejects_duplicate_keys(spark):
     assert out.filter("NOT is_current AND segment LIKE 'OLD%'").count() == 2
 
 
-def test_scd2_apply_write_recovers_from_crashed_promote(spark, tmp_path):
-    """Simulated crash DURING the promote (dim_path half-deleted, its
-    commit marker gone, _next committed): the replay must complete the
-    interrupted promote and converge — never treat the wreck as a first
-    load and silently reset the dimension (round-6 review finding)."""
+def _changed_snap(snap):
+    return snap.withColumn(
+        "acctbal", F.when(F.col("key") == 2, 21.0).otherwise(F.col("acctbal"))
+    )
+
+
+def _crash_states(spark, tmp_path, name):
+    """Materialize every distinct on-disk state a crash can leave behind
+    during the epoch-2 merge of `changed` over the epoch-0 load of `snap`
+    (the rename-promote protocol: write _next → rename dim→_old → rename
+    _next→dim → drop _old), plus the expected post-merge state. Returns
+    (path, snapshot_df, expected_rows) with the wreck installed at path."""
     import os
     import shutil
 
+    snap, changed = _snap(spark), _changed_snap(_snap(spark))
+
+    # the state the replay must converge to, built on a pristine twin
+    ref = str(tmp_path / "ref")
+    scd2_apply_write(ref, snap, KEYS, ATTRS, epoch=0)
+    scd2_apply_write(ref, changed, KEYS, ATTRS, epoch=2)
+    expected = _rows(spark.read.parquet(ref))
+
+    path = str(tmp_path / f"dim_{name}")
+    scd2_apply_write(path, snap, KEYS, ATTRS, epoch=0)  # committed base
+    base = spark.read.parquet(path)
+    merged = scd2_apply(base, changed, KEYS, ATTRS, epoch=2)
+
+    if name == "during_write_next":
+        # partial, uncommitted _next: data file but no marker
+        os.makedirs(path + "_next")
+        open(path + "_next/part-00000.parquet", "wb").close()
+    elif name == "after_write_next":
+        merged.write.mode("overwrite").parquet(path + "_next")
+    elif name == "after_rename_dim_to_old":
+        merged.write.mode("overwrite").parquet(path + "_next")
+        os.rename(path, path + "_old")
+    elif name == "after_rename_next_to_dim":
+        merged.write.mode("overwrite").parquet(path + "_next")
+        os.rename(path, path + "_old")
+        os.rename(path + "_next", path)
+    elif name == "during_drop_old":
+        merged.write.mode("overwrite").parquet(path + "_next")
+        os.rename(path, path + "_old")
+        os.rename(path + "_next", path)
+        os.remove(path + "_old/_SUCCESS")  # rmtree died mid-way
+    elif name == "dim_wreck_next_committed":
+        # round-6 finding's shape: dim half-deleted (exists, no marker),
+        # the only good copy is the committed _next
+        merged.write.mode("overwrite").parquet(path + "_next")
+        shutil.rmtree(path)
+        os.makedirs(path)
+    else:  # pragma: no cover
+        raise AssertionError(name)
+    return path, changed, expected
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "step",
+    [
+        "during_write_next",
+        "after_write_next",
+        "after_rename_dim_to_old",
+        "after_rename_next_to_dim",
+        "during_drop_old",
+        "dim_wreck_next_committed",
+    ],
+)
+def test_scd2_apply_write_recovers_from_crash_at_every_step(
+    spark, tmp_path, step
+):
+    """Replaying the epoch after a crash at ANY protocol step converges to
+    the same post-merge state — never a silent reset to first-load, never
+    a half-written directory trusted as a dimension (round-6 review
+    finding + round-6 verdict's O(1)-promote item)."""
+    import os
+
+    path, changed, expected = _crash_states(spark, tmp_path, step)
+    scd2_apply_write(path, changed, KEYS, ATTRS, epoch=2)  # replay
+    assert _rows(spark.read.parquet(path)) == expected, step
+    # protocol leaves no droppings once a merge completes
+    assert not os.path.exists(path + "_next"), step
+    assert not os.path.exists(path + "_old"), step
+
+
+def test_scd2_apply_write_is_single_data_write(spark, tmp_path, monkeypatch):
+    """The round-6 verdict's O(1)-promote contract: a merge performs
+    exactly ONE Spark data write (to _next); the promote is renames."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    writes: list[str] = []
+    orig = DataFrameWriter.parquet
+
+    def spy(self, p, **kw):
+        writes.append(p)
+        return orig(self, p, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", spy)
     path = str(tmp_path / "dim")
-    snap = _snap(spark)
-    scd2_apply_write(path, snap, KEYS, ATTRS, epoch=0)
-    good = _rows(spark.read.parquet(path))
+    scd2_apply_write(path, _snap(spark), KEYS, ATTRS, epoch=0)
+    assert writes == [path + "_next"]
+    writes.clear()
+    scd2_apply_write(path, _changed_snap(_snap(spark)), KEYS, ATTRS, epoch=1)
+    assert writes == [path + "_next"]
 
-    # crash simulation: the overwrite deleted dim_path's contents (marker
-    # first) and died before writing; _next still holds the committed state
-    shutil.rmtree(path)
-    os.makedirs(path)  # half-dead dir: exists, no marker, no data
-    assert os.path.exists(path + "_next/_SUCCESS")
 
-    scd2_apply_write(path, snap, KEYS, ATTRS, epoch=1)  # replay
-    assert _rows(spark.read.parquet(path)) == good  # converged, no reset
+def test_scd2_apply_write_rejects_remote_schemes(spark, tmp_path):
+    """os.path-based markers can't see remote storage: an existing
+    hdfs:///s3a:// dimension would always read as a first load and be
+    silently overwritten — the operator must refuse such paths loudly
+    (round-6 advice)."""
+    import pytest
 
-    # and history survives a crashed promote of a CHANGED epoch too
-    changed = snap.withColumn(
-        "acctbal", F.when(F.col("key") == 2, 21.0).otherwise(F.col("acctbal"))
-    )
-    scd2_apply_write(path, changed, KEYS, ATTRS, epoch=2)
-    with_hist = _rows(spark.read.parquet(path))
-    shutil.rmtree(path)
-    os.makedirs(path)
-    scd2_apply_write(path, changed, KEYS, ATTRS, epoch=3)  # replay
-    assert _rows(spark.read.parquet(path)) == with_hist
+    for bad in ("hdfs://nn/warehouse/dim", "s3a://bucket/dim"):
+        with pytest.raises(ValueError, match="only local"):
+            scd2_apply_write(bad, _snap(spark), KEYS, ATTRS, epoch=0)
+    # file: prefix IS local and must keep working end-to-end
+    path = "file:" + str(tmp_path / "dim_file")
+    scd2_apply_write(path, _snap(spark), KEYS, ATTRS, epoch=0)
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_scd2_duplicate_key_guard_survives_optimizer(spark):
+    """The MERGE guard is assert_true inside a kept filter; a future
+    Catalyst simplification of If(c, null, raise_error) IS NULL to `true`
+    would silently drop it (round-6 advice). Pin the OPTIMIZED plan: the
+    raise_error expression must survive optimization on both guard sides."""
+    out = scd2_apply(_dim(spark), _snap(spark), KEYS, ATTRS, epoch=1)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("raise_error") >= 2, optimized
