@@ -128,15 +128,19 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 # --------------------------------------------------------------------------
 
 
-def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+def lsh_planes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Deterministic seedless hyperplanes: plane[p][d] derived from
     md5(f"plane_{p}_{d}") → uniform in [-1, 1), rounded to 6dp so the
-    literal parses to the identical double in Spark and DuckDB."""
+    literal parses to the identical double in Spark and DuckDB.
+    ``table`` > 0 derives an independent plane set (multi-table
+    OR-amplification); table 0 keeps the historical naming so existing
+    plans and oracles are byte-identical."""
     planes = []
+    prefix = "plane" if table == 0 else f"t{table}_plane"
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = int(hashlib.md5(f"plane_{p}_{d}".encode()).hexdigest()[:7], 16)
+            h = int(hashlib.md5(f"{prefix}_{p}_{d}".encode()).hexdigest()[:7], 16)
             row.append(round((h / float(1 << 28)) * 2.0 - 1.0, 6))
         planes.append(row)
     return planes
@@ -178,6 +182,7 @@ def ann_lsh_topk(
     k: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
@@ -185,27 +190,81 @@ def ann_lsh_topk(
     shuffle, AQE-skew-safe) instead of a broadcast cross product — scored
     pairs shrink by ~2^n_planes. Recall is tested against the brute-force
     baseline in tests/test_similarity.py.
+
+    ``n_tables`` > 1 is OR-amplification: each table is an independent
+    plane set, a candidate qualifies if it collides in ANY table, so
+    per-neighbor miss probability drops from (1-p^b) to (1-p^b)^L at
+    ~L× candidate cost. On an isotropic corpus (true neighbors near 66°,
+    p≈0.63 per plane) single-table recall@10 is only ~6% at sf1 — the
+    measured curve lives in BASELINE.md §ANN recall, with a floor pinned
+    by tests/test_ann_recall.py. The multi-table plan stays one equi-join
+    keyed on (table, bucket) — the explode adds a factor L to the probe
+    side, never a cross product — and duplicate collisions are collapsed
+    BEFORE scoring (groupBy on the pair key), so each candidate pair pays
+    its 64-dim dot exactly once.
     """
-    planes = lsh_planes(n_planes, dim)
-    base = (
-        emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
-        # Spread small-file scans so bucket scoring parallelizes.
-        .repartition(F.col(id_col))
-        .withColumn("nrm", norm_col("v"))
-        .withColumn("bucket", lsh_bucket_col("v", planes))
-    )
-    q = base.filter(query_pred).select(
-        F.col("vid").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("bucket"),
-    )
-    scored = (
-        base.join(q, "bucket")
-        .filter(F.col("vid") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(dot_col("qv", "v") / (F.col("qn") * F.col("nrm")), 6))
-        .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
-    )
+    if n_tables == 1:
+        planes = lsh_planes(n_planes, dim)
+        base = (
+            emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
+            # Spread small-file scans so bucket scoring parallelizes.
+            .repartition(F.col(id_col))
+            .withColumn("nrm", norm_col("v"))
+            .withColumn("bucket", lsh_bucket_col("v", planes))
+        )
+        q = base.filter(query_pred).select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("bucket"),
+        )
+        scored = (
+            base.join(q, "bucket")
+            .filter(F.col("vid") != F.col("query_id"))
+            .withColumn("cos_sim", F.round(dot_col("qv", "v") / (F.col("qn") * F.col("nrm")), 6))
+            .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
+        )
+    else:
+        tables = [lsh_planes(n_planes, dim, table=tb) for tb in range(n_tables)]
+        flat = (
+            emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
+            .repartition(F.col(id_col))
+            .withColumn("nrm", norm_col("v"))
+            .withColumn(
+                "buckets", F.array(*[lsh_bucket_col("v", tb) for tb in tables])
+            )
+            .select(
+                "vid", "v", "nrm", F.posexplode("buckets").alias("tbl", "bucket")
+            )
+        )
+        q = flat.filter(query_pred).select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "tbl",
+            "bucket",
+        )
+        cand = (
+            flat.join(q, ["tbl", "bucket"])
+            .filter(F.col("vid") != F.col("query_id"))
+            # collapse multi-table duplicate collisions to ONE row per
+            # candidate pair before the dot — vectors ride the shuffle
+            # once (first() is exact: every duplicate carries the same v)
+            .groupBy("query_id", "vid")
+            .agg(
+                F.first("qv").alias("qv"),
+                F.first("qn").alias("qn"),
+                F.first("v").alias("v"),
+                F.first("nrm").alias("nrm"),
+            )
+        )
+        scored = (
+            cand.withColumn(
+                "cos_sim",
+                F.round(dot_col("qv", "v") / (F.col("qn") * F.col("nrm")), 6),
+            )
+            .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -41,6 +41,61 @@ def norm_rows(cols, rows):
     return sorted(tuple(cell(r[i]) for i in idx) for r in rows)
 
 
+def check_one(name: str, spark, con, sf: str) -> dict:
+    """Strict-compare ONE catalog query against its DuckDB oracle on the
+    already-registered views: values bitwise (NaN==NaN, ints stay ints),
+    pandas dtype KINDS after the driver's column-name sort. Returns the
+    report entry ({ok, rows, detail}); shared by the CLI below and the
+    sf10 sweep (tools/sf10_sweep.py)."""
+    q = CATALOG[name]
+    sdf = q.fn(spark, sf)
+    spdf = sdf.toPandas()
+    ddf = con.execute(q.oracle).df()
+    scols, dcols = sorted(spdf.columns), sorted(ddf.columns)
+    ok_cols = scols == dcols
+    ok_rows = len(spdf) == len(ddf)
+    ok_dtypes, dtype_diff = True, []
+    if ok_cols:
+        import datetime as _dt
+
+        def _datey(s):  # pandas DATE representations the driver tolerates
+            if str(s.dtype).startswith("datetime"):
+                return True
+            if str(s.dtype) == "object" and len(s):
+                v = s.dropna()
+                return len(v) > 0 and isinstance(v.iloc[0], (_dt.date, _dt.datetime))
+            return False
+
+        for c in scols:
+            # Compare dtype KIND, not width: int32-vs-int64 passed the
+            # driver hash in r02 (tfidf rank), while a kind change like
+            # int64-vs-float64 failed it (mixture_report's HUGEINT).
+            a, b = spdf[c].dtype.kind, ddf[c].dtype.kind
+            # DATE columns: Spark->object(date) vs DuckDB->datetime64 is a
+            # pandas artifact the driver hash tolerates (daily_minmax was
+            # green in r02 with exactly this shape).
+            if a != b and not (_datey(spdf[c]) and _datey(ddf[c])):
+                ok_dtypes = False
+                dtype_diff.append((c, str(spdf[c].dtype), str(ddf[c].dtype)))
+    srows = [tuple(r) for r in sdf.collect()]
+    drows = con.execute(q.oracle).fetchall()
+    ns, nd = norm_rows(list(sdf.columns), srows), norm_rows(
+        [d[0] for d in con.execute(q.oracle).description], drows
+    )
+    mism = [(a, b) for a, b in zip(ns, nd) if a != b] if ok_rows else []
+    ok = ok_cols and ok_rows and ok_dtypes and not mism
+    detail = ""
+    if not ok_cols:
+        detail = f" cols spark={scols} duck={dcols}"
+    elif not ok_rows:
+        detail = f" rows {len(spdf)}/{len(ddf)}"
+    elif dtype_diff:
+        detail = f" dtypes {dtype_diff}"
+    elif mism:
+        detail = f" values {mism[:2]}"
+    return {"ok": ok, "rows": len(spdf), "detail": detail.strip() or None}
+
+
 def main() -> int:
     names = sys.argv[1:] or sorted(
         n for n, q in CATALOG.items() if q.oracle is not None
@@ -53,60 +108,12 @@ def main() -> int:
     fail = 0
     report: dict[str, dict] = {}
     for name in names:
-        q = CATALOG[name]
-        sdf = q.fn(spark, SF)
-        spdf = sdf.toPandas()
-        ddf = con.execute(q.oracle).df()
-        scols, dcols = sorted(spdf.columns), sorted(ddf.columns)
-        ok_cols = scols == dcols
-        ok_rows = len(spdf) == len(ddf)
-        ok_dtypes, dtype_diff = True, []
-        if ok_cols:
-            import datetime as _dt
-
-            def _datey(s):  # pandas DATE representations the driver tolerates
-                if str(s.dtype).startswith("datetime"):
-                    return True
-                if str(s.dtype) == "object" and len(s):
-                    v = s.dropna()
-                    return len(v) > 0 and isinstance(v.iloc[0], (_dt.date, _dt.datetime))
-                return False
-
-            for c in scols:
-                # Compare dtype KIND, not width: int32-vs-int64 passed the
-                # driver hash in r02 (tfidf rank), while a kind change like
-                # int64-vs-float64 failed it (mixture_report's HUGEINT).
-                a, b = spdf[c].dtype.kind, ddf[c].dtype.kind
-                # DATE columns: Spark->object(date) vs DuckDB->datetime64 is a
-                # pandas artifact the driver hash tolerates (daily_minmax was
-                # green in r02 with exactly this shape).
-                if a != b and not (_datey(spdf[c]) and _datey(ddf[c])):
-                    ok_dtypes = False
-                    dtype_diff.append((c, str(spdf[c].dtype), str(ddf[c].dtype)))
-        srows = [tuple(r) for r in sdf.collect()]
-        drows = con.execute(q.oracle).fetchall()
-        ns, nd = norm_rows(list(sdf.columns), srows), norm_rows(
-            [d[0] for d in con.execute(q.oracle).description], drows
-        )
-        mism = [(a, b) for a, b in zip(ns, nd) if a != b] if ok_rows else []
-        ok = ok_cols and ok_rows and ok_dtypes and not mism
-        status = "OK" if ok else "FAIL"
-        detail = ""
-        if not ok_cols:
-            detail = f" cols spark={scols} duck={dcols}"
-        elif not ok_rows:
-            detail = f" rows {len(spdf)}/{len(ddf)}"
-        elif dtype_diff:
-            detail = f" dtypes {dtype_diff}"
-        elif mism:
-            detail = f" values {mism[:2]}"
-        print(f"{name}: {status}{detail} ({len(spdf)} rows)")
-        report[name] = {
-            "ok": ok,
-            "rows": len(spdf),
-            "detail": detail.strip() or None,
-        }
-        if not ok:
+        entry = check_one(name, spark, con, SF)
+        status = "OK" if entry["ok"] else "FAIL"
+        detail = f" {entry['detail']}" if entry["detail"] else ""
+        print(f"{name}: {status}{detail} ({entry['rows']} rows)")
+        report[name] = entry
+        if not entry["ok"]:
             fail += 1
         # release per-query persisted stages (LSH signatures, edge lists):
         # 126 queries x cached intermediates would otherwise accumulate
