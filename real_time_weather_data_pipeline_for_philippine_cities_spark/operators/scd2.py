@@ -134,38 +134,6 @@ def scd2_apply(
     return merged.unionByName(hist.select(*merged.columns))
 
 
-def _local(path: str) -> str:
-    """Resolve ``path`` to a local filesystem path for the promote's
-    rename/marker operations. Any non-local scheme (hdfs://, s3a://, …)
-    fails LOUDLY: ``os.path`` checks against a remote URI always read as
-    "missing", which would make an existing remote dimension look like a
-    first load and silently overwrite its history (round-6 advice). The
-    remote deployment of this protocol is a transactional-table MERGE
-    (Delta/Iceberg), not this parquet-directory emulation."""
-    import re
-
-    if path.startswith("file:"):
-        return path[len("file:"):]
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", path):
-        raise ValueError(
-            f"scd2_apply_write: only local/file: dimension paths are "
-            f"supported by the parquet promote protocol, got {path!r} — "
-            "use a transactional table format (Delta/Iceberg MERGE) for "
-            "remote storage"
-        )
-    return path
-
-
-def _committed(path: str) -> bool:
-    """A directory is a COMMITTED state only if Spark's success marker is
-    present — a crashed overwrite deletes the marker first, so a
-    half-written directory never reads as valid (and a partially-readable
-    one is never silently trusted)."""
-    import os
-
-    return os.path.exists(os.path.join(_local(path), "_SUCCESS"))
-
-
 def scd2_apply_write(
     dim_path: str,
     snapshot: DataFrame,
@@ -199,28 +167,16 @@ def scd2_apply_write(
     by "the read happened to work" — a half-written directory must not be
     mistaken for a dimension (and a missing one must NOT silently reset
     the dimension to empty; round-6 review's data-loss finding). Local
-    paths only — remote schemes raise (see ``_local``); on a real
-    deployment this whole protocol is one transactional-table MERGE.
+    paths only — remote schemes raise (see ``operators.promote``); on a
+    real deployment this whole protocol is one transactional-table MERGE.
     """
-    import os
-    import shutil
+    from .promote import committed, promote, recover
 
     spark = snapshot.sparkSession
     keys, attrs = list(key_cols), list(attr_cols)
-    next_path, old_path = dim_path + "_next", dim_path + "_old"
-    l_dim, l_next, l_old = _local(dim_path), _local(next_path), _local(old_path)
 
-    if not _committed(dim_path) and _committed(next_path):
-        # crashed mid-promote last run: finish it before touching _next.
-        # Any dim_path wreck is uncommitted by this branch's definition
-        # (no marker), so discarding it loses nothing.
-        if os.path.exists(l_dim):
-            shutil.rmtree(l_dim)
-        os.rename(l_next, l_dim)
-    if os.path.exists(l_old):  # crash after rename, before cleanup
-        shutil.rmtree(l_old)
-
-    if _committed(dim_path):
+    recover(dim_path)
+    if committed(dim_path):
         dim = spark.read.parquet(dim_path)
     else:  # true first load: all snapshot rows insert
         dim = spark.createDataFrame(
@@ -234,10 +190,5 @@ def scd2_apply_write(
             ).schema,
         )
     out = scd2_apply(dim, snapshot, keys, attrs, epoch)
-    out.write.mode("overwrite").parquet(next_path)
-    # promote: two O(1) directory renames — no second data write
-    if os.path.exists(l_dim):
-        os.rename(l_dim, l_old)
-    os.rename(l_next, l_dim)
-    if os.path.exists(l_old):
-        shutil.rmtree(l_old)
+    out.write.mode("overwrite").parquet(dim_path + "_next")
+    promote(dim_path)  # two O(1) renames — no second data write

@@ -103,41 +103,43 @@ def foreach_batch_change_detect(
     snapshot scan; at scale the snapshot side prunes to the join keys via
     column pruning, and a date/bucket layout on ``snapshot_path`` keeps
     the scan incremental.
+
+    Snapshot durability (round 7, aligned with operators/promote): the
+    epoch resolves the snapshot by its COMMIT MARKER, never by "the read
+    happened to work" — a half-written snapshot left by a crashed epoch
+    must not be mistaken for the first epoch (which would re-emit every
+    known key as novel on replay). ``recover`` first completes any
+    interrupted promote (the committed ``_next`` IS the state), then the
+    epoch writes the folded snapshot ONCE to ``_next`` and promotes it
+    with two O(1) directory renames — no second data write, the same
+    protocol as the SCD2 dimension merge.
     """
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
+        from ..operators.promote import committed, promote, recover
 
+        recover(snapshot_path)
         batch_keys = batch_df.dropDuplicates(list(key_cols))
-        try:
+        if committed(snapshot_path):
             snapshot = spark.read.parquet(snapshot_path).select(*key_cols)
             novel = batch_keys.join(snapshot, list(key_cols), "left_anti")
-        except AnalysisException:
-            # First epoch: no snapshot yet — everything is novel
-            # (wdf.py:392-396, the no-prior-xlsx branch). Only the
-            # missing-path case is recoverable; corrupt files, permission
-            # or FS errors must fail the epoch so the checkpoint retries
-            # instead of silently double-appending novel rows.
+        else:
+            # First epoch: no committed snapshot anywhere — everything is
+            # novel (wdf.py:392-396, the no-prior-xlsx branch).
             novel = batch_keys
-        # Materialize before the snapshot overwrite invalidates the plan's
+        # Materialize before the snapshot promote invalidates the plan's
         # source; novel batches are micro-batch-sized by construction.
         novel = novel.localCheckpoint(eager=True)
         novel.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
             novel_sink_path
         )
         merged = novel.select(*key_cols)
-        try:
+        if committed(snapshot_path):
             merged = spark.read.parquet(snapshot_path).select(*key_cols).unionByName(merged)
-        except AnalysisException:
-            pass  # first epoch: snapshot dir doesn't exist yet
         merged.dropDuplicates(list(key_cols)).write.mode("overwrite").parquet(
             snapshot_path + "_next"
         )
-        # Two-step swap: parquet overwrite of a path we're concurrently
-        # reading is undefined; write-next-then-promote keeps each epoch
-        # atomic at the directory level.
-        out = spark.read.parquet(snapshot_path + "_next")
-        out.write.mode("overwrite").parquet(snapshot_path)
+        promote(snapshot_path)
 
     return run
 

@@ -78,10 +78,14 @@ def check_one(name: str, spark, con, sf: str) -> dict:
                 ok_dtypes = False
                 dtype_diff.append((c, str(spdf[c].dtype), str(ddf[c].dtype)))
     srows = [tuple(r) for r in sdf.collect()]
-    drows = con.execute(q.oracle).fetchall()
-    ns, nd = norm_rows(list(sdf.columns), srows), norm_rows(
-        [d[0] for d in con.execute(q.oracle).description], drows
-    )
+    # ONE execution for the raw-value layer: description is available on
+    # the cursor before fetch, so the oracle runs twice total (df() above
+    # for dtypes + this) — not three times (matters at sf10, where the
+    # heavy twins run 1-3 minutes each).
+    cur = con.execute(q.oracle)
+    dcols_desc = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    ns, nd = norm_rows(list(sdf.columns), srows), norm_rows(dcols_desc, drows)
     mism = [(a, b) for a, b in zip(ns, nd) if a != b] if ok_rows else []
     ok = ok_cols and ok_rows and ok_dtypes and not mism
     detail = ""
