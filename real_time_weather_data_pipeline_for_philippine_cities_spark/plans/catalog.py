@@ -63,6 +63,13 @@ _PLAN_CHANGED: list[str] = [
     # rejection (round-6 advice). The merge plan itself is unchanged, but
     # re-prove the catalog entry under the reworked module.
     "scd2_apply",
+    # round 7: the sf10 strict sweep caught pricing_summary's raw-double
+    # money sums drifting a last cent at ~54M rows/group — both money
+    # aggregates and avg_disc now accumulate exact integer units (cents /
+    # 1e-4 units), oracle mirrored; hourly_window_agg's sum_value got the
+    # identical fix preemptively (same class, one decade of headroom).
+    "pricing_summary",
+    "hourly_window_agg",
 ]
 
 

@@ -73,14 +73,34 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
+        # Money sums accumulate in EXACT integer units (cents for the 2dp
+        # price, 1e-4 units for the price×(1-disc) product) — the sf10
+        # strict sweep caught the raw-double forms drifting a last cent at
+        # ~54M rows/group (partial-aggregate tree order vs the oracle's
+        # fold; round 7). l_quantity stays raw: integer-valued doubles sum
+        # exactly in any order below 2^53.
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("bigint")
+                )
+                / 10000.0,
+                2,
+            ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(F.round(F.col("l_discount") * 100).cast("bigint"))
+                / (F.lit(100.0) * F.count(F.lit(1))),
+                4,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -89,10 +109,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+                                                          AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 10000.0, 2)           AS sum_disc_price,
        round(avg(l_quantity), 2)                          AS avg_qty,
-       round(avg(l_discount), 4)                          AS avg_disc,
+       round(sum(CAST(round(l_discount * 100) AS BIGINT))
+             / (100.0 * count(*)), 4)                     AS avg_disc,
        count(*)                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -293,7 +316,12 @@ def q_hourly_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact integer cents before summation: value is 2dp; the raw
+            # double sum is one decade from the last-cent drift the sf10
+            # sweep caught on pricing_summary (round 7)
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0, 2
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -310,7 +338,8 @@ SELECT date_trunc('hour', ts)                     AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR   AS window_end,
        event_type,
        count(*)                                   AS n_events,
-       round(sum(value), 2)                       AS sum_value
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+                                                  AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """

@@ -22,7 +22,11 @@ Writes STRICT_sf10.json:
    excluded: {name: reason}, timebox_sec}
 
 Usage: python tools/sf10_sweep.py [--triage-only]
-(hours-scale run: launch in tmux, not a timeout-bounded shell)
+       python tools/sf10_sweep.py --recheck q1 [q2 ...]
+(full sweep is an hours-scale run: launch in tmux, not a timeout-bounded
+shell. --recheck re-runs just the named queries through the identical
+strict compare and updates their rows in STRICT_sf10.json — the re-proof
+path after fixing a failure the sweep caught.)
 """
 
 from __future__ import annotations
@@ -83,8 +87,48 @@ def triage(names: list[str]) -> dict[str, dict]:
     return out
 
 
+def recheck(names: list[str]) -> int:
+    """Re-run the strict compare for just ``names`` and update their rows
+    in STRICT_sf10.json (fail count recomputed). Used after fixing a
+    failure the full sweep caught — same compare, same artifact."""
+    import duckdb
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.session import (
+        get_spark,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        TABLES,
+    )
+    from tools.strict_check import check_one
+
+    out = os.path.join(ROOT, "STRICT_sf10.json")
+    art = json.load(open(out))
+    spark = get_spark("sf10-recheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF10}/{t}.parquet'")
+    for name in names:
+        t0 = time.monotonic()
+        entry = check_one(name, spark, con, SF10)
+        entry["wall_sec"] = round(time.monotonic() - t0, 1)
+        entry["rechecked"] = True
+        old = art["queries"].get(name, {})
+        entry["oracle_sec"] = old.get("oracle_sec")
+        art["queries"][name] = entry
+        print(f"{name}: {'OK' if entry['ok'] else 'FAIL ' + str(entry['detail'])} "
+              f"({entry['rows']} rows, {entry['wall_sec']}s)", flush=True)
+        spark.catalog.clearCache()
+    art["fail"] = sum(1 for e in art["queries"].values() if not e["ok"])
+    json.dump(art, open(out, "w"), indent=0)
+    print(f"updated {out}: {art['n']} queries, {art['fail']} failing")
+    return art["fail"]
+
+
 def main() -> int:
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    if "--recheck" in sys.argv:
+        return recheck(sys.argv[sys.argv.index("--recheck") + 1:])
     from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import (
         CATALOG,
     )
