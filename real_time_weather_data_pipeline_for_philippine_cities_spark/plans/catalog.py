@@ -70,6 +70,12 @@ _PLAN_CHANGED: list[str] = [
     # identical fix preemptively (same class, one decade of headroom).
     "pricing_summary",
     "hourly_window_agg",
+    # round 7: the sf10 sweep also caught unigram_logprob rounding a raw
+    # double division at a true half-case (-8.1276605 split across
+    # engines at the 6th decimal) — final quantization now happens in
+    # exact integer space (half-away-from-zero integer division), oracle
+    # mirrored.
+    "unigram_logprob",
 ]
 
 

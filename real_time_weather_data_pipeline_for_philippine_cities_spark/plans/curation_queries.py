@@ -243,6 +243,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lp_micro"),
     )
+    # Final 6dp quantization happens in EXACT integer space: score_micro /
+    # n_tokens can land on a true half (x.xxxxxx5), where round-on-a-raw-
+    # double-division splits across engines (the sf10 sweep caught
+    # -8.1276605 rounding to -8.127661 in Spark vs -8.12766 in DuckDB —
+    # round 7). Integer half-away-from-zero division reproduces Spark's
+    # HALF_UP tie semantics exactly, and the only float op left is one
+    # identical division by 1e6.
+    r_abs = F.expr("(2 * abs(score_micro) + n_tokens) div (2 * n_tokens)")
     return (
         tf.join(lp, "term")
         .groupBy("doc_id")
@@ -253,8 +261,8 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(
-                F.col("score_micro").cast("double") / 1e6 / F.col("n_tokens"), 6
+            (
+                F.when(F.col("score_micro") < 0, -r_abs).otherwise(r_abs) / 1e6
             ).alias("avg_logprob"),
         )
     )
@@ -277,7 +285,10 @@ roll AS (
          CAST(sum(tf * lp_micro) AS BIGINT) AS score_micro
   FROM tf JOIN lp USING (term) GROUP BY doc_id)
 SELECT doc_id, n_tokens,
-       round(CAST(score_micro AS DOUBLE) / 1e6 / n_tokens, 6) AS avg_logprob
+       (CASE WHEN score_micro < 0
+             THEN -((2 * abs(score_micro) + n_tokens) // (2 * n_tokens))
+             ELSE  ((2 * abs(score_micro) + n_tokens) // (2 * n_tokens))
+        END) / 1e6 AS avg_logprob
 FROM roll
 """
 
