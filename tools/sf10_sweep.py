@@ -125,10 +125,65 @@ def recheck(names: list[str]) -> int:
     return art["fail"]
 
 
+def retire(names: list[str]) -> int:
+    """Attempt to move ``names`` from the artifact's ``excluded`` map into
+    the strict-compared cohort, under the CURRENT time box (set
+    SF10_ORACLE_TIMEBOX higher than the sweep default to give a formerly
+    unaffordable twin more room). Each name is re-triaged in a subprocess
+    first; only twins that actually finish run the strict compare. A twin
+    that still cannot finish keeps its exclusion, with the reason updated
+    to the new measured evidence — raising the box can only shrink the
+    exclusion list, never hide a failure."""
+    import duckdb
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.session import (
+        get_spark,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+        TABLES,
+    )
+    from tools.strict_check import check_one
+
+    out = os.path.join(ROOT, "STRICT_sf10.json")
+    art = json.load(open(out))
+    tri = triage(names)
+    runnable = [n for n in names if tri[n]["ok"]]
+    for n in names:
+        if not tri[n]["ok"]:
+            art["excluded"][n] = f"{tri[n]['reason']} (box {TIMEBOX:.0f}s)"
+            print(f"{n}: still excluded — {art['excluded'][n]}", flush=True)
+    if runnable:
+        spark = get_spark("sf10-retire")
+        spark.sparkContext.setLogLevel("ERROR")
+        con = duckdb.connect()
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF10}/{t}.parquet'")
+        for name in runnable:
+            t0 = time.monotonic()
+            entry = check_one(name, spark, con, SF10)
+            entry["wall_sec"] = round(time.monotonic() - t0, 1)
+            entry["oracle_sec"] = tri[name]["sec"]
+            entry["retired_timebox"] = TIMEBOX
+            art["queries"][name] = entry
+            art["excluded"].pop(name, None)
+            print(f"{name}: {'OK' if entry['ok'] else 'FAIL ' + str(entry['detail'])} "
+                  f"({entry['rows']} rows, {entry['wall_sec']}s)", flush=True)
+            spark.catalog.clearCache()
+    art["n"] = len(art["queries"])
+    art["fail"] = sum(1 for e in art["queries"].values() if not e["ok"])
+    json.dump(art, open(out, "w"), indent=0)
+    print(f"updated {out}: {art['n']} queries, {art['fail']} failing, "
+          f"{len(art['excluded'])} excluded", flush=True)
+    return art["fail"]
+
+
 def main() -> int:
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     if "--recheck" in sys.argv:
         return recheck(sys.argv[sys.argv.index("--recheck") + 1:])
+    if "--retire" in sys.argv:
+        return retire(sys.argv[sys.argv.index("--retire") + 1:])
     from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import (
         CATALOG,
     )

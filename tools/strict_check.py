@@ -106,6 +106,10 @@ def main() -> int:
     )
     spark = get_spark()
     con = duckdb.connect()
+    # Allow large oracles to spill instead of OOM (an in-memory duckdb
+    # connection has no temp_directory); harmless at sf0.01/sf1, required
+    # for the byte-explode twins at sf10.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 

@@ -27,6 +27,12 @@ def main() -> None:
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "bench_data/sf1"
     con = duckdb.connect()
+    # An in-memory connection has no temp_directory, so any oracle whose
+    # intermediates exceed RAM dies with an OOM instead of spilling (the
+    # sf10 multimodal twin unnests ~1e9 byte-rows). Timing an oracle that
+    # is ALLOWED to spill is the honest affordability test — production
+    # DuckDB always has a disk to spill to.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
