@@ -1,0 +1,86 @@
+"""Cross-engine exact quantization of integer ratios.
+
+The recurring strict-sweep bug class (sf1 caught 5, sf10 caught 2):
+``F.round(a / b, N)`` on a raw double. When the true rational ``a/b``
+lands exactly on a rounding half at N decimals, Spark rounds the
+shortest decimal representation HALF_UP while DuckDB rounds the binary
+double (which sits on either side of the decimal midpoint), so the two
+engines split. The sites that drifted at sf10 — `pricing_summary`'s
+money sums and `unigram_logprob`'s 6-dp score — were fixed by doing the
+tie-break in EXACT INTEGER space; this module is that recipe as one
+shared, property-tested helper pair for the remaining ratio sites
+(BASELINE.md "Tie-margin audit", scheduled round 8).
+
+Semantics: ``round_half_away(a / b, N)`` for integer ``a`` (any sign)
+and positive integer ``b``, computed as
+
+    w   = |a| div b,  rem = |a| mod b      -- integer, exact
+    r   = w*10^N + (2*rem*10^N + b) div (2*b)
+    result = sign(a) * r / 10^N            -- ONE float op, identical
+                                           -- in both engines
+
+``div`` is Spark's integer division; DuckDB's ``//`` (floor division —
+identical on the non-negative operands the formula produces). The only
+floating operation is the final division by a power of ten, performed
+on the same integer in both engines — elementwise IEEE ops are
+bit-identical.
+
+Half-away-from-zero matches Spark's HALF_UP semantics on the values
+these sites produce (positive ratios and signed scores alike), so
+replacing ``F.round(a/b, N)`` with ``round_div(a, b, N)`` is
+value-preserving everywhere except on the exact halves that were
+previously engine-dependent.
+
+Domain: LONG-safe for ANY BIGINT numerator; the denominator must keep
+``2*b*10^N + b < 2^63`` — b below ~4.6e14 at 4 dp, ~4.6e12 at 6 dp
+(every audited site is a count ratio orders of magnitude inside that),
+and the scaled result must itself fit a BIGINT. NULL or non-positive
+denominators yield NULL, like plain division (the audited sites all
+have b >= 1 by construction).
+
+Both fragment builders emit plain ANSI arithmetic from the SAME
+template so the Spark plan and the DuckDB oracle cannot drift apart;
+the only dialect difference is the integer-division operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _fragment(numer_sql: str, denom_sql: str, n_dp: int, intdiv: str) -> str:
+    scale = 10**n_dp
+    a = f"CAST(({numer_sql}) AS BIGINT)"
+    b = f"CAST(({denom_sql}) AS BIGINT)"
+    bb = f"(CASE WHEN {b} > 0 THEN {b} END)"
+    aa = f"abs({a})"
+    # Split |a|/b into whole + rem/b BEFORE scaling so the overflow
+    # constraint falls on the DENOMINATOR only (2*rem*10^N + b < 2^63
+    # with rem < b), not on the numerator: any BIGINT numerator is safe.
+    whole = f"({aa} {intdiv} {bb})"
+    rem = f"({aa} % {bb})"
+    q = f"({whole} * {scale} + (2 * {rem} * {scale} + {bb}) {intdiv} (2 * {bb}))"
+    # 1eN (not "1000000.0"): Spark parses a plain decimal literal as
+    # DECIMAL and would return a DECIMAL column; scientific notation is
+    # DOUBLE in both engines, keeping the lone float op identical.
+    return f"((CASE WHEN {a} < 0 THEN -{q} ELSE {q} END) / 1e{n_dp})"
+
+
+def round_div_expr(numer_sql: str, denom_sql: str, n_dp: int) -> str:
+    """Spark-SQL string form: ``round(numer/denom, n_dp)`` with
+    half-away-from-zero ties computed exactly in integer space."""
+    return _fragment(numer_sql, denom_sql, n_dp, "div")
+
+
+def round_div(numer_sql: str, denom_sql: str, n_dp: int) -> Column:
+    """Column form of :func:`round_div_expr` (inputs are SQL snippets,
+    e.g. column names — the repo's plans build expressions as SQL
+    throughout, and a string template keeps the Spark and DuckDB sides
+    provably identical)."""
+    return F.expr(round_div_expr(numer_sql, denom_sql, n_dp))
+
+
+def oracle_round_div(numer_sql: str, denom_sql: str, n_dp: int) -> str:
+    """The DuckDB twin — same template, ``//`` for integer division."""
+    return _fragment(numer_sql, denom_sql, n_dp, "//")

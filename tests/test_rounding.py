@@ -1,0 +1,127 @@
+"""Laws for functions/rounding.py — the shared integer-space quantizer.
+
+Three-way agreement on random integer ratios INCLUDING constructed
+exact-tie cases (the inputs where raw ``round(a/b, N)`` is
+engine-dependent):
+
+  Spark round_div(a, b, N)
+    == DuckDB oracle_round_div(a, b, N)
+    == Decimal(a) / (b) quantized ROUND_HALF_UP (away from zero)
+
+The Decimal reference is exact rational arithmetic, so this pins the
+SEMANTICS, not just cross-engine sameness.
+"""
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.rounding import (
+    oracle_round_div,
+    round_div,
+    round_div_expr,
+)
+
+
+def _reference(a: int, b: int, n_dp: int) -> float:
+    q = (Decimal(a) / Decimal(b)).quantize(
+        Decimal(1).scaleb(-n_dp), rounding=ROUND_HALF_UP
+    )
+    return float(q)
+
+
+def _duck(a: int, b: int, n_dp: int) -> float:
+    return duckdb.sql(
+        f"SELECT {oracle_round_div(str(a), str(b), n_dp)} AS v"
+    ).fetchone()[0]
+
+
+def _spark_batch(spark, pairs: list[tuple[int, int]], n_dp: int) -> list[float]:
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = (
+        df.select("a", "b", round_div("a", "b", n_dp).alias("v"))
+        .orderBy("a", "b")
+        .collect()
+    )
+    by_key = {(r["a"], r["b"]): r["v"] for r in rows}
+    return [by_key[p] for p in pairs]
+
+
+# -- constructed exact ties: a/b == k + 5*10^-(N+1) exactly ----------------
+
+def _tie_cases(n_dp: int) -> list[tuple[int, int]]:
+    """Ratios landing EXACTLY on a rounding half at n_dp decimals:
+    a/b = w + (2m+1)/(2*10^n_dp), built with b = c*2*10^n_dp and
+    a = c*(w*2*10^n_dp + 2m+1) for scaling factors c (tests that the
+    tie survives non-canonical a/b representations), plus negatives."""
+    out = []
+    base = 2 * 10**n_dp
+    for w in (0, 3, 8127):
+        for odd in (1, 7, 1251 % base | 1):
+            for c in (1, 3, 997):
+                a = c * (w * base + odd)
+                b = c * base
+                out.append((a, b))
+                out.append((-a, b))
+    return out
+
+
+@pytest.mark.parametrize("n_dp", [2, 4, 6])
+def test_exact_ties_agree_three_ways(spark, n_dp):
+    pairs = _tie_cases(n_dp)
+    assert pairs, "tie construction produced no cases"
+    # confirm they ARE ties in exact arithmetic
+    for a, b in pairs:
+        frac = (Decimal(a) / Decimal(b)) * (10**n_dp)
+        assert abs(frac) % 1 == Decimal("0.5"), (a, b, frac)
+    spark_vals = _spark_batch(spark, pairs, n_dp)
+    for (a, b), sv in zip(pairs, spark_vals):
+        ref = _reference(a, b, n_dp)
+        dv = _duck(a, b, n_dp)
+        assert sv == ref == dv, (a, b, n_dp, sv, ref, dv)
+
+
+# -- randomized agreement --------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.integers(min_value=-(10**12), max_value=10**12),
+    b=st.integers(min_value=1, max_value=10**9),
+    n_dp=st.sampled_from([2, 4, 6]),
+)
+def test_duckdb_matches_decimal_reference(a, b, n_dp):
+    assert _duck(a, b, n_dp) == _reference(a, b, n_dp)
+
+
+def test_spark_matches_reference_on_random_grid(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [
+        (rng.randint(-(10**12), 10**12), rng.randint(1, 10**9))
+        for _ in range(300)
+    ]
+    for n_dp in (2, 4, 6):
+        spark_vals = _spark_batch(spark, pairs, n_dp)
+        for (a, b), sv in zip(pairs, spark_vals):
+            assert sv == _reference(a, b, n_dp), (a, b, n_dp, sv)
+
+
+def test_null_and_nonpositive_denominator_yield_null(spark):
+    df = spark.createDataFrame(
+        [(10, 0), (10, -3), (10, None)], "a long, b long"
+    )
+    vals = [r["v"] for r in df.select(round_div("a", "b", 4).alias("v")).collect()]
+    assert vals == [None, None, None]
+    assert duckdb.sql(
+        f"SELECT {oracle_round_div('10', '0', 4)} AS v"
+    ).fetchone()[0] is None
+
+
+def test_fragments_share_one_template():
+    s = round_div_expr("x", "y", 6)
+    d = oracle_round_div("x", "y", 6)
+    assert s.replace(" div ", " // ") == d
