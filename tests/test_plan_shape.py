@@ -753,3 +753,32 @@ def test_pii_scan_single_regex_pass(spark, sf_dir):
     assert plan.count("Exchange") <= 1
     if "Exchange" in plan:
         assert "REPARTITION_BY_COL" in plan
+
+
+def test_pricing_summary_money_sums_are_integer_space(spark, sf_dir):
+    """The sf10 strict sweep caught the money aggregates drifting a last
+    cent when summed as raw doubles (~54M rows/group at sf10 makes the
+    accumulation order visible). The fix quantizes each term to exact
+    integer units INSIDE the aggregate; this pins it so a refactor that
+    reverts to sum(double) for the money columns fails here rather than
+    at the next strict decade."""
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # three integer-unit money sums: base price (cents), disc price
+    # (1e-4 units), discount (1e-2 units) — all bigint partial sums
+    assert plan.count("as bigint)") >= 6, plan[:2000]  # partial+final x3
+    assert "partial_sum(cast(round(" in plan, plan[:2000]
+    # still ONE exchange (partial agg below it), pushed shipdate filter
+    assert plan.count("Exchange") == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+
+
+def test_unigram_logprob_quantizes_in_integer_space(spark, sf_dir):
+    """Final 6dp score must come from half-away-from-zero INTEGER
+    division (sf10 caught round() on the raw double division splitting
+    engines on a true half). Pins the integer `div` and the absence of
+    a round() over the score division."""
+    plan = _plan(spark, sf_dir, "unigram_logprob")
+    assert " div " in plan.replace("\n", " "), plan[:2000]
+    assert "round((cast(score_micro" not in plan
+    # score_micro itself must aggregate as an exact integer
+    assert "partial_sum" in plan and "score_micro" in plan
