@@ -240,6 +240,36 @@ def bench_dq_gate(spark, doc_dir: str, work: str) -> dict:
     return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
 
 
+def bench_stream_decontam(spark, doc_dir: str, work: str) -> dict:
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.decontam import (
+        benchmark_shingle_set,
+        foreach_batch_decontam,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.ingest import (
+        run_available_now,
+    )
+
+    # static benchmark split: same shape as the batch decontaminate_overlap
+    # entry (bounded id-keyed sample -> broadcastable shingle set)
+    bench_docs = spark.read.parquet(doc_dir).filter(F.col("doc_id") % 37 == 0)
+    bench_sh = benchmark_shingle_set(bench_docs, n=8).persist()
+    bench_sh.count()  # materialize outside the measured window
+    stream = _reader(spark, doc_dir, DOCS_SCHEMA)
+    epoch = foreach_batch_decontam(
+        bench_sh,
+        os.path.join(work, "dc_clean"),
+        os.path.join(work, "dc_flagged"),
+        n=8,
+    )
+    t0 = time.monotonic()
+    q = run_available_now(stream, epoch, os.path.join(work, "ckpt_decontam"))
+    _run(q)
+    try:
+        return {"wall_sec": round(time.monotonic() - t0, 3), **_progress_stats(q)}
+    finally:
+        bench_sh.unpersist()
+
+
 def bench_interval_join(spark, ev_dir: str, work: str) -> dict:
     from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.joins import (
         stream_interval_join,
@@ -378,6 +408,7 @@ def main() -> None:
             ("stream_neardup", bench_stream_neardup, doc_dir),
             ("change_detect", bench_change_detect, doc_dir),
             ("dq_gate", bench_dq_gate, doc_dir),
+            ("stream_decontam", bench_stream_decontam, doc_dir),
             ("interval_join", bench_interval_join, ev_dir),
             ("distinct_sketch", bench_distinct_sketch, ev_dir),
             ("transitions", bench_transitions, ev_dir),

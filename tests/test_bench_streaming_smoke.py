@@ -35,6 +35,7 @@ def test_bench_streaming_all_surfaces(spark, tmp_path, monkeypatch):
         "distinct_sketch",
         "transitions",
         "ks_gate",
+        "stream_decontam",
     }
     for name, s in surfaces.items():
         assert s["epochs"] >= 1, name

@@ -551,6 +551,61 @@ def test_parity_ks_gate(spark, tmp_path):
         assert got[i] == (want["ks_stat"], want["n_a"], want["n_b"]), i
 
 
+def test_parity_stream_decontam(spark, tmp_path):
+    """The ingest-time decontamination gate must reproduce the batch
+    sweep exactly: clean ∪ flagged, reconstructed to the batch schema
+    (doc_id, n_overlap, contaminated), frame-equals benchmark_overlap on
+    the same corpus rows with the same benchmark split."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.decontam import (
+        benchmark_overlap,
+    )
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.decontam import (
+        benchmark_shingle_set,
+        foreach_batch_decontam,
+    )
+
+    docs = _docs(spark)
+    pred = F.col("doc_id") % 37 == 0
+    batch = benchmark_overlap(docs, pred, n=8)
+
+    bench_sh = benchmark_shingle_set(docs.filter(pred), n=8).persist()
+    try:
+        land = str(tmp_path / "land")
+        clean = str(tmp_path / "clean")
+        flagged = str(tmp_path / "flagged")
+        corpus = docs.filter(~pred)
+        _run_foreach_epochs(
+            spark,
+            land,
+            _doc_chunks(corpus),
+            DOCS_SCHEMA,
+            foreach_batch_decontam(bench_sh, clean, flagged, n=8),
+            str(tmp_path / "ckpt"),
+        )
+        got_clean = spark.read.parquet(clean).select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_overlap"),
+            F.lit(False).alias("contaminated"),
+        )
+        got_flagged = spark.read.parquet(flagged).select(
+            "doc_id",
+            F.col("n_overlap").cast("bigint"),
+            F.lit(True).alias("contaminated"),
+        )
+        assert _rows(got_clean.union(got_flagged)) == _rows(
+            batch.select(
+                "doc_id",
+                F.col("n_overlap").cast("bigint"),
+                "contaminated",
+            )
+        )
+        # the gate must actually split: this split has both kinds
+        assert spark.read.parquet(flagged).count() > 0
+        assert spark.read.parquet(clean).count() > 0
+    finally:
+        bench_sh.unpersist()
+
+
 SURFACES = [
     "windowed_agg",
     "stream_dedup",
@@ -562,10 +617,11 @@ SURFACES = [
     "distinct_sketch",
     "transitions",
     "ks_gate",
+    "stream_decontam",
 ]
 
 
-def test_all_ten_surfaces_covered():
+def test_all_surfaces_covered():
     """Rot guard: the parity file must keep one test per streaming
     surface in the bench inventory (bench_streaming.py)."""
     import bench_streaming  # noqa: F401  (import proves the inventory exists)
