@@ -569,6 +569,14 @@ def cosine_candidates_vs_bounded(
     """
     import numpy as np
 
+    schema_str = (
+        f"{id_col} long, bench_id long, dot double, nrm double, bn double"
+    )
+    if not bench:
+        # An empty eval set is a legal state (epoch before the suite is
+        # registered; a bench filter matching nothing): zero candidates,
+        # same schema — not an IndexError off B.shape at plan build.
+        return corpus.sparkSession.createDataFrame([], schema_str)
     bids = np.asarray([b[0] for b in bench], dtype="int64")
     B = np.asarray([b[1] for b in bench], dtype="float64")
     dim = B.shape[1]
@@ -577,7 +585,7 @@ def cosine_candidates_vs_bounded(
         bn += B[:, d] * B[:, d]
     bn = np.sqrt(bn)
     margin = tau - 1e-6
-    schema = f"{id_col} long, bench_id long, dot double, nrm double, bn double"
+    schema = schema_str
 
     def kernel(batches):  # type: ignore[no-untyped-def]
         import pandas as pd

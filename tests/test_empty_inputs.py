@@ -1,0 +1,51 @@
+"""Every catalog query must survive EMPTY input tables.
+
+A 100 TB engine constantly evaluates plans over empty slices — a crawl
+epoch before data lands, a partition-pruned scan matching nothing, a
+filter that eliminates everything. Driver-side scalar extraction
+(``collect()[0]``, ``first()``, shape-dependent numpy on a collected
+seed set) is where such plans crash instead of returning zero rows.
+
+This sweep found a real one: ``embedding_decontam``'s bounded-bench
+Arrow kernel indexed ``B.shape[1]`` off an empty benchmark collect
+(IndexError at plan build). The guard now returns an empty
+right-schema frame; this test keeps the whole catalog honest.
+"""
+
+import os
+
+import pytest
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import (
+    CATALOG,
+)
+from real_time_weather_data_pipeline_for_philippine_cities_spark.sources.registry import (
+    TABLES,
+    load_table,
+)
+
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(spark, tmp_path_factory):
+    """Zero-row copies of every table, schemas identical to the real data
+    (limit(0) preserves parquet logical types, incl. the nanos ts)."""
+    dst = str(tmp_path_factory.mktemp("sf_empty"))
+    for t in TABLES:
+        load_table(spark, SRC, t).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+def test_every_catalog_query_survives_empty_tables(spark, empty_sf_dir):
+    failures = {}
+    for name, q in sorted(CATALOG.items()):
+        try:
+            q.fn(spark, empty_sf_dir).count()
+        except Exception as exc:  # collect ALL failures, not the first
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            spark.catalog.clearCache()
+    assert not failures, failures
