@@ -697,6 +697,11 @@ def near_dup_pairs_cosine_blocked(
     """
     from .bounds import bounded_key_cutoff
 
+    # A NULL vector has NULL cosine against everything: the SQL twin's
+    # `cos >= threshold` predicate drops it for free, but the numpy
+    # verify kernel would crash on None inside vstack — exclude up front
+    # (pushes to the scan; same qualifying set as the oracle).
+    emb = emb.filter(F.col(emb_col).isNotNull())
     pairs_schema = "vec_a long, vec_b long, dot double, na double, nb double"
     margin = threshold - 1e-6
     cutoff, _ = bounded_key_cutoff(

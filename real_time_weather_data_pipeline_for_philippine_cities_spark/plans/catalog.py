@@ -70,6 +70,13 @@ _PLAN_CHANGED: list[str] = [
     # identical fix preemptively (same class, one decade of headroom).
     "pricing_summary",
     "hourly_window_agg",
+    # round 7: NULL-robustness sweep — the injectable fetchers now mirror
+    # the reference's no-result geocode path ({} instead of crashing on a
+    # NULL name), and near_dup's pairing excludes NULL vectors up front
+    # (the SQL twin's threshold predicate already dropped them). Outputs
+    # bitwise-identical on real data at sf0.01/sf1; re-proof is free —
+    # this entry was already in the stale-rotation window.
+    "weather_pipeline_e2e",
     # round 7: the sf10 sweep also caught unigram_logprob rounding a raw
     # double division at a true half-case (-8.1276605 split across
     # engines at the 6th decimal) — final quantization now happens in

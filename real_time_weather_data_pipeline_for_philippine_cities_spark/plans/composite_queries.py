@@ -58,6 +58,12 @@ def _synth_provinces(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _geocoder(row: dict) -> dict:
     import hashlib
 
+    # A NULL name geocodes to nothing — the reference's get_coordinates
+    # returns None when the API finds no result (weather_data_fetcher.py:
+    # 132-143) and the caller carries None coordinates forward; a fake
+    # fetcher must not crash where the real one degrades.
+    if row["name"] is None:
+        return {}
     h = int(hashlib.md5(row["name"].encode()).hexdigest()[:7], 16)
     return {
         "latitude": (h / 268435456.0) * 180.0 - 90.0,
@@ -70,6 +76,11 @@ def _weather_fetcher(row: dict) -> dict:
     import json
 
     name = row["location_name"]
+    # Same posture as _geocoder: a row that never geocoded (NULL name or
+    # NULL coordinates) has no weather fetch — the reference skips the
+    # API call for locations without coordinates rather than crashing.
+    if name is None or row["latitude"] is None:
+        return {}
     h = int(hashlib.md5(name.encode()).hexdigest()[:7], 16)
     lat = row["latitude"]
     temp = (lat / 3.0) + 20.0

@@ -39,13 +39,49 @@ def empty_sf_dir(spark, tmp_path_factory):
     return dst
 
 
-def test_every_catalog_query_survives_empty_tables(spark, empty_sf_dir):
+@pytest.fixture(scope="session")
+def null_sf_dir(spark, tmp_path_factory):
+    """One row per table with every non-leading column NULL — the
+    adversarial shape for Arrow kernels (np.vstack over None) and
+    driver-side fetcher closures (None.encode()). The leading column
+    (the key) stays real so joins/groupBys still have a key."""
+    from pyspark.sql import functions as F
+
+    dst = str(tmp_path_factory.mktemp("sf_nulls"))
+    for t in TABLES:
+        df = load_table(spark, SRC, t)
+        cols = df.columns
+        sel = [
+            F.col(c)
+            if c == cols[0]
+            else F.lit(None).cast(df.schema[c].dataType).alias(c)
+            for c in cols
+        ]
+        df.limit(1).select(*sel).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet")
+        )
+    return dst
+
+
+def _sweep(spark, sf_dir):
     failures = {}
     for name, q in sorted(CATALOG.items()):
         try:
-            q.fn(spark, empty_sf_dir).count()
+            q.fn(spark, sf_dir).count()
         except Exception as exc:  # collect ALL failures, not the first
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
         finally:
             spark.catalog.clearCache()
-    assert not failures, failures
+    return failures
+
+
+def test_every_catalog_query_survives_empty_tables(spark, empty_sf_dir):
+    assert not _sweep(spark, empty_sf_dir)
+
+
+def test_every_catalog_query_survives_all_null_rows(spark, null_sf_dir):
+    """Found two real crashes on first run: near_dup's verify kernel
+    vstacking None vectors, and the e2e pipeline's fake geocoder calling
+    .encode() on a NULL name (the reference's real geocoder degrades to
+    no-result there, weather_data_fetcher.py:132-143)."""
+    assert not _sweep(spark, null_sf_dir)
