@@ -109,7 +109,13 @@ def quality_features(text: Column) -> dict[str, Column]:
     composite score — the classic cheap quality filter for web-scale text."""
     toks = tokens(text)
     n_tokens = F.size(toks)
-    n_chars = F.length(text)
+    # nullif guard: an EMPTY document has length 0 and ANSI division by
+    # zero aborts the whole job (found by the weird-content sweep,
+    # tests/test_empty_inputs.py) — a 100 TB crawl always contains empty
+    # docs. NULL ratio for a char-less doc is the honest value; DuckDB
+    # twin mirrors with the same nullif. n_tokens needs no guard:
+    # split() never returns an empty array (empty text -> ['']).
+    n_chars = F.nullif(F.length(text), F.lit(0))
     ttr = F.round(F.size(F.array_distinct(toks)) / n_tokens, 4)
     stop_ratio = F.round(_stopword_count(toks, STOPWORDS["en"]) / n_tokens, 4)
     punct_ratio = F.round(
@@ -136,13 +142,13 @@ def quality_features_sql(expr: str) -> dict[str, str]:
         "stop_ratio": f"round({stop}::DOUBLE / len({toks}), 4)",
         "punct_ratio": (
             f"round(length(regexp_replace(lower({expr}), '[a-z0-9 ]', '', 'g'))::DOUBLE"
-            f" / length({expr}), 4)"
+            f" / nullif(length({expr}), 0), 4)"
         ),
         "quality": (
             f"round(0.4 * round(len(list_distinct({toks}))::DOUBLE / len({toks}), 4)"
             f" + 0.4 * round({stop}::DOUBLE / len({toks}), 4)"
             f" + 0.2 * (1 - round(length(regexp_replace(lower({expr}), '[a-z0-9 ]', '', 'g'))::DOUBLE"
-            f" / length({expr}), 4)), 4)"
+            f" / nullif(length({expr}), 0), 4)), 4)"
         ),
     }
 

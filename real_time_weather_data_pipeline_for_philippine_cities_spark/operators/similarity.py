@@ -572,6 +572,12 @@ def cosine_candidates_vs_bounded(
     schema_str = (
         f"{id_col} long, bench_id long, dot double, nrm double, bn double"
     )
+    # NULL / zero-length vectors can't have a cosine: in the SQL twin
+    # every aggregate over them is NULL and the threshold predicate drops
+    # the pair, so excluding them here keeps the qualifying set identical
+    # while keeping numpy rectangular (the weird-content sweep crashed
+    # vstack on a ragged mix of 64-dim and empty arrays).
+    bench = [b for b in bench if b[1] is not None and len(b[1]) > 0]
     if not bench:
         # An empty eval set is a legal state (epoch before the suite is
         # registered; a bench filter matching nothing): zero candidates,
@@ -593,6 +599,16 @@ def cosine_candidates_vs_bounded(
         for pdf in batches:
             if pdf.empty:
                 continue
+            vs = pdf[vec_col].to_numpy()
+            good = np.fromiter(
+                (x is not None and len(x) == dim for x in vs),
+                dtype=bool,
+                count=len(vs),
+            )
+            if not good.all():  # malformed vectors: no cosine, no pairs
+                pdf = pdf[good]
+                if pdf.empty:
+                    continue
             V = np.vstack(pdf[vec_col].to_numpy())
             ids_c = pdf[id_col].to_numpy()
             acc = np.zeros((len(pdf), len(bids)))
@@ -724,6 +740,33 @@ def near_dup_pairs_cosine_blocked(
                     "na": pd.Series(dtype="float64"),
                     "nb": pd.Series(dtype="float64"),
                 }
+            )
+        # Vectors of UNEQUAL length can't pair (the SQL twin's zip/index
+        # fold yields a NULL dot, which the threshold predicate drops),
+        # and a ragged group would crash vstack — so score each distinct
+        # length as its own rectangular sub-block. One length in healthy
+        # data; the loop only exists so malformed rows degrade instead of
+        # aborting the job (found by the weird-content sweep).
+        lens_a = np.fromiter((len(x) for x in A["v"]), dtype="int64", count=len(A))
+        lens_b = np.fromiter((len(x) for x in B["v"]), dtype="int64", count=len(B))
+        if len(set(lens_a)) > 1 or len(set(lens_b)) > 1:
+            frames = []
+            for L in sorted(set(lens_a) & set(lens_b)):
+                if L == 0:  # zero-norm: cosine undefined, both engines drop
+                    continue
+                frames.append(verify(key, pd.concat([A[lens_a == L], B[lens_b == L]])))
+            return (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(
+                    {
+                        "vec_a": pd.Series(dtype="int64"),
+                        "vec_b": pd.Series(dtype="int64"),
+                        "dot": pd.Series(dtype="float64"),
+                        "na": pd.Series(dtype="float64"),
+                        "nb": pd.Series(dtype="float64"),
+                    }
+                )
             )
         VA = np.vstack(A["v"].to_numpy())
         VB = np.vstack(B["v"].to_numpy())

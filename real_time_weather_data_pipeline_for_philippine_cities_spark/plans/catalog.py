@@ -77,6 +77,17 @@ _PLAN_CHANGED: list[str] = [
     # bitwise-identical on real data at sf0.01/sf1; re-proof is free —
     # this entry was already in the stale-rotation window.
     "weather_pipeline_e2e",
+    # round 7: weird-content sweep — empty documents crashed the quality
+    # ratio expressions under ANSI (length 0 divisor; nullif guard added
+    # on BOTH engines), and ragged/NaN embedding vectors crashed the
+    # Arrow cosine kernels (per-length sub-blocks now mirror the SQL
+    # twin's NULL-dot drop). Values identical on real data, but these
+    # plans/oracles changed textually:
+    "quality_score",
+    "quality_filter",
+    "token_budget_select",
+    "curation_funnel",
+    "embedding_decontam",
     # round 7: the sf10 sweep also caught unigram_logprob rounding a raw
     # double division at a true half-case (-8.1276605 split across
     # engines at the 6th decimal) — final quantization now happens in

@@ -85,3 +85,64 @@ def test_every_catalog_query_survives_all_null_rows(spark, null_sf_dir):
     .encode() on a NULL name (the reference's real geocoder degrades to
     no-result there, weather_data_fetcher.py:132-143)."""
     assert not _sweep(spark, null_sf_dir)
+
+
+@pytest.fixture(scope="session")
+def weird_sf_dir(spark, tmp_path_factory):
+    """Adversarial CONTENT with valid schemas and unique keys: empty /
+    whitespace-only / 20k-char-token / unicode / newline documents,
+    NaN and Inf event values, NaN and zero-length embedding vectors."""
+    from pyspark.sql import functions as F
+
+    dst = str(tmp_path_factory.mktemp("sf_weird"))
+    for t in TABLES:
+        df = load_table(spark, SRC, t).limit(20)
+        if t == "documents":
+            weird = spark.createDataFrame(
+                [
+                    (900001, "", "xx", "s"),
+                    (900002, "   ", "xx", "s"),
+                    (900003, "a" * 20000, "xx", "s"),
+                    (900004, "\U0001f600 éè中文 \t tab", "xx", "s"),
+                    (900005, "\n\n\n", "xx", "s"),
+                    (900006, "x " * 5000, "xx", "s"),
+                ],
+                "doc_id long, text string, lang string, source string",
+            )
+            df = df.unionByName(weird, allowMissingColumns=True)
+        if t == "events":
+            df = df.unionByName(
+                df.limit(3)
+                .withColumn("event_id", F.col("event_id") + 900000)
+                .withColumn("value", F.lit(float("nan")))
+            ).unionByName(
+                df.limit(2)
+                .withColumn("event_id", F.col("event_id") + 910000)
+                .withColumn("value", F.lit(float("inf")))
+            )
+        if t == "embeddings":
+            df = df.unionByName(
+                df.limit(2)
+                .withColumn("vec_id", F.col("vec_id") + 900000)
+                .withColumn(
+                    "embedding",
+                    F.expr("transform(embedding, x -> cast('NaN' as float))"),
+                )
+            ).unionByName(
+                df.limit(1)
+                .withColumn("vec_id", F.col("vec_id") + 910000)
+                .withColumn("embedding", F.expr("cast(array() as array<float>)"))
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet")
+        )
+    return dst
+
+
+def test_every_catalog_query_survives_weird_content(spark, weird_sf_dir):
+    """Found two real crashes on first run: ANSI DIVIDE_BY_ZERO in the
+    quality punct_ratio on an empty document (one empty doc would abort
+    a whole 100 TB job), and ragged/zero-length vectors crashing
+    np.vstack in both Arrow cosine kernels (the SQL twins drop those
+    pairs via NULL dots; the kernels now do the same)."""
+    assert not _sweep(spark, weird_sf_dir)
