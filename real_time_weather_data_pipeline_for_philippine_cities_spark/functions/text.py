@@ -118,8 +118,14 @@ def quality_features(text: Column) -> dict[str, Column]:
     n_chars = F.nullif(F.length(text), F.lit(0))
     ttr = F.round(F.size(F.array_distinct(toks)) / n_tokens, 4)
     stop_ratio = F.round(_stopword_count(toks, STOPWORDS["en"]) / n_tokens, 4)
+    # Case-insensitivity via the CHARACTER CLASS, not lower(): JVM and
+    # utf8proc case-mapping tables disagree on expanding characters
+    # (Java lower('İ') is 'i'+combining-dot, DuckDB's is plain 'i'), so
+    # a lower()-then-strip ratio silently diverges on unicode corpora
+    # (unicode fuzz, round 7). Explicit codepoint ranges are identical
+    # in both regex engines; ASCII corpora get the same value as before.
     punct_ratio = F.round(
-        F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")) / n_chars, 4
+        F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", "")) / n_chars, 4
     )
     quality = F.round(
         0.4 * ttr + 0.4 * stop_ratio + 0.2 * (1 - punct_ratio), 4
@@ -141,13 +147,13 @@ def quality_features_sql(expr: str) -> dict[str, str]:
         "ttr": f"round(len(list_distinct({toks}))::DOUBLE / len({toks}), 4)",
         "stop_ratio": f"round({stop}::DOUBLE / len({toks}), 4)",
         "punct_ratio": (
-            f"round(length(regexp_replace(lower({expr}), '[a-z0-9 ]', '', 'g'))::DOUBLE"
+            f"round(length(regexp_replace({expr}, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE"
             f" / nullif(length({expr}), 0), 4)"
         ),
         "quality": (
             f"round(0.4 * round(len(list_distinct({toks}))::DOUBLE / len({toks}), 4)"
             f" + 0.4 * round({stop}::DOUBLE / len({toks}), 4)"
-            f" + 0.2 * (1 - round(length(regexp_replace(lower({expr}), '[a-z0-9 ]', '', 'g'))::DOUBLE"
+            f" + 0.2 * (1 - round(length(regexp_replace({expr}, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE"
             f" / nullif(length({expr}), 0), 4)), 4)"
         ),
     }
