@@ -68,3 +68,43 @@ def test_quality_and_lang_id_agree_on_unicode(spark, corpus):
         if got[r[0]] != tuple(r[1:])
     }
     assert not diffs, dict(list(diffs.items())[:5])
+
+
+# -- the case-fold oracle boundary, characterized --------------------------
+#
+# The dedup/fingerprint family hashes md5(lower(token)) on BOTH engines.
+# Java's lower() is the ENGINE's semantics — context-sensitive final
+# sigma (ΣΑΣ -> σας) and canonical dotted-İ expansion — and is
+# linguistically correct; utf8proc (DuckDB) does simple per-codepoint
+# mapping. We deliberately do NOT weaken the engine to match the test
+# oracle: parity for hash-keyed text ops is GUARANTEED on text whose
+# lowercase fold is context-free and non-expanding (all ASCII, CJK,
+# Arabic, Cyrillic, non-final Greek), and the three known divergence
+# classes are pinned here so a change in either engine's tables — or an
+# accidental "fix" that silently alters dedup keys — fails loudly.
+
+KNOWN_DIVERGENT = ["İ", "İ̇", "İstanbul", "ΣΑΣ ς", "ΤΕΛΟΣ"]
+KNOWN_AGREEING = [
+    "word", "The QUICK brown.", "ΑΒΓδε", "σας", "ß", "ﬁ", "Å",
+    "中文", "عربي", "ПРИВЕТ", "ǅ", "ı",
+]
+
+
+def test_casefold_oracle_boundary(spark):
+    import duckdb
+
+    rows = [(i, s) for i, s in enumerate(KNOWN_DIVERGENT + KNOWN_AGREEING)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {r["i"]: r["l"] for r in df.select("i", F.lower("s").alias("l")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = dict(con.execute("SELECT i, lower(s) FROM t").fetchall())
+    n_div = len(KNOWN_DIVERGENT)
+    for i, s in enumerate(KNOWN_DIVERGENT):
+        assert got[i] != duck[i], (
+            f"{s!r}: engines now AGREE — the documented oracle boundary "
+            "moved; update BASELINE.md and this pin"
+        )
+    for i, s in enumerate(KNOWN_AGREEING, start=n_div):
+        assert got[i] == duck[i], (s, got[i], duck[i])
