@@ -38,6 +38,28 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def assert_id_domain(df: DataFrame, col: str, cap: int, what: str) -> DataFrame:
+    """In-plan id-domain guard for the packed integer argmax encodings
+    (``value * CAP - id``): an id outside ``[0, CAP)`` does not overflow
+    — it silently mis-ranks, the worst failure class at scale (found by
+    the 2^61-key robustness probe; the packed-ADD idioms already fail
+    loudly via ANSI overflow). The guard costs one comparison per row
+    and keeps the breach LOUD: re-key with ``operators.relational
+    dense_ids`` before these encodings when the natural id domain grows
+    past the cap.
+
+    Same kept-filter ``assert_true`` pattern as the SCD2 key guard; the
+    plan-shape suite pins that ``raise_error`` survives optimization."""
+    guard = F.assert_true(
+        (F.col(col) >= 0) & (F.col(col) < F.lit(cap)),
+        F.lit(
+            f"{what}: {col} outside the packed-key domain [0, {cap}) — "
+            "re-key with dense_ids before packed argmax encodings"
+        ),
+    )
+    return df.filter(guard.isNull())
+
+
 def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Hash-repartition an under-parallel scan before expression-heavy
     map work.

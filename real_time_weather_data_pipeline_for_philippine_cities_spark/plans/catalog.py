@@ -88,6 +88,12 @@ _PLAN_CHANGED: list[str] = [
     "token_budget_select",
     "curation_funnel",
     "embedding_decontam",
+    # round 7: the 2^61-key probe showed the packed argmax encodings
+    # (value*ID_CAP - id) silently MIS-RANK when ids exceed the cap —
+    # the worst failure class. In-plan assert_id_domain guards added
+    # (plans/base.py): breach now raises with a dense_ids re-key hint.
+    "inverted_index_stats",
+    "canonical_doc_assign",
     # round 7: the sf10 sweep also caught unigram_logprob rounding a raw
     # double division at a true half-case (-8.1276605 split across
     # engines at the 6th decimal) — final quantization now happens in

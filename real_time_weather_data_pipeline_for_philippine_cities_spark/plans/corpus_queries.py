@@ -30,7 +30,7 @@ from ..operators.similarity import (
     vec_double_col,
     vec_double_sql,
 )
-from .base import Q, spread, t
+from .base import Q, assert_id_domain, spread, t
 
 #: doc_id / vec_id upper bound used for integer rank-key encoding; testdata
 #: ids stay far below this even at the 10x scaled corpus.
@@ -50,7 +50,10 @@ def q_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce keys for the *count*, which partial aggregation absorbs
     map-side; nothing materializes a posting list wider than one row.
     """
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = assert_id_domain(
+        spread(t(spark, sf_dir, "documents")),
+        "doc_id", ID_CAP, "inverted_index_stats",
+    )
     tf = (
         docs.select("doc_id", F.explode(F.split(F.lower("text"), " +")).alias("term"))
         .groupBy("term", "doc_id")
@@ -108,7 +111,9 @@ def q_canonical_doc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the winner engine-independent."""
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents")
+    docs = assert_id_domain(
+        t(spark, sf_dir, "documents"), "doc_id", ID_CAP, "canonical_doc_assign"
+    )
     keyed = docs.select(
         "doc_id",
         F.md5("text").alias("h"),

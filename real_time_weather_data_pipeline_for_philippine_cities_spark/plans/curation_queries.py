@@ -35,7 +35,7 @@ from ..operators.similarity import (
     dot_sql,
     vec_double_col,
 )
-from .base import Q, spread, t
+from .base import Q, assert_id_domain, spread, t
 from .corpus_queries import EMB_DIM, ID_CAP
 
 #: Fixed word-window segment width for span-level duplication accounting.
@@ -560,11 +560,12 @@ def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "label", vec_double_col("embedding").alias("v"))
-    bench_df = (
+    bench_df = assert_id_domain(
         base.filter(F.col("label") == DECONTAM_BENCH_LABEL)
         .select(F.col("vec_id").alias("bench_id"), "v")
         .orderBy("bench_id")
-        .limit(DECONTAM_BENCH_CAP)
+        .limit(DECONTAM_BENCH_CAP),
+        "bench_id", ID_CAP, "embedding_decontam",
     )
     corpus = spread(
         base.filter(F.col("label") != DECONTAM_BENCH_LABEL), key="vec_id"

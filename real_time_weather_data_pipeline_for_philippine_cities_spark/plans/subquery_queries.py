@@ -735,7 +735,10 @@ def q_part_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a LEFT SEMI probe on (a,c)).
 
     Graph analytics shape distinct from pagerank_dup_graph (iterative) —
-    this is the one-shot motif count. Scale contract: baskets are built
+    this is the one-shot motif count. Id-domain contract: pair keys pack
+    as p*2^32+q, so part ids must fit 32 bits — a breach fails LOUDLY
+    via ANSI overflow (pinned by the 2^61-key sweep); re-key with
+    dense_ids first when the natural id domain outgrows that. Scale contract: baskets are built
     with ONE map-side-combined collect_set shuffle of the 2-column fact
     (no pairing self-join), the basket cap bounds the array-HOF pair
     explode at MAX_BASKET^2 rows per order, the support count is a plain

@@ -485,7 +485,9 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE groupBy(h) builds sorted per-shingle doc lists (<= cap);
     one explode pass over each list emits BOTH the per-doc size tokens
-    (the bare doc_id, < 2^32) and the candidate-pair tokens (packed
+    (the bare doc_id, < 2^32 — id-domain contract: a breach fails LOUDLY
+    via ANSI overflow, pinned by the 2^61-key sweep; dense_ids re-keying
+    is the documented upgrade path) and the candidate-pair tokens (packed
     (a+1)*2^32 + b BIGINTs — the triangle-census trick; the +1 offset
     keeps pair keys disjoint from doc tokens even for doc_id 0), so the
     expensive tokenize+shingle subtree has exactly ONE consumer — no

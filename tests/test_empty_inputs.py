@@ -146,3 +146,67 @@ def test_every_catalog_query_survives_weird_content(spark, weird_sf_dir):
     np.vstack in both Arrow cosine kernels (the SQL twins drop those
     pairs via NULL dots; the kernels now do the same)."""
     assert not _sweep(spark, weird_sf_dir)
+
+
+@pytest.fixture(scope="session")
+def extreme_sf_dir(spark, tmp_path_factory):
+    """Every key/id column shifted up near 2^61 (consistently across
+    tables so joins still line up) — the domain a 100 TB corpus with
+    snowflake-style ids actually lives in."""
+    from pyspark.sql import functions as F
+
+    dst = str(tmp_path_factory.mktemp("sf_extreme"))
+    big = 2**61
+    keycols = {
+        "doc_id", "vec_id", "event_id", "user_id", "o_orderkey",
+        "l_orderkey", "c_custkey", "o_custkey", "s_suppkey", "l_suppkey",
+        "p_partkey", "l_partkey", "ps_partkey", "ps_suppkey",
+        "n_nationkey", "s_nationkey", "c_nationkey", "r_regionkey",
+        "n_regionkey",
+    }
+    for t in TABLES:
+        df = load_table(spark, SRC, t).limit(50)
+        for c in df.columns:
+            if c in keycols:
+                df = df.withColumn(c, (F.col(c) + F.lit(big)).cast("long"))
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet")
+        )
+    return dst
+
+
+# Queries with a DOCUMENTED bounded id-domain contract: the packed-key
+# idioms. All five must fail LOUDLY on a domain breach (ANSI overflow
+# for the packed-add pair keys; assert_id_domain raise_error for the
+# packed argmax encodings) — never return silently mis-ranked rows.
+PACKED_KEY_DOMAIN = {
+    "part_basket_triangles",     # p*2^32+q pair keys -> ANSI overflow
+    "shingle_containment",       # (p+1)*2^32+q pair tokens -> ANSI overflow
+    "inverted_index_stats",      # tf*ID_CAP - doc_id -> assert_id_domain
+    "canonical_doc_assign",      # n_chars*ID_CAP - doc_id -> assert_id_domain
+    "embedding_decontam",        # floor(cos*1e6)*ID_CAP - bench_id -> guard
+}
+
+
+def test_catalog_survives_2e61_keys_except_documented_packed_domains(
+    spark, extreme_sf_dir
+):
+    failures = _sweep(spark, extreme_sf_dir)
+    undocumented = {k: v for k, v in failures.items() if k not in PACKED_KEY_DOMAIN}
+    assert not undocumented, undocumented
+
+
+def test_packed_key_domains_fail_loudly_not_silently(spark, extreme_sf_dir):
+    """The three argmax encodings used to return silently MIS-RANKED
+    rows on out-of-domain ids (2^61-key probe, round 7); now every
+    packed-key query either raises ANSI overflow or the
+    assert_id_domain error with the dense_ids re-key hint."""
+    for name in sorted(PACKED_KEY_DOMAIN):
+        with pytest.raises(Exception) as exc:
+            CATALOG[name].fn(spark, extreme_sf_dir).count()
+        msg = str(exc.value)
+        assert (
+            "ARITHMETIC_OVERFLOW" in msg
+            or "packed-key domain" in msg
+            or "dense_ids" in msg
+        ), (name, msg[:300])

@@ -782,3 +782,19 @@ def test_unigram_logprob_quantizes_in_integer_space(spark, sf_dir):
     assert "round((cast(score_micro" not in plan
     # score_micro itself must aggregate as an exact integer
     assert "partial_sum" in plan and "score_micro" in plan
+
+
+def test_id_domain_guards_survive_optimization(spark, sf_dir):
+    """assert_id_domain lowers to If(cond, null, raise_error) inside a
+    kept filter; a future Catalyst simplification of `IsNull` over that
+    shape to `true` would silently drop the packed-key domain guard
+    (same hazard class as the SCD2 key guard pin). Require raise_error
+    in the OPTIMIZED plan of all three guarded queries."""
+    for name in ("inverted_index_stats", "canonical_doc_assign"):
+        df = CATALOG[name].fn(spark, sf_dir)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "raise_error" in optimized, (name, optimized[:1500])
+    # embedding_decontam's guard executes inside the bounded bench
+    # COLLECT (a separate job at plan-build time), so it never appears
+    # in the returned plan; its loudness is pinned behaviorally by
+    # tests/test_empty_inputs.py::test_packed_key_domains_fail_loudly.
