@@ -38,6 +38,15 @@ and the scaled result must itself fit a BIGINT. NULL or non-positive
 denominators yield NULL, like plain division (the audited sites all
 have b >= 1 by construction).
 
+Faithfulness boundary (hypothesis-found): while ``|a/b|*10^N < 2^53``
+the result is the EXACT half-away quantization (pinned against Python
+Decimal). Beyond 2^53 the scaled integer is no longer representable in
+a double, so the final ``r/10^N`` rounds once more — the two ENGINES
+still agree bitwise (both run the identical int→double→divide), but no
+double-valued answer could carry the quantization exactly there. All
+audited sites are ratios bounded by small statistics (ratios ≤ 1,
+logprobs, tf-idf), 6+ orders inside the boundary.
+
 Both fragment builders emit plain ANSI arithmetic from the SAME
 template so the Spark plan and the DuckDB oracle cannot drift apart;
 the only dialect difference is the integer-division operator.

@@ -16,7 +16,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 import pytest
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.rounding import (
@@ -93,17 +93,44 @@ def test_exact_ties_agree_three_ways(spark, n_dp):
     n_dp=st.sampled_from([2, 4, 6]),
 )
 def test_duckdb_matches_decimal_reference(a, b, n_dp):
+    # Faithfulness vs exact Decimal holds while the SCALED result fits
+    # 2^53 (see the module docstring boundary — hypothesis found the
+    # a=225122093056, b=13, n_dp=6 counterexample at 1.7e16); beyond it
+    # the engines still agree with each other (next test) but a double
+    # cannot carry the quantization.
+    assume(abs(a) * 10**n_dp < b * 2**53)
     assert _duck(a, b, n_dp) == _reference(a, b, n_dp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    a=st.integers(min_value=-(2**62), max_value=2**62),
+    b=st.integers(min_value=1, max_value=10**6),
+    n_dp=st.sampled_from([2, 4, 6]),
+)
+def test_engines_agree_even_beyond_2_53(spark, a, b, n_dp):
+    """Cross-ENGINE agreement has no 2^53 boundary: both run the same
+    int->double->divide, so Spark == DuckDB bitwise everywhere in the
+    BIGINT-safe domain, including where Decimal faithfulness ends."""
+    assume(2 * b * 10**n_dp + b < 2**63)
+    # the scaled result must itself fit a BIGINT (documented domain —
+    # the breach is LOUD via ANSI overflow, which is the contract)
+    assume(abs(a) // b < 2**62 // 10**n_dp)
+    got = spark.sql(
+        f"SELECT {round_div_expr(str(a), str(b), n_dp)} AS v"
+    ).collect()[0][0]
+    assert got == _duck(a, b, n_dp)
 
 
 def test_spark_matches_reference_on_random_grid(spark):
     import random
 
     rng = random.Random(7)
-    pairs = [
-        (rng.randint(-(10**12), 10**12), rng.randint(1, 10**9))
-        for _ in range(300)
-    ]
+    pairs = []
+    while len(pairs) < 300:
+        a, b = rng.randint(-(10**12), 10**12), rng.randint(1, 10**9)
+        if abs(a) * 10**6 < b * 2**53:  # Decimal-faithful domain
+            pairs.append((a, b))
     for n_dp in (2, 4, 6):
         spark_vals = _spark_batch(spark, pairs, n_dp)
         for (a, b), sv in zip(pairs, spark_vals):
