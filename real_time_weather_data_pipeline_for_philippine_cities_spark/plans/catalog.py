@@ -100,6 +100,17 @@ _PLAN_CHANGED: list[str] = [
     # exact integer space (half-away-from-zero integer division), oracle
     # mirrored.
     "unigram_logprob",
+    # round 7, temporal-extremes sweep: every epoch-seconds conversion
+    # rewritten to an exact integer floor on BOTH engines.
+    # unix_timestamp truncates toward zero (a -1 µs timestamp bucketed
+    # to 0 instead of -1) and the oracles' floor(epoch(ts)) double loses
+    # microseconds at year-9999 magnitude (.999999 rounds into the NEXT
+    # second). Now: Spark CAST(ts AS LONG) (true micros floorDiv) /
+    # DuckDB epoch(date_trunc('second', ts)) (exact integer < 2^53),
+    # with pmod/div for the resample bucket quotient.
+    "epoch_roundtrip",
+    "resample_interpolate",
+    "trailing_hour_stats",
 ]
 
 

@@ -193,19 +193,28 @@ FROM events
 
 # -- F7/F8: epoch↔timestamp ------------------------------------------------
 def q_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch seconds must be the exact FLOOR of the timestamp, computed in
+    integer space on both engines (temporal-extremes sweep, round 7):
+    ``unix_timestamp`` truncates toward zero, so -1 µs maps to 0 instead
+    of -1 on pre-1970 sub-second timestamps, and the old oracle's
+    ``floor(epoch(ts))`` goes through a double whose resolution at
+    year-9999 magnitude rounds .999999 up to the NEXT second. Spark's
+    ``CAST(ts AS LONG)`` is a true floorDiv of the internal micros;
+    DuckDB's ``epoch(date_trunc('second', ts))`` floors calendar-wise
+    first, so the double only ever carries an exact integer < 2^53."""
     ev = t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
     return ev.select(
         "event_id",
-        F.unix_timestamp("ts").alias("epoch_s"),
-        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts_sec"),
+        sec.alias("epoch_s"),
+        F.timestamp_seconds(sec).alias("ts_sec"),
     )
 
 
 _EPOCH_SQL = """
 SELECT event_id,
-       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-       TIMESTAMP '1970-01-01 00:00:00'
-         + CAST(floor(epoch(ts)) AS BIGINT) * INTERVAL 1 SECOND AS ts_sec
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+       date_trunc('second', ts) AS ts_sec
 FROM events
 """
 

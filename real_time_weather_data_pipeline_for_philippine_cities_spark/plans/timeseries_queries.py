@@ -678,10 +678,19 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events")
+    # Bucket index = floor(epoch_seconds / bucket) computed ENTIRELY in
+    # integer space: CAST(ts AS LONG) is the exact micros floorDiv (where
+    # unix_timestamp truncates toward zero and mis-buckets pre-1970
+    # sub-second timestamps), and the pmod/div pair makes the quotient a
+    # true floor for negative seconds (`div` alone truncates). Caught by
+    # the temporal-extremes sweep (round 7).
     obs = (
         ev.select(
             "user_id",
-            F.floor(F.unix_timestamp("ts") / RESAMPLE_BUCKET_S).alias("b"),
+            F.expr(
+                f"(CAST(ts AS LONG) - pmod(CAST(ts AS LONG), {RESAMPLE_BUCKET_S}))"
+                f" div {RESAMPLE_BUCKET_S}"
+            ).alias("b"),
             F.round(F.col("value") * 1000000).cast("bigint").alias("micro"),
         )
         .groupBy("user_id", "b")
@@ -769,12 +778,21 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RESAMPLE_SQL = f"""
-WITH obs AS (
+WITH sec AS (
+  -- exact integer floor of epoch seconds, then floor-division by the
+  -- bucket width in integer space (// truncates, so shift the numerator
+  -- down to the bucket boundary first) — mirrors the Spark side's
+  -- CAST(ts AS LONG) + pmod/div pair (temporal-extremes sweep, round 7)
+  SELECT user_id, value,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+  FROM events),
+obs AS (
   SELECT user_id,
-         CAST(floor(epoch(ts) / {RESAMPLE_BUCKET_S}) AS BIGINT) AS b,
+         (s - ((s % {RESAMPLE_BUCKET_S}) + {RESAMPLE_BUCKET_S})
+                % {RESAMPLE_BUCKET_S}) // {RESAMPLE_BUCKET_S} AS b,
          CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
          CAST(count(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2),
+  FROM sec GROUP BY 1, 2),
 span AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1),
 grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM span),
 marked AS (
@@ -822,9 +840,13 @@ def q_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same second share one frame regardless of physical order).
 
     Cross-engine determinism: the ordering key is integer epoch-seconds
-    (identical floor in both engines — never the engines' fractional
-    epoch), values are summed as integer micro-units, and the frame is
-    [key-3600, key] on exact BIGINTs. One shuffle on user_id.
+    computed as the exact micros floor — CAST(ts AS LONG) here, never
+    ``unix_timestamp`` (which truncates toward zero, so a pre-1970
+    sub-second timestamp lands one bucket high), and never the engines'
+    fractional ``epoch()`` double (whose resolution at year-9999
+    magnitude rounds .999999 into the next second; temporal-extremes
+    sweep, round 7). Values are summed as integer micro-units, and the
+    frame is [key-3600, key] on exact BIGINTs. One shuffle on user_id.
     """
     from pyspark.sql import Window
 
@@ -832,7 +854,7 @@ def q_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = ev.select(
         "event_id",
         "user_id",
-        F.unix_timestamp("ts").alias("sec"),
+        F.col("ts").cast("long").alias("sec"),
         F.round(F.col("value") * 1000000).cast("bigint").alias("micro"),
     )
     w = (
@@ -855,7 +877,7 @@ SELECT event_id, user_id, sec,
        CAST(count(*) OVER w AS BIGINT) AS trail_cnt
 FROM (
   SELECT event_id, user_id,
-         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
          CAST(round(value * 1000000) AS BIGINT) AS micro
   FROM events WHERE value IS NOT NULL)
 WINDOW w AS (PARTITION BY user_id ORDER BY sec

@@ -41,6 +41,56 @@ def norm_rows(cols, rows):
     return sorted(tuple(cell(r[i]) for i in idx) for r in rows)
 
 
+def _spark_schema_kinds(sdf):
+    """(cols, {col: (pandas-dtype-kind, is_temporal)}) derived from the
+    Spark SCHEMA — the fallback dtype layer for results whose temporal
+    values overflow Arrow's ns timestamps (pre-1677 / post-2262), where
+    toPandas cannot run at all. Kind mapping mirrors what toPandas
+    produces on in-bounds data."""
+    from pyspark.sql import types as T
+
+    kinds = {}
+    for f in sdf.schema.fields:
+        d = f.dataType
+        if isinstance(d, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            k = ("i", False)
+        elif isinstance(d, (T.FloatType, T.DoubleType)):
+            k = ("f", False)
+        elif isinstance(d, T.BooleanType):
+            k = ("b", False)
+        elif isinstance(d, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            k = ("M", True)
+        else:
+            k = ("O", False)
+        kinds[f.name] = k
+    return [f.name for f in sdf.schema.fields], kinds
+
+
+def _duck_rel_kinds(rel):
+    """Same mapping for a DuckDB relation's real types (the DBAPI cursor
+    description collapses every numeric to 'NUMBER', which cannot see an
+    int-vs-float leak). HUGEINT/DECIMAL map to 'f' because that is what
+    .df() materializes them as — the exact engine-type leak the dtype
+    layer exists to catch."""
+    kinds = {}
+    for name, dtype in zip(rel.columns, rel.types):
+        tn = str(dtype).upper()
+        if "HUGEINT" in tn or "DECIMAL" in tn:
+            k = ("f", False)
+        elif "INT" in tn:
+            k = ("i", False)
+        elif tn in ("FLOAT", "DOUBLE", "REAL"):
+            k = ("f", False)
+        elif tn == "BOOLEAN":
+            k = ("b", False)
+        elif tn.startswith("TIMESTAMP") or tn == "DATE":
+            k = ("M", True)
+        else:
+            k = ("O", False)
+        kinds[name] = k
+    return list(rel.columns), kinds
+
+
 def check_one(name: str, spark, con, sf: str) -> dict:
     """Strict-compare ONE catalog query against its DuckDB oracle on the
     already-registered views: values bitwise (NaN==NaN, ints stay ints),
@@ -49,13 +99,29 @@ def check_one(name: str, spark, con, sf: str) -> dict:
     sf10 sweep (tools/sf10_sweep.py)."""
     q = CATALOG[name]
     sdf = q.fn(spark, sf)
-    spdf = sdf.toPandas()
-    ddf = con.execute(q.oracle).df()
-    scols, dcols = sorted(spdf.columns), sorted(ddf.columns)
+    try:
+        spdf = sdf.toPandas()
+        ddf = con.execute(q.oracle).df()
+        pandas_layer = True
+    except Exception:
+        # Temporal values outside Arrow's ns domain (temporal-extremes
+        # sweep): fall back to schema-derived dtype kinds; the value
+        # layer below (collect/fetchall, µs-domain datetimes) still runs.
+        pandas_layer = False
+    if pandas_layer:
+        scols, dcols = sorted(spdf.columns), sorted(ddf.columns)
+        nsp, ndu = len(spdf), len(ddf)
+    else:
+        sp_cols, sp_kinds = _spark_schema_kinds(sdf)
+        rel = con.sql(q.oracle)
+        du_cols, du_kinds = _duck_rel_kinds(rel)
+        nsp = sdf.count()
+        ndu = len(rel.fetchall())
+        scols, dcols = sorted(sp_cols), sorted(du_cols)
     ok_cols = scols == dcols
-    ok_rows = len(spdf) == len(ddf)
+    ok_rows = nsp == ndu
     ok_dtypes, dtype_diff = True, []
-    if ok_cols:
+    if ok_cols and pandas_layer:
         import datetime as _dt
 
         def _datey(s):  # pandas DATE representations the driver tolerates
@@ -77,6 +143,12 @@ def check_one(name: str, spark, con, sf: str) -> dict:
             if a != b and not (_datey(spdf[c]) and _datey(ddf[c])):
                 ok_dtypes = False
                 dtype_diff.append((c, str(spdf[c].dtype), str(ddf[c].dtype)))
+    elif ok_cols:
+        for c in scols:
+            (a, a_t), (b, b_t) = sp_kinds[c], du_kinds[c]
+            if a != b and not (a_t and b_t):
+                ok_dtypes = False
+                dtype_diff.append((c, f"schema:{a}", f"schema:{b}"))
     srows = [tuple(r) for r in sdf.collect()]
     # ONE execution for the raw-value layer: description is available on
     # the cursor before fetch, so the oracle runs twice total (df() above
@@ -92,12 +164,12 @@ def check_one(name: str, spark, con, sf: str) -> dict:
     if not ok_cols:
         detail = f" cols spark={scols} duck={dcols}"
     elif not ok_rows:
-        detail = f" rows {len(spdf)}/{len(ddf)}"
+        detail = f" rows {nsp}/{ndu}"
     elif dtype_diff:
         detail = f" dtypes {dtype_diff}"
     elif mism:
         detail = f" values {mism[:2]}"
-    return {"ok": ok, "rows": len(spdf), "detail": detail.strip() or None}
+    return {"ok": ok, "rows": nsp, "detail": detail.strip() or None}
 
 
 def main() -> int:
