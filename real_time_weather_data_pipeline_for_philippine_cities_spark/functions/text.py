@@ -178,8 +178,13 @@ def fingerprint_sql(expr: str) -> str:
     toks = tokens_sql(expr)
     hs = f"list_transform({toks}, tk -> ('0x' || substring(md5(tk), 1, 7))::BIGINT)"
     # list_reduce seeds from element 1 → prepend the 0 init to mirror
-    # Spark's aggregate(hs, 0, f) left fold exactly.
+    # Spark's aggregate(hs, 0, f) left fold exactly. The NULL-text CASE
+    # mirrors Spark's NULL propagation: aggregate(NULL, ...) is NULL,
+    # but DuckDB's list_concat SWALLOWS a NULL list and the fold would
+    # return the 0 seed — a missing document must have a missing
+    # fingerprint, not fingerprint 0 (degenerate-parity sweep, round 7).
     return (
+        f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
         f"list_reduce(list_concat([CAST(0 AS BIGINT)], {hs}),"
-        f" (acc, x) -> (acc * 31 + x) % {MINHASH_PRIME})"
+        f" (acc, x) -> (acc * 31 + x) % {MINHASH_PRIME}) END"
     )

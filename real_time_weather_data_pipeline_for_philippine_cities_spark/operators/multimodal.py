@@ -215,7 +215,14 @@ def extract_features(
         for pdf in batches:
             ent, chk = [], []
             for blob in pdf[blob_col]:
-                b = bytes(blob) if blob is not None else b""
+                # missing media -> missing features (same contract as the
+                # corrupt-image NULL path; features-of-empty-bytes would
+                # fabricate checksum md5('') for absent payloads)
+                if blob is None:
+                    ent.append(None)
+                    chk.append(None)
+                    continue
+                b = bytes(blob)
                 if decoder is not None:
                     decoder(b, "fake")  # decoded object would feed real features
                 ent.append(entropy(b))

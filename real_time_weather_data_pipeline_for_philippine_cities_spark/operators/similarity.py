@@ -45,6 +45,32 @@ def vec_double_sql(emb_col: str = "embedding") -> str:
     return f"list_transform({emb_col}, x -> CAST(x AS DOUBLE))"
 
 
+def finite_vec_pred(emb_col: str = "embedding", dim: int | None = None) -> Column:
+    """Well-formed-vector contract (degenerate-parity sweep, round 7): every
+    component present and finite, optionally exactly ``dim`` long. A
+    malformed vector — ragged crawl shard, NaN batch from a broken encoder —
+    is MISSING by contract: dropped before any geometry, never an ANSI cast
+    abort, and never left to comparison semantics (DuckDB orders NaN above
+    +Inf, Spark's NaN comparisons return false, so an unguarded
+    ``cos >= threshold`` silently disagrees across engines)."""
+    e = F.expr(
+        f"forall({emb_col}, x -> x IS NOT NULL AND NOT isnan(x) "
+        f"AND abs(x) <> CAST('Infinity' AS DOUBLE))"
+    )
+    if dim is not None:
+        e = (F.size(F.col(emb_col)) == dim) & e
+    return e
+
+
+def finite_vec_sql(emb_col: str = "embedding", dim: int | None = None) -> str:
+    """DuckDB twin of ``finite_vec_pred`` (NULL elements must be caught
+    explicitly: ``NOT isfinite(NULL)`` is NULL, which list_filter drops)."""
+    base = f"len(list_filter({emb_col}, x -> x IS NULL OR NOT isfinite(x))) = 0"
+    if dim is not None:
+        base = f"len({emb_col}) = {dim} AND {base}"
+    return base
+
+
 def norm_col(vec_col: str = "v") -> Column:
     return F.expr(f"sqrt({_fold_sum_spark(f'transform({vec_col}, x -> x * x)')})")
 
@@ -81,9 +107,12 @@ def cosine_topk(
     Plan: tiny query side is broadcast; corpus is scanned once with
     norm precomputed per row (not per pair); ranking shuffles only
     (n_queries × corpus) scored rows partitioned by query id.
+    Ingestion applies the well-formed-vector contract (finite_vec_pred):
+    ragged or non-finite vectors are missing, on both engines.
     """
     base = (
-        emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
+        emb.filter(finite_vec_pred(emb_col))
+        .select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
         # Small-file scans arrive as 1-2 partitions; spread so the
         # (n_queries × corpus) scoring pass uses every core.
         .repartition(F.col(id_col))
@@ -95,6 +124,9 @@ def cosine_topk(
     scored = (
         base.join(F.broadcast(q), F.col("vid") != F.col("query_id"))
         .withColumn("cos_sim", F.round(dot_col("qv", "v") / (F.col("qn") * F.col("nrm")), 6))
+        # a cross-LENGTH pair dots to NULL (zip_with pads): dropped, the
+        # oracle's equal-length join guard is the twin
+        .filter(F.col("cos_sim").isNotNull())
         .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -111,7 +143,8 @@ def cosine_topk_sql(
 ) -> str:
     return f"""
 WITH base AS (
-  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}),
+  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}
+  WHERE {finite_vec_sql(emb_col)}),
 normed AS (
   SELECT vid, v, {norm_sql('v')} AS nrm FROM base),
 q AS (
@@ -120,7 +153,7 @@ scored AS (
   SELECT q.query_id, n.vid AS neighbor_id,
          round({dot_sql('q.qv', 'n.v', dim)} / (q.qn * n.nrm), 6) AS cos_sim
   FROM normed n CROSS JOIN q
-  WHERE n.vid <> q.query_id),
+  WHERE n.vid <> q.query_id AND len(n.v) = len(q.qv)),
 ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id
@@ -210,6 +243,8 @@ def ann_lsh_topk(
     BEFORE scoring (groupBy on the pair key), so each candidate pair pays
     its 64-dim dot exactly once.
     """
+    # well-formed-vector ingestion, mirrored by the oracle's WHERE guard
+    emb = emb.filter(finite_vec_pred(emb_col))
     if n_tables == 1:
         planes = lsh_planes(n_planes, dim)
         base = (
@@ -288,7 +323,8 @@ def ann_lsh_topk_sql(
     planes = lsh_planes(n_planes, dim)
     return f"""
 WITH base AS (
-  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}),
+  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}
+  WHERE {finite_vec_sql(emb_col, dim)}),
 normed AS (
   SELECT vid, v, {norm_sql('v')} AS nrm,
          {lsh_bucket_sql('v', planes, dim)} AS bucket
@@ -334,7 +370,8 @@ def ivf_train_centroids(
     from pyspark import StorageLevel
 
     vecs = (
-        emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
+        emb.filter(finite_vec_pred(emb_col))
+        .select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
         # Pin the persisted training set to cluster parallelism: an
         # unpinned repartition(col) inherits AQE's pre-coalesce width
         # (256), and caching 256 tiny partitions taxes every Lloyd-round
@@ -448,8 +485,11 @@ def ivf_topk(
     from pyspark import StorageLevel
 
     cents = centroids or ivf_train_centroids(emb, n_centroids, n_iter, id_col, emb_col)
+    # well-formed-vector ingestion, mirrored by the oracle's WHERE guard
+    dim = len(cents[0])
     base = (
-        emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
+        emb.filter(finite_vec_pred(emb_col, dim))
+        .select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
         # Pinned width, same rationale as the trainer: an unpinned
         # repartition(col) inherits AQE's pre-coalesce width and the
         # persisted assignment stage then pays per-task Arrow-UDF and
@@ -510,7 +550,8 @@ def ivf_topk_sql(
     )
     return f"""
 WITH base AS (
-  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}),
+  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}
+  WHERE {finite_vec_sql(emb_col, dim)}),
 normed AS (
   SELECT vid, v, {norm_sql('v')} AS nrm FROM base),
 unit AS (
@@ -720,11 +761,13 @@ def near_dup_pairs_cosine_blocked(
     """
     from .bounds import bounded_key_cutoff
 
-    # A NULL vector has NULL cosine against everything: the SQL twin's
-    # `cos >= threshold` predicate drops it for free, but the numpy
-    # verify kernel would crash on None inside vstack — exclude up front
-    # (pushes to the scan; same qualifying set as the oracle).
-    emb = emb.filter(F.col(emb_col).isNotNull())
+    # Well-formed-vector ingestion (finite_vec_pred): NULL, ragged and
+    # non-finite vectors are missing by contract — mirrored by the
+    # oracle's WHERE guard so the bounded-id cap binds on the SAME
+    # qualifying set. (Previously only NULL was excluded; a NaN vector
+    # then hit DuckDB's NaN-sorts-above-everything comparison while
+    # Spark's NaN comparisons return false — silent divergence.)
+    emb = emb.filter(finite_vec_pred(emb_col))
     pairs_schema = "vec_a long, vec_b long, dot double, na double, nb double"
     margin = threshold - 1e-6
     cutoff, _ = bounded_key_cutoff(
@@ -860,7 +903,8 @@ def near_dup_pairs_cosine(
     from pyspark import StorageLevel
 
     base = (
-        emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
+        emb.filter(finite_vec_pred(emb_col))
+        .select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
         # Spread + persist: both join sides read this, and the O(n²) dot
         # products must parallelize across cores, not run in one task.
         .repartition(F.col(id_col))
@@ -890,11 +934,12 @@ def near_dup_pairs_cosine_sql(
     return f"""
 WITH base AS (
   SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}
+  WHERE {finite_vec_sql(emb_col)}
   ORDER BY vid ASC LIMIT {max_rows}),
 normed AS (
   SELECT vid, v, {norm_sql('v')} AS nrm FROM base)
 SELECT a.vid AS vec_a, b.vid AS vec_b,
        round({dot_sql('a.v', 'b.v', dim)} / (a.nrm * b.nrm), 6) AS cos_sim
-FROM normed a JOIN normed b ON a.vid < b.vid
+FROM normed a JOIN normed b ON a.vid < b.vid AND len(a.v) = len(b.v)
 WHERE round({dot_sql('a.v', 'b.v', dim)} / (a.nrm * b.nrm), 6) >= {threshold}
 """

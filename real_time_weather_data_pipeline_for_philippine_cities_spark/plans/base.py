@@ -60,6 +60,41 @@ def assert_id_domain(df: DataFrame, col: str, cap: int, what: str) -> DataFrame:
     return df.filter(guard.isNull())
 
 
+def finite(col) -> "F.Column":
+    """Non-finite metric guard: NaN / ±Inf → NULL (missing), finite values
+    pass through unchanged.
+
+    The 100 TB metric contract (degenerate-parity sweep, round 7): one
+    corrupted sensor reading must neither ABORT the job — under ANSI both
+    engines raise on ``CAST(round(NaN * 1e6) AS BIGINT)``, so a single
+    NaN row killed every integer-micro aggregation — nor silently poison
+    ordinal statistics with engine-defined NaN placement (Spark and
+    DuckDB disagree on where NaN sorts inside percentile/median). NULL is
+    the one representation both engines' aggregates already skip
+    identically, and it mirrors the reference's pandas semantics, where
+    NaN IS the missing-value sentinel (weather_data_fetcher.py:206,362).
+
+    SQL twin fragment: ``CASE WHEN isfinite(value) THEN value END``
+    (see FINITE_SQL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), c)
+
+
+def finite_sql(expr: str) -> str:
+    """DuckDB twin of ``finite()`` — keep both engines' guards textually
+    paired so the contract cannot drift one-sided."""
+    return f"CASE WHEN isfinite({expr}) THEN {expr} END"
+
+
+def finite_pred(col) -> "F.Column":
+    """Row-filter form of the ``finite()`` contract: present AND finite.
+    NULL propagates to NULL through both comparisons, so NULLs drop too —
+    the DuckDB twin is simply ``WHERE isfinite(col)`` (NULL → NULL →
+    filtered), keeping the qualifying sets identical."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+
+
 def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Hash-repartition an under-parallel scan before expression-heavy
     map work.

@@ -111,6 +111,39 @@ _PLAN_CHANGED: list[str] = [
     "epoch_roundtrip",
     "resample_interpolate",
     "trailing_hour_stats",
+    # round 7, degenerate-parity sweep (bitwise oracle parity on the
+    # empty/all-NULL/weird/dup/2^61 fixtures — the survive-only sweeps'
+    # .count() probe let Catalyst PRUNE poisoned expressions, hiding
+    # that one NaN metric row ANSI-aborted every micro-quantization
+    # under real materialization). Two shared contracts landed:
+    # finite()/finite_pred (non-finite metric = missing, plans/base.py)
+    # across the events.value surface, and finite_vec_pred (well-formed
+    # vector = full-dim + all-finite, operators/similarity.py) across
+    # the embedding-geometry surface; plus per-query NULL-semantics
+    # mirrors (null-skip concat_ws dedup key, '' string_agg identity,
+    # NULL-text -> no fingerprint/cluster/shingles, NULL media -> NULL
+    # features, unknown revenue unrankable, violation counts total).
+    "sessionize_events",
+    "cube_event_stats",
+    "percentiles_by_type",
+    "moving_avg_7d",
+    "event_value_outliers",
+    "mad_outliers",
+    "quantile_sketch",
+    "winsorized_stats",
+    "numeric_histogram",
+    "dq_checks",
+    "embedding_cosine_topk",
+    "ann_lsh_cosine",
+    "ivf_cosine_topk",
+    "embedding_quantize_error",
+    "embedding_norm_outliers",
+    "doc_fingerprint",
+    "dedup_exact",
+    "types_per_user_stragg",
+    "substring_dup_spans",
+    "revenue_gini",
+    "multimodal_features",
 ]
 
 

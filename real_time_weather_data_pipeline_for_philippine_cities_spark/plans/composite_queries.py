@@ -155,8 +155,12 @@ WITH cities AS (
 provinces AS (
   SELECT CAST(r_regionkey AS VARCHAR) AS code, r_name AS province_name FROM region),
 merged AS (
+  -- a NULL city name is the geocoder's no-result path (the reference
+  -- degrades to no observation, weather_data_fetcher.py:132-143): the
+  -- engine drops the city, so the oracle must too
   SELECT c.name, p.province_name, {_h} AS h
-  FROM cities c LEFT JOIN provinces p ON c.provinceCode = p.code),
+  FROM cities c LEFT JOIN provinces p ON c.provinceCode = p.code
+  WHERE c.name IS NOT NULL),
 geo AS (
   SELECT name, province_name, h,
          (h / 268435456.0) * 180.0 - 90.0 AS latitude,
@@ -232,7 +236,10 @@ SELECT d.doc_id,
        'image' AS media_type,
        'fake'  AS format,
        octet_length(encode(d.text)) AS n_bytes,
-       coalesce(ent.e, 0.0) AS byte_entropy,
+       -- NULL text: missing media -> missing features; empty text still
+       -- has entropy 0.0 (zero bytes OBSERVED, not absent)
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(ent.e, 0.0) END AS byte_entropy,
        CAST(('0x' || substr(md5(d.text), 1, 15)) AS BIGINT) AS checksum
 FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
 """

@@ -27,6 +27,8 @@ from ..functions.text import quality_features, quality_features_sql
 from ..operators.similarity import (
     _fold_sum_duck,
     _fold_sum_spark,
+    finite_vec_pred,
+    finite_vec_sql,
     vec_double_col,
     vec_double_sql,
 )
@@ -114,6 +116,10 @@ def q_canonical_doc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = assert_id_domain(
         t(spark, sf_dir, "documents"), "doc_id", ID_CAP, "canonical_doc_assign"
     )
+    # no text, no cluster: a NULL-text doc has no content hash. The window
+    # form would otherwise emit it as its own NULL-keyed group while the
+    # oracle's equi-join on h drops it (degenerate-parity sweep, round 7).
+    docs = docs.filter(F.col("text").isNotNull())
     keyed = docs.select(
         "doc_id",
         F.md5("text").alias("h"),
@@ -139,7 +145,7 @@ def q_canonical_doc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CANONICAL_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, md5(text) AS h, n_chars * {ID_CAP} - doc_id AS k
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 groups AS (
   SELECT h, CAST(count(*) AS BIGINT) AS group_size, max(k) AS winkey
   FROM keyed GROUP BY h)
@@ -305,10 +311,14 @@ def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, and the float error sums use the shared ascending fold + 6 dp
     rounding. Map-side only: zero shuffles, scan-scaling."""
     emb = t(spark, sf_dir, "embeddings")
-    v = emb.select(
+    # well-formed-vector ingestion (finite_vec_pred), oracle-mirrored: a
+    # single NaN component makes s NaN and the int8 cast an ANSI abort.
+    v = emb.filter(finite_vec_pred("embedding", EMB_DIM)).select(
         F.col("vec_id"), vec_double_col("embedding").alias("v")
     ).withColumn("s", F.expr("array_max(transform(v, x -> abs(x)))"))
-    q = v.withColumn(
+    # the all-zero vector has no quantization scale (x*127/0 is an Inf
+    # cast abort on both engines): undefined by contract, dropped.
+    q = v.filter(F.col("s") > 0).withColumn(
         "qv",
         F.expr("transform(v, x -> CAST(round(x * 127.0D / s) AS BIGINT))"),
     )
@@ -333,7 +343,7 @@ _QUANT_ERR_DUCK = (
 _QUANTIZE_SQL = f"""
 WITH base AS (
   SELECT vec_id, {vec_double_sql('embedding')} AS v
-  FROM embeddings),
+  FROM embeddings WHERE {finite_vec_sql('embedding', EMB_DIM)}),
 scaled AS (
   SELECT vec_id, v,
          list_max(list_transform(v, x -> abs(x))) AS s
@@ -341,7 +351,7 @@ scaled AS (
 quant AS (
   SELECT vec_id, v, s,
          list_transform(v, x -> CAST(round(x * 127.0 / s) AS BIGINT)) AS qv
-  FROM scaled)
+  FROM scaled WHERE s > 0)
 SELECT vec_id,
        s AS scale,
        CAST({_fold_sum_duck(f"list_transform(range(1, {EMB_DIM + 1}), i -> qv[i] * i)")}
@@ -525,8 +535,12 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transform(sequence(...), i -> md5(...)) — evaluates the lambda body
     # interpreted (HOF closures sit outside codegen) and measures ~4x
     # slower for identical output.
+    # no text, no shingles: Spark's concat_ws over a NULL slice collapses
+    # to md5('') (one phantom shingle) while the oracle's range over a
+    # NULL length unnests to nothing (degenerate-parity sweep, round 7).
     wins = (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.col("text"), " ").alias("ts"))
         .select(
             "doc_id",
             "ts",
@@ -569,7 +583,8 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly one whole-doc shingle on each engine).
 _SUBSTR_DUP_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  WHERE text IS NOT NULL),
 wins AS (
   SELECT doc_id,
          unnest(list_transform(

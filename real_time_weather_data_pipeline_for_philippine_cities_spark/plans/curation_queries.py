@@ -33,6 +33,8 @@ from ..operators.similarity import (
     _fold_sum_duck,
     _fold_sum_spark,
     dot_sql,
+    finite_vec_pred,
+    finite_vec_sql,
     vec_double_col,
 )
 from .base import Q, assert_id_domain, spread, t
@@ -315,7 +317,11 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.expr(
         f"sqrt({_fold_sum_spark('transform(v, x -> x * x)')})"
     )
-    scaled = emb.select(
+    # finite-component ingestion (finite_vec_pred, no dim requirement —
+    # a norm is well-defined at any length), oracle-mirrored:
+    # floor(NaN-norm * 1e6) is an ANSI CAST_OVERFLOW abort, and a NaN
+    # norm poisons the z-threshold differently per engine.
+    scaled = emb.filter(finite_vec_pred("embedding")).select(
         "vec_id", "label", vec_double_col("embedding").alias("v")
     ).select(
         "vec_id",
@@ -369,7 +375,7 @@ WITH s AS (
   SELECT vec_id, label,
          CAST(floor(sqrt({_fold_sum_duck("list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)")}) * 1e6) AS BIGINT) AS nu,
          CAST(floor(sqrt({_fold_sum_duck("list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)")}) * 1e3) AS BIGINT) AS nm
-  FROM embeddings),
+  FROM embeddings WHERE {finite_vec_sql('embedding')}),
 st AS (
   SELECT label, count(*) AS n,
          CAST(sum(nu) AS DOUBLE) AS su, CAST(sum(nm * nm) AS DOUBLE) AS sq
@@ -559,7 +565,12 @@ def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_candidates_vs_bounded_df
 
     emb = t(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", "label", vec_double_col("embedding").alias("v"))
+    # finite-component ingestion (finite_vec_pred), oracle-mirrored; the
+    # Arrow kernel pairs per-length sub-blocks, so cross-length pairs are
+    # dropped — the oracle's equal-length join guard is the twin
+    base = emb.filter(finite_vec_pred("embedding")).select(
+        "vec_id", "label", vec_double_col("embedding").alias("v")
+    )
     bench_df = assert_id_domain(
         base.filter(F.col("label") == DECONTAM_BENCH_LABEL)
         .select(F.col("vec_id").alias("bench_id"), "v")
@@ -598,7 +609,7 @@ _EMB_DECONTAM_SQL = f"""
 WITH base AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings),
+  FROM embeddings WHERE {finite_vec_sql('embedding')}),
 normed AS (
   SELECT vec_id, label, v,
          sqrt({_fold_sum_duck("list_transform(v, x -> x * x)")}) AS nrm
@@ -611,7 +622,8 @@ scored AS (
   SELECT c.vec_id,
          {dot_sql("c.v", "b.bv", EMB_DIM)} / (c.nrm * b.bn) AS cos,
          b.bench_id
-  FROM normed c CROSS JOIN bench b WHERE c.label <> {DECONTAM_BENCH_LABEL}),
+  FROM normed c CROSS JOIN bench b
+  WHERE c.label <> {DECONTAM_BENCH_LABEL} AND len(c.v) = len(b.bv)),
 hits AS (
   SELECT vec_id, count(*) AS n_hits,
          max(CAST(floor(cos * 1e6) AS BIGINT) * {ID_CAP} - bench_id)

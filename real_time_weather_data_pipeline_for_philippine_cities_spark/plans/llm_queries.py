@@ -35,7 +35,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_EXACT_SQL = """
 SELECT doc_id, dedup_key,
        doc_id = min(doc_id) OVER (PARTITION BY dedup_key) AS kept
-FROM (SELECT doc_id, md5(lang || '|' || source) AS dedup_key FROM documents)
+-- concat_ws mirrors the engine's null-SKIPPING key join (a || chain
+-- would NULL-propagate and give missing-metadata docs no dedup key)
+FROM (SELECT doc_id, md5(concat_ws('|', lang, source)) AS dedup_key
+      FROM documents)
 """
 
 

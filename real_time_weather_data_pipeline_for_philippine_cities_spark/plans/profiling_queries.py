@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import Q, t
+from .base import Q, finite, finite_pred, t
 
 #: Profiled columns of `events`: (name, is_numeric)
 _PROFILE_COLS = (
@@ -144,20 +144,25 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_violations"))
         .select(F.lit("events_dup_event_id").alias("check_name"), "n_violations")
     )
+    # when/otherwise, not sum(cast(cond)): a NULL column value makes the
+    # comparison NULL, and summing NULLs reports the CHECK itself as NULL
+    # instead of an integer count (degenerate-parity sweep, round 7).
     neg_price = (
         li.agg(
-            F.sum((F.col("l_extendedprice") <= 0.0).cast("bigint")).alias(
-                "n_violations"
-            )
+            F.sum(F.when(F.col("l_extendedprice") <= 0.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations")
         ).select(F.lit("lineitem_nonpositive_price").alias("check_name"), "n_violations")
     )
     bad_discount = (
         li.agg(
             F.sum(
-                ((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.5)).cast(
-                    "bigint"
-                )
-            ).alias("n_violations")
+                F.when(
+                    (F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.5), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_violations")
         ).select(F.lit("lineitem_discount_range").alias("check_name"), "n_violations")
     )
     return orphan_li.union(orphan_orders).union(dup_events).union(neg_price).union(
@@ -320,8 +325,10 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import hash60
     from .base import spread
 
-    ev = spread(t(spark, sf_dir, "events"), "event_id").select(
-        "event_type", "event_id", "value"
+    ev = (
+        spread(t(spark, sf_dir, "events"), "event_id")
+        .filter(finite_pred("value"))
+        .select("event_type", "event_id", "value")
     )
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     # thr ~ 2^60 * K*MARGIN / n, computed as 2^60 div (n div K*MARGIN) so
@@ -384,13 +391,15 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QSKETCH_SQL = f"""
-WITH counts AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+WITH fin AS (
+  SELECT event_type, event_id, value FROM events WHERE isfinite(value)),
+counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM fin GROUP BY 1),
 base AS (
   SELECT e.event_type, e.event_id, e.value,
          ('0x' || substring(md5(CAST(e.event_id AS VARCHAR)), 1, 15))::BIGINT
            AS h
-  FROM events e),
+  FROM fin e),
 surv AS (
   SELECT b.* FROM base b JOIN counts c USING (event_type)
   WHERE b.h <= {_H60_RANGE} // greatest(1, c.n // {QSKETCH_K * QSKETCH_MARGIN})),
@@ -413,7 +422,7 @@ sk AS (
          max(CASE WHEN r2 = ceil(0.99 * k) THEN value END) AS p99_est
   FROM s2 GROUP BY 1),
 ex AS (SELECT event_type, quantile_cont(value, 0.5) AS p50x
-       FROM events GROUP BY 1)
+       FROM fin GROUP BY 1)
 SELECT sk.event_type, c.n, sk.sample_k, sk.p50_est, sk.p90_est, sk.p99_est,
        round(abs(sk.p50_est - ex.p50x) / abs(ex.p50x), 4) AS p50_rel_err
 FROM sk JOIN counts c USING (event_type) JOIN ex USING (event_type)
@@ -619,7 +628,7 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-group aggregate; empty bins are materialized by joining the counts
     onto a sequence() bin spine so the histogram shape is total.
     """
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(finite_pred("value"))
     bounds = ev.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
@@ -668,12 +677,12 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NUMERIC_HISTOGRAM_SQL = f"""
 WITH b AS (
   SELECT min(value) AS lo, max(value) AS hi
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE isfinite(value)),
 binned AS (
   SELECT least(CAST(floor((value - lo) / (CASE WHEN hi > lo THEN (hi - lo) / {HIST_BINS} ELSE 1.0 END)) AS INT),
                {HIST_BINS - 1}) AS bin,
          CAST(count(*) AS BIGINT) AS n
-  FROM events CROSS JOIN b WHERE value IS NOT NULL
+  FROM events CROSS JOIN b WHERE isfinite(value)
   GROUP BY 1),
 spine AS (
   SELECT unnest(generate_series(0, {HIST_BINS - 1})) AS bin, lo, hi FROM b)
@@ -752,7 +761,7 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only float reductions — raw vs winsorized mean — are rounded on
     both engines. clipped_n is an exact integer count of affected rows.
     """
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(finite_pred("value"))
     # bounds are ROUNDED (6dp) before the clamp on BOTH engines: the
     # engines' percentile interpolation can differ by one ulp, and a
     # bound one ulp below a heavily-tied data value silently flips every
@@ -788,12 +797,12 @@ WITH b AS (
   SELECT event_type,
          round(quantile_cont(value, 0.01), 6) AS p01,
          round(quantile_cont(value, 0.99), 6) AS p99
-  FROM events WHERE value IS NOT NULL GROUP BY 1),
+  FROM events WHERE isfinite(value) GROUP BY 1),
 c AS (
   SELECT e.event_type, e.value,
          least(greatest(e.value, b.p01), b.p99) AS wvalue
   FROM events e JOIN b USING (event_type)
-  WHERE e.value IS NOT NULL)
+  WHERE isfinite(e.value))
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN value <> wvalue THEN 1 ELSE 0 END) AS BIGINT)

@@ -19,7 +19,7 @@ from ..operators.relational import (
     symmetric_difference,
     topk_per_group,
 )
-from .base import Q, t
+from .base import Q, finite, finite_pred, t
 
 
 # --------------------------------------------------------------------------
@@ -311,7 +311,11 @@ SELECT user_id, event_id, ts, event_type, match_priority FROM (
 def q_hourly_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     # Spark's window() is epoch-aligned, so 1-hour tumbling windows start at
-    # date_trunc('hour') boundaries — the oracle twin below.
+    # date_trunc('hour') boundaries — the oracle twin below. window() DROPS
+    # null timestamps (no window exists for them), so the oracle filters
+    # ts IS NOT NULL explicitly; and a NaN/Inf metric is missing by the
+    # finite() contract, never an ANSI CAST_OVERFLOW abort (degenerate-
+    # parity sweep, round 7).
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
@@ -320,7 +324,7 @@ def q_hourly_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             # double sum is one decade from the last-cent drift the sf10
             # sweep caught on pricing_summary (round 7)
             F.round(
-                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0, 2
+                F.sum(F.round(finite("value") * 100).cast("bigint")) / 100.0, 2
             ).alias("sum_value"),
         )
         .select(
@@ -338,9 +342,11 @@ SELECT date_trunc('hour', ts)                     AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR   AS window_end,
        event_type,
        count(*)                                   AS n_events,
-       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+       round(sum(CAST(round(CASE WHEN isfinite(value) THEN value END
+                           * 100) AS BIGINT)) / 100.0, 2)
                                                   AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """
 

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.rangejoin import point_in_interval_join
 from ..operators.timeseries import asof_join_backward, session_stats
-from .base import Q, t
+from .base import Q, finite, finite_pred, t
 
 
 # -- as-of join: latest event value at-or-before each order date -----------
@@ -45,14 +45,19 @@ SESSION_GAP_S = 6 * 3600
 
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    # finite(): a NaN/Inf metric must not abort the session sum (ANSI
+    # CAST_OVERFLOW on both engines) — non-finite = missing, rows stay.
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", finite("value").alias("value")
+    )
     return session_stats(ev, key="user_id", ts="ts", gap_seconds=SESSION_GAP_S,
                          value_col="value", order_tiebreak=["event_id"])
 
 
 _SESSIONIZE_SQL = f"""
 WITH ordered AS (
-  SELECT user_id, ts, event_id, value,
+  SELECT user_id, ts, event_id,
+         CASE WHEN isfinite(value) THEN value END AS value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                    > {SESSION_GAP_S * 1_000_000}
@@ -118,7 +123,7 @@ def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, day-of-week): all four grouping combinations
     in one pass — the full grouping-sets lattice (rollup covers the
     hierarchical subset)."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(finite_pred("value"))
     return (
         ev.withColumn("dow", F.dayofweek("ts").cast("long"))
         .cube("event_type", "dow")
@@ -136,14 +141,16 @@ _CUBE_SQL = """
 SELECT event_type, dow, count(*) AS n_events,
        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, value
-      FROM events WHERE value IS NOT NULL)
+      FROM events WHERE isfinite(value))
 GROUP BY CUBE (event_type, dow)
 """
 
 
 # -- exact interpolated percentiles ----------------------------------------
 def q_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # finite_pred: Spark and DuckDB place NaN differently inside ordinal
+    # statistics — non-finite values are missing by contract.
+    ev = t(spark, sf_dir, "events").filter(finite_pred("value"))
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
@@ -156,7 +163,7 @@ SELECT event_type,
        round(quantile_cont(value, 0.5), 4)  AS p50,
        round(quantile_cont(value, 0.95), 4) AS p95,
        round(quantile_cont(value, 0.99), 4) AS p99
-FROM events WHERE value IS NOT NULL
+FROM events WHERE isfinite(value)
 GROUP BY event_type
 """
 
@@ -165,7 +172,7 @@ GROUP BY event_type
 def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(finite_pred("value"))
     # Integer-cents arithmetic for the windowed average: averaging 2dp
     # doubles lands exactly on .xx5 boundaries where Spark (BigDecimal
     # string-repr HALF_UP) and DuckDB (numeric std::round) disagree.
@@ -197,7 +204,7 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, event_type,
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS day_sum,
          sum(CAST(round(value * 100) AS BIGINT)) AS day_cents
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+  FROM events WHERE isfinite(value) GROUP BY 1, 2)
 SELECT day, event_type, day_sum,
        CAST(round(sum(day_cents) OVER w::DOUBLE / count(*) OVER w) AS BIGINT)
          / 100.0 AS ma7,
@@ -278,7 +285,10 @@ def q_types_per_user_stragg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STRAGG_SQL = """
 SELECT user_id,
-       string_agg(DISTINCT event_type, ',' ORDER BY event_type ASC) AS types_seen,
+       -- coalesce: zero non-null types must be '' (the engine's
+       -- array_join(collect_set) identity), not NULL (string_agg's)
+       coalesce(string_agg(DISTINCT event_type, ',' ORDER BY event_type ASC),
+                '') AS types_seen,
        count(*) AS n_events
 FROM events GROUP BY user_id
 """
@@ -324,7 +334,7 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, one bounded-key groupBy, a tiny stats join back, a second
     bounded groupBy — all map-combinable.
     """
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(finite_pred("value"))
     cents = ev.select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("vc"),
@@ -368,7 +378,7 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_OUTLIERS_SQL = """
 WITH cents AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE isfinite(value)),
 st AS (
   SELECT event_type, count(*) AS n,
          CAST(sum(vc) AS DOUBLE) AS sv, CAST(sum(vc * vc) AS DOUBLE) AS sq
@@ -691,7 +701,7 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(CAST(ts AS LONG) - pmod(CAST(ts AS LONG), {RESAMPLE_BUCKET_S}))"
                 f" div {RESAMPLE_BUCKET_S}"
             ).alias("b"),
-            F.round(F.col("value") * 1000000).cast("bigint").alias("micro"),
+            F.round(finite("value") * 1000000).cast("bigint").alias("micro"),
         )
         .groupBy("user_id", "b")
         .agg(
@@ -783,7 +793,8 @@ WITH sec AS (
   -- bucket width in integer space (// truncates, so shift the numerator
   -- down to the bucket boundary first) — mirrors the Spark side's
   -- CAST(ts AS LONG) + pmod/div pair (temporal-extremes sweep, round 7)
-  SELECT user_id, value,
+  SELECT user_id,
+         CASE WHEN isfinite(value) THEN value END AS value,
          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
   FROM events),
 obs AS (
@@ -850,7 +861,7 @@ def q_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(finite_pred("value"))
     keyed = ev.select(
         "event_id",
         "user_id",
@@ -879,7 +890,7 @@ FROM (
   SELECT event_id, user_id,
          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
          CAST(round(value * 1000000) AS BIGINT) AS micro
-  FROM events WHERE value IS NOT NULL)
+  FROM events WHERE isfinite(value))
 WINDOW w AS (PARTITION BY user_id ORDER BY sec
              RANGE BETWEEN {TRAIL_RANGE_S} PRECEDING AND CURRENT ROW)
 """
@@ -952,7 +963,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     side never shuffles."""
     ev = (
         t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(finite_pred("value"))
         .select("event_type", "value")
     )
     med = ev.groupBy("event_type").agg(
@@ -979,7 +990,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MAD_SQL = """
-WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+WITH ev AS (SELECT event_type, value FROM events WHERE isfinite(value)),
 med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
         FROM ev GROUP BY event_type),
 dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS ad

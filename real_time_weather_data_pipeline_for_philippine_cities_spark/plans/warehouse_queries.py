@@ -410,9 +410,12 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deliberately NOT persisted — its reconstruction from the cached
     # aggregate is cheap, and a second materialization measured slower
     # than the recompute at sf0.1.
+    # a customer whose every price is NULL has UNKNOWN revenue (rc NULL):
+    # unrankable, excluded on both engines (degenerate-parity sweep, r7)
     rev = (
         orders.groupBy("o_custkey")
         .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rc"))
+        .filter(F.col("rc").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     digits = F.col("rc").cast("string")
@@ -445,7 +448,7 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REVENUE_GINI_SQL = """
 WITH rev AS (
   SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
-  FROM orders GROUP BY 1),
+  FROM orders GROUP BY 1 HAVING rc IS NOT NULL),
 p AS (
   SELECT rc, row_number() OVER (ORDER BY rc, o_custkey) AS i,
          count(*) OVER () AS n, sum(rc) OVER () AS total_rc

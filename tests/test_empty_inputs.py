@@ -67,7 +67,11 @@ def _sweep(spark, sf_dir):
     failures = {}
     for name, q in sorted(CATALOG.items()):
         try:
-            q.fn(spark, sf_dir).count()
+            # noop sink, not .count(): count lets Catalyst PRUNE unused
+            # columns, so a poisoned expression (ANSI cast abort on one
+            # NaN row) passes the sweep while any real consumer crashes —
+            # the noop write materializes every output column.
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # collect ALL failures, not the first
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
         finally:

@@ -110,7 +110,11 @@ def test_every_catalog_query_survives_temporal_extremes(spark, tsx_sf_dir):
     failures = {}
     for name, q in sorted(CATALOG.items()):
         try:
-            q.fn(spark, tsx_sf_dir).count()
+            # noop sink: materialize every column (count() lets Catalyst
+            # prune poisoned expressions — see test_empty_inputs._sweep)
+            q.fn(spark, tsx_sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         except Exception as exc:
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
         finally:

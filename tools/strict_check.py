@@ -132,6 +132,7 @@ def check_one(name: str, spark, con, sf: str) -> dict:
                 return len(v) > 0 and isinstance(v.iloc[0], (_dt.date, _dt.datetime))
             return False
 
+        sp_kinds = du_kinds = None
         for c in scols:
             # Compare dtype KIND, not width: int32-vs-int64 passed the
             # driver hash in r02 (tfidf rank), while a kind change like
@@ -141,6 +142,18 @@ def check_one(name: str, spark, con, sf: str) -> dict:
             # pandas artifact the driver hash tolerates (daily_minmax was
             # green in r02 with exactly this shape).
             if a != b and not (_datey(spdf[c]) and _datey(ddf[c])):
+                # A VALUELESS column (0 rows, or every value NULL) has no
+                # real pandas dtype — Spark materializes object/float64
+                # arbitrarily. Adjudicate from the SCHEMAS instead (the
+                # degenerate-parity sweeps would otherwise flag phantom
+                # diffs on empty/all-null fixtures).
+                if spdf[c].isna().all() or ddf[c].isna().all():
+                    if sp_kinds is None:
+                        _, sp_kinds = _spark_schema_kinds(sdf)
+                        _, du_kinds = _duck_rel_kinds(con.sql(q.oracle))
+                    (ka, ta), (kb, tb) = sp_kinds[c], du_kinds[c]
+                    if ka == kb or (ta and tb):
+                        continue
                 ok_dtypes = False
                 dtype_diff.append((c, str(spdf[c].dtype), str(ddf[c].dtype)))
     elif ok_cols:
