@@ -122,11 +122,16 @@ def cosine_topk(
         F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     scored = (
-        base.join(F.broadcast(q), F.col("vid") != F.col("query_id"))
+        # the equal-length predicate lives in the JOIN (the oracle's
+        # len(n.v) = len(q.qv) twin): filtering on cos_sim IS NOT NULL
+        # post-projection would make Catalyst substitute and re-evaluate
+        # the 64-element dot fold per pair (measured ~3x)
+        base.join(
+            F.broadcast(q),
+            (F.col("vid") != F.col("query_id"))
+            & (F.size(F.col("v")) == F.size(F.col("qv"))),
+        )
         .withColumn("cos_sim", F.round(dot_col("qv", "v") / (F.col("qn") * F.col("nrm")), 6))
-        # a cross-LENGTH pair dots to NULL (zip_with pads): dropped, the
-        # oracle's equal-length join guard is the twin
-        .filter(F.col("cos_sim").isNotNull())
         .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
