@@ -249,3 +249,62 @@ def test_catalog_survives_duplicated_rows_except_unique_key_guards(
     for name in sorted(UNIQUE_KEY_GUARDED):
         assert name in failures, f"{name}: unique-key guard did not fire"
         assert "duplicate" in failures[name], (name, failures[name])
+
+
+@pytest.fixture(scope="session")
+def giant_sf_dir(spark, tmp_path_factory):
+    """A normal corpus plus three giant documents (256 KB / 1 MB / 4 MB of
+    word-like text with sprinkled email/url shapes) — the oversized
+    garbage page every crawl contains. This is a CAPACITY gate: per-row
+    regex and shingle pipelines must degrade linearly in document size,
+    never explode (catastrophic backtracking, per-row materialization).
+    First probe: all 152 queries pass, worst single query 4.8 s on the
+    4 MB doc — recorded in BASELINE.md."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    def words(n_bytes: int, seed: int) -> str:
+        rng = random.Random(seed)
+        out, size = [], 0
+        while size < n_bytes:
+            w = "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randint(2, 12))
+            )
+            if rng.random() < 0.01:
+                w = f"user{rng.randint(0, 999)}@example{rng.randint(0, 99)}.com"
+            elif rng.random() < 0.01:
+                w = f"http://site{rng.randint(0, 99)}.example.org/p{rng.randint(0, 999)}"
+            out.append(w)
+            size += len(w) + 1
+        return " ".join(out)
+
+    dst = str(tmp_path_factory.mktemp("sf_giant"))
+    for t in TABLES:
+        df = load_table(spark, SRC, t)
+        if t == "documents":
+            df = df.limit(20)
+            giants = spark.createDataFrame(
+                [
+                    (910001, words(256 * 1024, 1), "en", "probe"),
+                    (910002, words(1024 * 1024, 2), "en", "probe"),
+                    (910003, words(4 * 1024 * 1024, 3), "en", "probe"),
+                ],
+                "doc_id long, text string, lang string, source string",
+            ).withColumn("n_chars", F.length("text"))
+            df = df.select(
+                "doc_id", "text", "lang", "source", "n_chars"
+            ).unionByName(giants)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet")
+        )
+    return dst
+
+
+def test_every_catalog_query_survives_giant_documents(spark, giant_sf_dir):
+    """Survive-only by design: the bitwise-parity gates for content
+    classes are the weird/temporal fixtures; this one exists to catch
+    super-linear per-document blowups before they meet a 10 MB page at
+    100 TB."""
+    assert not _sweep(spark, giant_sf_dir)
