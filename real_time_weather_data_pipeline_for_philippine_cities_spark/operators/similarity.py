@@ -52,13 +52,22 @@ def finite_vec_pred(emb_col: str = "embedding", dim: int | None = None) -> Colum
     is MISSING by contract: dropped before any geometry, never an ANSI cast
     abort, and never left to comparison semantics (DuckDB orders NaN above
     +Inf, Spark's NaN comparisons return false, so an unguarded
-    ``cos >= threshold`` silently disagrees across engines)."""
+    ``cos >= threshold`` silently disagrees across engines).
+
+    Zero-length vectors are malformed too (round-8 advice): ``forall`` on
+    an empty array is vacuously true, but an empty vector has no geometry
+    — norm 0, dot 0, cos 0/0 = NaN — and with two of them the dim-less
+    sites' equal-length guards pass (0 = 0), so a NaN pair could reach a
+    threshold predicate where the engines' NaN semantics diverge. When
+    ``dim`` is given the size equality already excludes them."""
     e = F.expr(
         f"forall({emb_col}, x -> x IS NOT NULL AND NOT isnan(x) "
         f"AND abs(x) <> CAST('Infinity' AS DOUBLE))"
     )
     if dim is not None:
         e = (F.size(F.col(emb_col)) == dim) & e
+    else:
+        e = (F.size(F.col(emb_col)) > 0) & e
     return e
 
 
@@ -68,6 +77,8 @@ def finite_vec_sql(emb_col: str = "embedding", dim: int | None = None) -> str:
     base = f"len(list_filter({emb_col}, x -> x IS NULL OR NOT isfinite(x))) = 0"
     if dim is not None:
         base = f"len({emb_col}) = {dim} AND {base}"
+    else:
+        base = f"len({emb_col}) > 0 AND {base}"
     return base
 
 
@@ -248,8 +259,12 @@ def ann_lsh_topk(
     BEFORE scoring (groupBy on the pair key), so each candidate pair pays
     its 64-dim dot exactly once.
     """
-    # well-formed-vector ingestion, mirrored by the oracle's WHERE guard
-    emb = emb.filter(finite_vec_pred(emb_col))
+    # well-formed-vector ingestion WITH the dim constraint, matching the
+    # oracle's finite_vec_sql(emb_col, dim) guard (round-8 advice: the
+    # dim-less form let a finite ragged vector survive Spark-side only —
+    # NULL plane dots -> bucket 0 -> a NULL-cos candidate in sparse
+    # buckets that the oracle never saw).
+    emb = emb.filter(finite_vec_pred(emb_col, dim))
     if n_tables == 1:
         planes = lsh_planes(n_planes, dim)
         base = (
@@ -490,6 +505,16 @@ def ivf_topk(
     from pyspark import StorageLevel
 
     cents = centroids or ivf_train_centroids(emb, n_centroids, n_iter, id_col, emb_col)
+    if not cents:
+        # Training on an empty / fully-filtered corpus yields no
+        # centroids; the result is an empty top-k, not an IndexError
+        # (round-8 advice — this preserves the pre-dim-constraint
+        # behavior on the empty-input sweep fixtures). Output schema
+        # matches the populated path: id columns keep id_col's type.
+        idt = emb.schema[id_col].dataType.simpleString()
+        return emb.sparkSession.createDataFrame(
+            [], f"query_id {idt}, neighbor_id {idt}, cos_sim DOUBLE, rank INT"
+        )
     # well-formed-vector ingestion, mirrored by the oracle's WHERE guard
     dim = len(cents[0])
     base = (
@@ -807,7 +832,13 @@ def near_dup_pairs_cosine_blocked(
         if len(set(lens_a)) > 1 or len(set(lens_b)) > 1:
             frames = []
             for L in sorted(set(lens_a) & set(lens_b)):
-                if L == 0:  # zero-norm: cosine undefined, both engines drop
+                # Zero-length vectors are excluded at ingestion by
+                # finite_vec_pred/finite_vec_sql (size > 0, round-8
+                # advice: before that guard the oracle's 0=0 length
+                # equality admitted a 0/0=NaN pair this kernel skipped);
+                # the L==0 skip stays as defense in depth for callers
+                # that bypass the shared ingestion filter.
+                if L == 0:
                     continue
                 frames.append(verify(key, pd.concat([A[lens_a == L], B[lens_b == L]])))
             return (

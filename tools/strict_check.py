@@ -41,6 +41,24 @@ def norm_rows(cols, rows):
     return sorted(tuple(cell(r[i]) for i in idx) for r in rows)
 
 
+def _is_arrow_ns_overflow(e: Exception) -> bool:
+    """True iff the exception is the Arrow/pandas ns-domain overflow a
+    pre-1677 / post-2262 timestamp raises on materialization — pyarrow's
+    "Casting ... would result in out of bounds timestamp" (surfacing from
+    Spark's toPandas, possibly wrapped) or pandas' OutOfBoundsDatetime
+    from DuckDB's .df(). Everything else is a genuine failure."""
+    seen = set()
+    cur: BaseException | None = e
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        if "outofbounds" in type(cur).__name__.lower():
+            return True
+        if "out of bounds" in str(cur).lower():
+            return True
+        cur = cur.__cause__ or cur.__context__
+    return False
+
+
 def _spark_schema_kinds(sdf):
     """(cols, {col: (pandas-dtype-kind, is_temporal)}) derived from the
     Spark SCHEMA — the fallback dtype layer for results whose temporal
@@ -99,24 +117,37 @@ def check_one(name: str, spark, con, sf: str) -> dict:
     sf10 sweep (tools/sf10_sweep.py)."""
     q = CATALOG[name]
     sdf = q.fn(spark, sf)
+    # Temporal values outside Arrow's ns domain (temporal-extremes sweep)
+    # are the ONLY failure the pandas dtype layer may absorb — any other
+    # exception (Spark execution error, oracle SQL error, OOM) is a real
+    # failure and must propagate, not be silently retried via the
+    # fallback path (round-8 advice: the bare except here masked them).
+    spdf = ddf = None
     try:
         spdf = sdf.toPandas()
-        ddf = con.execute(q.oracle).df()
-        pandas_layer = True
-    except Exception:
-        # Temporal values outside Arrow's ns domain (temporal-extremes
-        # sweep): fall back to schema-derived dtype kinds; the value
-        # layer below (collect/fetchall, µs-domain datetimes) still runs.
-        pandas_layer = False
+    except Exception as e:
+        if not _is_arrow_ns_overflow(e):
+            raise
+    if spdf is not None:
+        try:
+            ddf = con.execute(q.oracle).df()
+        except Exception as e:
+            if not _is_arrow_ns_overflow(e):
+                raise
+    pandas_layer = spdf is not None and ddf is not None
+    fb_rows = None
     if pandas_layer:
         scols, dcols = sorted(spdf.columns), sorted(ddf.columns)
         nsp, ndu = len(spdf), len(ddf)
     else:
+        # Fall back to schema-derived dtype kinds; the value layer below
+        # (collect + these fetched rows, µs-domain datetimes) still runs.
         sp_cols, sp_kinds = _spark_schema_kinds(sdf)
         rel = con.sql(q.oracle)
         du_cols, du_kinds = _duck_rel_kinds(rel)
         nsp = sdf.count()
-        ndu = len(rel.fetchall())
+        fb_rows = rel.fetchall()
+        ndu = len(fb_rows)
         scols, dcols = sorted(sp_cols), sorted(du_cols)
     ok_cols = scols == dcols
     ok_rows = nsp == ndu
@@ -166,10 +197,16 @@ def check_one(name: str, spark, con, sf: str) -> dict:
     # ONE execution for the raw-value layer: description is available on
     # the cursor before fetch, so the oracle runs twice total (df() above
     # for dtypes + this) — not three times (matters at sf10, where the
-    # heavy twins run 1-3 minutes each).
-    cur = con.execute(q.oracle)
-    dcols_desc = [d[0] for d in cur.description]
-    drows = cur.fetchall()
+    # heavy twins run 1-3 minutes each). On the ns-overflow fallback path
+    # the rows already fetched for the count are reused — the oracle
+    # still runs exactly once there (round-8 advice).
+    if fb_rows is not None:
+        dcols_desc = du_cols
+        drows = fb_rows
+    else:
+        cur = con.execute(q.oracle)
+        dcols_desc = [d[0] for d in cur.description]
+        drows = cur.fetchall()
     ns, nd = norm_rows(list(sdf.columns), srows), norm_rows(dcols_desc, drows)
     mism = [(a, b) for a, b in zip(ns, nd) if a != b] if ok_rows else []
     ok = ok_cols and ok_rows and ok_dtypes and not mism
