@@ -93,3 +93,42 @@ def round_div(numer_sql: str, denom_sql: str, n_dp: int) -> Column:
 def oracle_round_div(numer_sql: str, denom_sql: str, n_dp: int) -> str:
     """The DuckDB twin — same template, ``//`` for integer division."""
     return _fragment(numer_sql, denom_sql, n_dp, "//")
+
+
+def _quantize_fragment(x_sql: str, n_dp: int) -> str:
+    # 0.5e0 / 1eN: scientific notation parses as DOUBLE in both engines
+    # (a plain decimal literal would be DECIMAL in Spark).
+    x = f"({x_sql})"
+    up = f"floor({x} * 1e{n_dp} + 0.5e0)"
+    dn = f"-floor(-{x} * 1e{n_dp} + 0.5e0)"
+    return f"((CASE WHEN {x} < 0 THEN {dn} ELSE {up} END) / 1e{n_dp})"
+
+
+def quantize_double(x_sql: str, n_dp: int) -> Column:
+    """Engine-identical N-dp quantization for a GENERIC double — the
+    companion to :func:`round_div` for values that are not integer ratios
+    (histogram bin edges, percentile interpolations). ``round(x, N)`` on
+    such a double is engine-dependent exactly when the double's shortest
+    decimal representation lands on a rounding half (Spark rounds that
+    representation HALF_UP; DuckDB rounds the binary value). This
+    template instead computes half-away-from-zero as ``floor(|x|*10^N +
+    0.5)`` — multiply, add, floor, negate, divide are all elementwise
+    IEEE ops, so given the same input double BOTH engines produce the
+    same output double on EVERY input, ties included.
+
+    Semantics note: on the exact-half boundary cases this decides by the
+    BINARY value (like DuckDB's round) rather than the shortest decimal
+    representation; everywhere else it equals round(x, N). Domain:
+    |x|*10^N must fit BIGINT — Spark's floor returns BIGINT and aborts
+    loudly (ANSI) beyond it; callers on unbounded columns should gate
+    with finite()/finite_pred first (NaN/Inf would abort the same way).
+    """
+    return F.expr(_quantize_fragment(x_sql, n_dp))
+
+
+def oracle_quantize_double(x_sql: str, n_dp: int) -> str:
+    """DuckDB twin of :func:`quantize_double` — the identical template
+    (DuckDB's floor returns DOUBLE, not BIGINT, but below 2^53 the
+    integral double and Spark's BIGINT convert to the same double, and at
+    or above 2^53 floor is the identity on both engines)."""
+    return _quantize_fragment(x_sql, n_dp)

@@ -104,34 +104,58 @@ def predicted_lang_sql(expr: str) -> str:
 
 
 # -- quality scoring -------------------------------------------------------
-def quality_features(text: Column) -> dict[str, Column]:
+def tokens_spark_sql(expr: str) -> str:
+    """Spark-SQL text form of :func:`tokens` — needed because the ratio
+    features quantize via the shared integer-space template
+    (functions/rounding.py), which is a SQL-string builder."""
+    return f"split(lower({expr}), ' +')"
+
+
+def _stopword_count_spark_sql(toks_expr: str, words: tuple[str, ...]) -> str:
+    lit = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({toks_expr}, t -> t IN ({lit})))"
+
+
+def quality_features(text_sql: str = "text") -> dict[str, Column]:
     """Length / punctuation / stopword / type-token-ratio features and a
-    composite score — the classic cheap quality filter for web-scale text."""
-    toks = tokens(text)
-    n_tokens = F.size(toks)
-    # nullif guard: an EMPTY document has length 0 and ANSI division by
-    # zero aborts the whole job (found by the weird-content sweep,
-    # tests/test_empty_inputs.py) — a 100 TB crawl always contains empty
-    # docs. NULL ratio for a char-less doc is the honest value; DuckDB
-    # twin mirrors with the same nullif. n_tokens needs no guard:
-    # split() never returns an empty array (empty text -> ['']).
-    n_chars = F.nullif(F.length(text), F.lit(0))
-    ttr = F.round(F.size(F.array_distinct(toks)) / n_tokens, 4)
-    stop_ratio = F.round(_stopword_count(toks, STOPWORDS["en"]) / n_tokens, 4)
-    # Case-insensitivity via the CHARACTER CLASS, not lower(): JVM and
-    # utf8proc case-mapping tables disagree on expanding characters
-    # (Java lower('İ') is 'i'+combining-dot, DuckDB's is plain 'i'), so
-    # a lower()-then-strip ratio silently diverges on unicode corpora
-    # (unicode fuzz, round 7). Explicit codepoint ranges are identical
-    # in both regex engines; ASCII corpora get the same value as before.
-    punct_ratio = F.round(
-        F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", "")) / n_chars, 4
+    composite score — the classic cheap quality filter for web-scale text.
+
+    The three raw ratios are integer ratios quantized at 4 dp through the
+    exact integer-space half-away template (tie-margin batch, round 8):
+    ``F.round`` on the raw double was a per-landed-half engine lottery —
+    e.g. a 32-identical-token doc has ttr = 1/32 = 0.03125, a TRUE half
+    at 4 dp that Spark and DuckDB rounded differently. Takes the column's
+    SQL text (every caller passes the ``text`` column) because the shared
+    template is a string builder by design — the Spark plan and the
+    DuckDB twin are provably the same arithmetic.
+
+    nullif guard on n_chars: an EMPTY document has length 0 and ANSI
+    division by zero aborts the whole job (weird-content sweep) — NULL
+    ratio for a char-less doc is the honest value, mirrored by the twin.
+    n_tokens needs no guard: split() never returns an empty array (empty
+    text -> ['']). Case-insensitivity via the CHARACTER CLASS, not
+    lower(): JVM and utf8proc case-mapping tables disagree on expanding
+    characters (unicode fuzz, round 7).
+    """
+    from .rounding import round_div_expr
+
+    toks = tokens_spark_sql(text_sql)
+    n_tokens = f"size({toks})"
+    n_chars = f"nullif(length({text_sql}), 0)"
+    punct_n = f"length(regexp_replace({text_sql}, '[A-Za-z0-9 ]', ''))"
+    ttr = F.expr(round_div_expr(f"size(array_distinct({toks}))", n_tokens, 4))
+    stop_ratio = F.expr(
+        round_div_expr(_stopword_count_spark_sql(toks, STOPWORDS["en"]), n_tokens, 4)
     )
-    quality = F.round(
-        0.4 * ttr + 0.4 * stop_ratio + 0.2 * (1 - punct_ratio), 4
-    )
+    punct_ratio = F.expr(round_div_expr(punct_n, n_chars, 4))
+    # The composite NEEDS no integer-space treatment: its inputs are exact
+    # multiples of 1e-4, so quality*1e5 = 4*T + 4*S + 2*(1e4 - P) is EVEN
+    # in 1e-5 units — it can never land on a (odd) rounding half at 4 dp,
+    # and the float sum's ~1e-16 error cannot bridge the >= 1e-5 gap to
+    # one. Plain round on the identical IEEE doubles is engine-identical.
+    quality = F.round(0.4 * ttr + 0.4 * stop_ratio + 0.2 * (1 - punct_ratio), 4)
     return {
-        "n_tokens": n_tokens,
+        "n_tokens": F.expr(n_tokens),
         "ttr": ttr,
         "stop_ratio": stop_ratio,
         "punct_ratio": punct_ratio,
@@ -140,22 +164,23 @@ def quality_features(text: Column) -> dict[str, Column]:
 
 
 def quality_features_sql(expr: str) -> dict[str, str]:
+    from .rounding import oracle_round_div
+
     toks = tokens_sql(expr)
     stop = _stopword_count_sql(toks, STOPWORDS["en"])
+    ttr = oracle_round_div(f"len(list_distinct({toks}))", f"len({toks})", 4)
+    stop_ratio = oracle_round_div(stop, f"len({toks})", 4)
+    punct_ratio = oracle_round_div(
+        f"length(regexp_replace({expr}, '[A-Za-z0-9 ]', '', 'g'))",
+        f"nullif(length({expr}), 0)",
+        4,
+    )
     return {
         "n_tokens": f"len({toks})",
-        "ttr": f"round(len(list_distinct({toks}))::DOUBLE / len({toks}), 4)",
-        "stop_ratio": f"round({stop}::DOUBLE / len({toks}), 4)",
-        "punct_ratio": (
-            f"round(length(regexp_replace({expr}, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE"
-            f" / nullif(length({expr}), 0), 4)"
-        ),
-        "quality": (
-            f"round(0.4 * round(len(list_distinct({toks}))::DOUBLE / len({toks}), 4)"
-            f" + 0.4 * round({stop}::DOUBLE / len({toks}), 4)"
-            f" + 0.2 * (1 - round(length(regexp_replace({expr}, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE"
-            f" / nullif(length({expr}), 0), 4)), 4)"
-        ),
+        "ttr": ttr,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality": f"round(0.4 * {ttr} + 0.4 * {stop_ratio} + 0.2 * (1 - {punct_ratio}), 4)",
     }
 
 

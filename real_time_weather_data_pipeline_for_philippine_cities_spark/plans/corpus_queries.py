@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import quality_features, quality_features_sql
+from ..functions.rounding import oracle_round_div, round_div
+from ..functions.text import quality_features, quality_features_sql, tokens_spark_sql
 from ..operators.similarity import (
     _fold_sum_duck,
     _fold_sum_spark,
@@ -443,14 +444,20 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff no rule fires, and ``reasons`` says exactly which fired (bit i =
     QUALITY_RULES[i]). Pure map-side codegen expressions, scan-scaling."""
     docs = spread(t(spark, sf_dir, "documents"))
-    qf = quality_features(F.col("text"))
+    qf = quality_features("text")
+    # mean_tok_len is an integer ratio (n_chars / n_tokens) quantized at
+    # 4 dp through the exact integer-space template (tie-margin batch,
+    # round 8) — round() on the raw double was a per-landed-half engine
+    # lottery, the class the sf1/sf10 strict sweeps caught 7 times.
     base = docs.select(
         "doc_id",
         qf["n_tokens"].alias("n_tokens"),
         qf["ttr"].alias("ttr"),
         qf["stop_ratio"].alias("stop_ratio"),
         qf["punct_ratio"].alias("punct_ratio"),
-        F.round(F.col("n_chars") / qf["n_tokens"], 4).alias("mean_tok_len"),
+        round_div("n_chars", f"size({tokens_spark_sql('text')})", 4).alias(
+            "mean_tok_len"
+        ),
     )
     flags = [
         F.col("n_tokens") < 10,
@@ -481,7 +488,7 @@ WITH base AS (
          {_QF['ttr']} AS ttr,
          {_QF['stop_ratio']} AS stop_ratio,
          {_QF['punct_ratio']} AS punct_ratio,
-         round(n_chars / CAST({_QF['n_tokens']} AS DOUBLE), 4) AS mean_tok_len
+         {oracle_round_div('n_chars', _QF['n_tokens'], 4)} AS mean_tok_len
   FROM documents),
 scored AS (
   SELECT doc_id, n_tokens, mean_tok_len,
@@ -573,7 +580,10 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_windows",
             "n_shared",
-            F.round(F.col("n_shared") / F.col("n_windows"), 4).alias("shared_ratio"),
+            # integer ratio -> exact integer-space 4-dp quantization
+            # (tie-margin batch, round 8; 1/32-style true halves split
+            # the engines under plain round-on-double)
+            round_div("n_shared", "n_windows", 4).alias("shared_ratio"),
         )
     )
 
@@ -599,8 +609,8 @@ hash_docs AS (
 SELECT w.doc_id,
        count(*) AS n_windows,
        CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-       round(CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 4) AS shared_ratio
+       {oracle_round_div('sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END)',
+                         'count(*)', 4)} AS shared_ratio
 FROM wins w JOIN hash_docs hd USING (h)
 GROUP BY w.doc_id
 """
@@ -687,7 +697,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "n_oov",
-            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+            # integer ratio -> exact 4-dp quantization (tie-margin batch)
+            round_div("n_oov", "n_tokens", 4).alias("oov_rate"),
         )
     )
 
@@ -700,8 +711,8 @@ vocab AS (
                  ORDER BY cnt DESC, w ASC LIMIT {VOCAB_SIZE}))
 SELECT doc_id, count(*) AS n_tokens,
        CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 4) AS oov_rate
+       {oracle_round_div('sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)',
+                         'count(*)', 4)} AS oov_rate
 FROM words LEFT JOIN vocab v USING (w)
 GROUP BY doc_id
 """
@@ -848,7 +859,8 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return agg.withColumn(
-        "novelty", F.round(F.col("n_new") / F.col("n_shingles"), 6)
+        # integer ratio -> exact 6-dp quantization (tie-margin batch)
+        "novelty", round_div("n_new", "n_shingles", 6)
     )
 
 
@@ -866,8 +878,8 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END) AS BIGINT)
          AS n_new,
-       round(sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 6) AS novelty
+       {oracle_round_div('sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END)',
+                         'count(*)', 6)} AS novelty
 FROM w GROUP BY doc_id
 """
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.rounding import oracle_round_div, round_div
 from ..operators.relational import topk_per_group
 from ..operators.similarity import (
     _fold_sum_duck,
@@ -672,7 +673,7 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = spread(t(spark, sf_dir, "documents"))
-    feats = T.quality_features(F.col("text"))
+    feats = T.quality_features("text")
     d = (
         docs.select(
             "doc_id",
@@ -755,7 +756,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_domain_cap_sample``'s. Every output is an exact integer.
     """
     docs = spread(t(spark, sf_dir, "documents"))
-    feats = T.quality_features(F.col("text"))
+    feats = T.quality_features("text")
     base = docs.select(
         "doc_id",
         "source",
@@ -844,6 +845,9 @@ def kl_drift_from_counts(per: DataFrame) -> DataFrame:
         "lang",
         "n_inc",
         "n_base",
+        "tot_inc",
+        "tot_base",
+        "n_langs",
         (
             (F.col("n_inc") + 1).cast("double")
             / (F.col("tot_inc") + F.col("n_langs"))
@@ -853,15 +857,29 @@ def kl_drift_from_counts(per: DataFrame) -> DataFrame:
             / (F.col("tot_base") + F.col("n_langs"))
         ).alias("p_base"),
     )
-    lp = F.floor(F.log("p_inc") * 1e6).cast("long")
-    lq = F.floor(F.log("p_base") * 1e6).cast("long")
-    return smoothed.select(
+    staged = smoothed.select(
+        "*",
+        F.floor(F.log("p_inc") * 1e6).cast("long").alias("lp"),
+        F.floor(F.log("p_base") * 1e6).cast("long").alias("lq"),
+    )
+    # Tie-margin batch (round 8): shares and the KL term are integer
+    # ratios — quantize through the exact integer-space template instead
+    # of round() on the raw double (a per-landed-half engine lottery).
+    # kl_term = (a*d) / (b*1e6) at 6 dp reduces EXACTLY to
+    # nearest_int(a*d / b) / 1e6, which keeps the template's denominator
+    # at b (not b*1e6): safe for any corpus below ~4.6e18 docs; the
+    # a*d numerator is bounded by |ln p| <= ~44 micro-nats-scaled, and an
+    # overflow is a LOUD BIGINT abort on both engines, never a wrong row.
+    return staged.select(
         "lang",
         "n_inc",
         "n_base",
-        F.round("p_inc", 6).alias("share_incoming"),
-        F.round("p_base", 6).alias("share_base"),
-        F.round(F.col("p_inc") * (lp - lq) / 1e6, 6).alias("kl_term"),
+        round_div("n_inc + 1", "tot_inc + n_langs", 6).alias("share_incoming"),
+        round_div("n_base + 1", "tot_base + n_langs", 6).alias("share_base"),
+        (
+            round_div("(n_inc + 1) * (lp - lq)", "tot_inc + n_langs", 0)
+            / F.lit(1e6)
+        ).alias("kl_term"),
     )
 
 
@@ -909,17 +927,20 @@ tot AS (
          count(*) AS n_langs
   FROM per),
 sm AS (
-  SELECT lang, n_inc, n_base,
+  SELECT lang, n_inc, n_base, tot_inc, tot_base, n_langs,
          CAST(n_inc + 1 AS DOUBLE) / (tot_inc + n_langs) AS p_inc,
          CAST(n_base + 1 AS DOUBLE) / (tot_base + n_langs) AS p_base
-  FROM per CROSS JOIN tot)
+  FROM per CROSS JOIN tot),
+lg AS (
+  SELECT *, CAST(floor(ln(p_inc) * 1e6) AS BIGINT) AS lp,
+         CAST(floor(ln(p_base) * 1e6) AS BIGINT) AS lq
+  FROM sm)
 SELECT lang, n_inc, n_base,
-       round(p_inc, 6) AS share_incoming,
-       round(p_base, 6) AS share_base,
-       round(p_inc * (CAST(floor(ln(p_inc) * 1e6) AS BIGINT)
-                      - CAST(floor(ln(p_base) * 1e6) AS BIGINT)) / 1e6, 6)
+       {oracle_round_div('n_inc + 1', 'tot_inc + n_langs', 6)} AS share_incoming,
+       {oracle_round_div('n_base + 1', 'tot_base + n_langs', 6)} AS share_base,
+       ({oracle_round_div('(n_inc + 1) * (lp - lq)', 'tot_inc + n_langs', 0)} / 1e6)
          AS kl_term
-FROM sm
+FROM lg
 """
 
 
@@ -968,9 +989,8 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split",
             "n_docs",
             "total_chars",
-            F.round(F.col("n_docs").cast("double") / F.col("lang_docs"), 6).alias(
-                "lang_share"
-            ),
+            # integer ratio -> exact 6-dp quantization (tie-margin batch)
+            round_div("n_docs", "lang_docs", 6).alias("lang_share"),
         )
         .orderBy("lang", "split")
     )
@@ -991,7 +1011,7 @@ per AS (
   FROM assigned GROUP BY lang, split),
 tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs FROM per GROUP BY lang)
 SELECT p.lang, p.split, p.n_docs, p.total_chars,
-       round(CAST(p.n_docs AS DOUBLE) / t.lang_docs, 6) AS lang_share
+       {oracle_round_div('p.n_docs', 't.lang_docs', 6)} AS lang_share
 FROM per p JOIN tot t ON t.lang = p.lang
 ORDER BY p.lang, p.split
 """
@@ -1256,9 +1276,8 @@ def q_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "category",
         "n_docs",
         "n_sources",
-        F.round(F.col("n_docs").cast("double") / F.col("total"), 4).alias(
-            "share"
-        ),
+        # integer ratio -> exact 4-dp quantization (tie-margin batch)
+        round_div("n_docs", "total", 4).alias("share"),
     ).orderBy(F.desc("n_docs"), "category")
 
 
@@ -1274,7 +1293,7 @@ folded AS (
 SELECT category,
        CAST(sum(cnt) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_sources,
-       round(CAST(sum(cnt) AS DOUBLE) / max(total), 4) AS share
+       {oracle_round_div('sum(cnt)', 'max(total)', 4)} AS share
 FROM folded
 GROUP BY 1
 ORDER BY n_docs DESC, category

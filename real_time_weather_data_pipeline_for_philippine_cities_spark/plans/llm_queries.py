@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.rounding import oracle_round_div, round_div
 from ..operators import dedup as D
 from ..operators import similarity as S
 from .base import Q, spread, t
@@ -231,7 +232,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate case where BNLJ is exactly right (each task streams its
     # rows past the single broadcast row; no shuffle, no quadratic risk).
     # Whitelisted in tests/test_plan_shape.py NON_EQUI_OK for that reason.
-    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " +")).alias("term")
     )
@@ -244,8 +245,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(df, "term")
         .join(F.broadcast(n))
         .withColumn(
+            # integer ratio (tf*n_docs / df) -> exact 6-dp quantization
+            # (tie-margin batch, round 8); n_docs stays BIGINT for it
             "tfidf",
-            F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6),
+            round_div("tf * n_docs", "df", 6),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOP_K)
@@ -264,7 +267,7 @@ df AS (
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, df.df,
-         round(tf.tf * (SELECT CAST(n_docs AS DOUBLE) FROM n) / df.df, 6) AS tfidf
+         {oracle_round_div('tf.tf * (SELECT n_docs FROM n)', 'df.df', 6)} AS tfidf
   FROM tf JOIN df USING (term)),
 ranked AS (
   SELECT doc_id, term, tf, df, tfidf,
@@ -395,7 +398,7 @@ FROM documents
 # -- quality scoring -------------------------------------------------------
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(t(spark, sf_dir, "documents"))
-    feats = T.quality_features(F.col("text"))
+    feats = T.quality_features("text")
     return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
 

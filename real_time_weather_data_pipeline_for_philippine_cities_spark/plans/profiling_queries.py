@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import oracle_quantize_double, quantize_double
 from .base import Q, finite, finite_pred, t
 
 #: Profiled columns of `events`: (name, is_numeric)
@@ -658,8 +659,15 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "bin",
-            F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / HIST_BINS, 6).alias("bin_lo"),
-            F.round(F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / HIST_BINS, 6).alias("bin_hi"),
+            # generic-double edges -> engine-identical half-away template
+            # (tie-margin batch, round 8: round() on a raw double whose
+            # shortest repr lands on a half is a per-engine coin flip)
+            quantize_double(
+                f"lo + bin * (hi - lo) / {HIST_BINS}", 6
+            ).alias("bin_lo"),
+            quantize_double(
+                f"lo + (bin + 1) * (hi - lo) / {HIST_BINS}", 6
+            ).alias("bin_hi"),
         )
     )
     return (
@@ -687,8 +695,8 @@ binned AS (
 spine AS (
   SELECT unnest(generate_series(0, {HIST_BINS - 1})) AS bin, lo, hi FROM b)
 SELECT s.bin,
-       round(s.lo + s.bin * (s.hi - s.lo) / {HIST_BINS}, 6) AS bin_lo,
-       round(s.lo + (s.bin + 1) * (s.hi - s.lo) / {HIST_BINS}, 6) AS bin_hi,
+       {oracle_quantize_double(f's.lo + s.bin * (s.hi - s.lo) / {HIST_BINS}', 6)} AS bin_lo,
+       {oracle_quantize_double(f's.lo + (s.bin + 1) * (s.hi - s.lo) / {HIST_BINS}', 6)} AS bin_hi,
        coalesce(c.n, 0) AS n
 FROM spine s LEFT JOIN binned c USING (bin)
 ORDER BY s.bin

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import oracle_round_div, round_div
 from .base import Q, spread, t
 
 
@@ -540,12 +541,11 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "cont_a", F.round(F.col("shared") / F.col("n_a").cast("double"), 6)
-        )
-        .withColumn(
-            "cont_b", F.round(F.col("shared") / F.col("n_b").cast("double"), 6)
-        )
+        # integer ratios -> exact 6-dp quantization (tie-margin batch,
+        # round 8): a shared/n that lands on a true half split the
+        # engines under plain round-on-double
+        .withColumn("cont_a", round_div("shared", "n_a", 6))
+        .withColumn("cont_b", round_div("shared", "n_b", 6))
         .filter(F.greatest("cont_a", "cont_b") >= CONTAINMENT_MIN)
         .select("doc_a", "doc_b", "shared", "n_a", "n_b", "cont_a", "cont_b")
         .orderBy("doc_a", "doc_b")
@@ -571,13 +571,13 @@ pairs AS (
   FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT p.doc_a, p.doc_b, p.shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
-       round(p.shared / CAST(sa.n_sh AS DOUBLE), 6) AS cont_a,
-       round(p.shared / CAST(sb.n_sh AS DOUBLE), 6) AS cont_b
+       {oracle_round_div('p.shared', 'sa.n_sh', 6)} AS cont_a,
+       {oracle_round_div('p.shared', 'sb.n_sh', 6)} AS cont_b
 FROM pairs p
 JOIN sizes sa ON p.doc_a = sa.doc_id
 JOIN sizes sb ON p.doc_b = sb.doc_id
-WHERE greatest(round(p.shared / CAST(sa.n_sh AS DOUBLE), 6),
-               round(p.shared / CAST(sb.n_sh AS DOUBLE), 6))
+WHERE greatest({oracle_round_div('p.shared', 'sa.n_sh', 6)},
+               {oracle_round_div('p.shared', 'sb.n_sh', 6)})
       >= {CONTAINMENT_MIN}
 ORDER BY p.doc_a, p.doc_b
 """

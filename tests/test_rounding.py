@@ -152,3 +152,88 @@ def test_fragments_share_one_template():
     s = round_div_expr("x", "y", 6)
     d = oracle_round_div("x", "y", 6)
     assert s.replace(" div ", " // ") == d
+
+
+# -- quantize_double: the generic-double companion -------------------------
+
+from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.rounding import (  # noqa: E402
+    oracle_quantize_double,
+    quantize_double,
+)
+
+
+def _py_quantize(x: float, n_dp: int) -> float:
+    """Python runs the identical IEEE ops, so it is the executable spec."""
+    import math
+
+    s = 10.0**n_dp
+    if x < 0:
+        return -math.floor(-x * s + 0.5) / s
+    return math.floor(x * s + 0.5) / s
+
+
+def _risky_doubles(n_dp: int) -> list[float]:
+    """Doubles whose SHORTEST DECIMAL REPR lands on a rounding half at
+    n_dp — exactly where round(x, n_dp) is engine-dependent — plus
+    ordinary values and negatives."""
+    half = 5 * 10.0 ** -(n_dp + 1)
+    out = []
+    for w in (0.0, 1.0, 3.25, 8127.0):
+        for k in (0, 1, 7, 9999):
+            v = w + k * 10.0**-n_dp + half
+            out.extend([v, -v])
+    out.extend([0.0, -0.0, 1.0 / 3.0, 2.0**0.5, -(7.0 / 11.0)])
+    return out
+
+
+@pytest.mark.parametrize("n_dp", [2, 4, 6])
+def test_quantize_double_engines_and_spec_agree(spark, n_dp):
+    vals = _risky_doubles(n_dp)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    srows = df.select("x", quantize_double("x", n_dp).alias("v")).collect()
+    by_x = {r["x"]: r["v"] for r in srows}
+    for v in vals:
+        sv = by_x[v]
+        dv = duckdb.sql(
+            f"SELECT {oracle_quantize_double('x', n_dp)} AS v"
+            " FROM (SELECT CAST(? AS DOUBLE) AS x) t",
+            params=[v],
+        ).fetchone()[0]
+        ref = _py_quantize(v, n_dp)
+        assert sv == dv == ref, (v, n_dp, sv, dv, ref)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    x=st.floats(
+        min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+    ),
+    n_dp=st.sampled_from([2, 4, 6]),
+)
+def test_quantize_double_duckdb_matches_spec(x, n_dp):
+    got = duckdb.sql(
+        f"SELECT {oracle_quantize_double('y', n_dp)} AS v"
+        " FROM (SELECT CAST(? AS DOUBLE) AS y) t",
+        params=[x],
+    ).fetchone()[0]
+    assert got == _py_quantize(x, n_dp), (x, n_dp, got)
+
+
+def test_quantize_double_null_propagates(spark):
+    df = spark.createDataFrame([(None,)], "x double")
+    assert df.select(quantize_double("x", 4).alias("v")).collect()[0]["v"] is None
+    assert (
+        duckdb.sql(
+            f"SELECT {oracle_quantize_double('CAST(NULL AS DOUBLE)', 4)} AS v"
+        ).fetchone()[0]
+        is None
+    )
+
+
+def test_quantize_fragments_share_one_template():
+    assert quantize_double("x", 6) is not None
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.rounding import (
+        _quantize_fragment,
+    )
+
+    assert oracle_quantize_double("x", 6) == _quantize_fragment("x", 6)

@@ -44,7 +44,7 @@ def corpus():
 
 def test_quality_and_lang_id_agree_on_unicode(spark, corpus):
     df = spark.createDataFrame(corpus, "doc_id long, text string")
-    qf = T.quality_features(F.col("text"))
+    qf = T.quality_features("text")
     got = {
         r["doc_id"]: tuple(r)[1:]
         for r in df.select(
