@@ -442,9 +442,8 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_segments",
             "n_overlap",
-            F.round(
-                F.col("n_overlap").cast("double") / F.col("n_segments"), 6
-            ).alias("overlap_fraction"),
+            # integer ratio -> exact 6-dp quantization (tie-margin batch)
+            round_div("n_overlap", "n_segments", 6).alias("overlap_fraction"),
             "first_base_doc",
         )
     )
@@ -466,7 +465,7 @@ roll AS (
          min(base_doc) AS first_base_doc
   FROM inc LEFT JOIN base USING (h) GROUP BY doc_id)
 SELECT doc_id, n_segments, n_overlap,
-       round(CAST(n_overlap AS DOUBLE) / n_segments, 6) AS overlap_fraction,
+       {oracle_round_div('n_overlap', 'n_segments', 6)} AS overlap_fraction,
        first_base_doc
 FROM roll
 """

@@ -19,6 +19,7 @@ from ..operators.relational import (
     symmetric_difference,
     topk_per_group,
 )
+from ..functions.rounding import oracle_round_div, round_div
 from .base import Q, finite, finite_pred, t
 
 
@@ -79,6 +80,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ~54M rows/group (partial-aggregate tree order vs the oracle's
         # fold; round 7). l_quantity stays raw: integer-valued doubles sum
         # exactly in any order below 2^53.
+        # The three ratio outputs quantize through the exact integer-space
+        # template (tie-margin batch, round 8): units/10^k and intsum/count
+        # can land on true rounding halves where plain round() splits the
+        # engines (the sf10 last-cent class). sum_qty / sum_base_price stay
+        # plain round: their inputs are an exact integral double and an
+        # exact cents/100 value — 2-decimal grids cannot tie at 2 dp.
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(
@@ -86,19 +93,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 100.0,
                 2,
             ).alias("sum_base_price"),
-            F.round(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-                    ).cast("bigint")
-                )
-                / 10000.0,
+            round_div(
+                "sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))",
+                "10000",
                 2,
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(
-                F.sum(F.round(F.col("l_discount") * 100).cast("bigint"))
-                / (F.lit(100.0) * F.count(F.lit(1))),
+            round_div("CAST(sum(l_quantity) AS BIGINT)", "count(*)", 2).alias(
+                "avg_qty"
+            ),
+            round_div(
+                "sum(CAST(round(l_discount * 100) AS BIGINT))",
+                "100 * count(*)",
                 4,
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -106,16 +111,18 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PRICING_SQL = """
+_PRICING_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                          AS sum_qty,
        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
                                                           AS sum_base_price,
-       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                      AS BIGINT)) / 10000.0, 2)           AS sum_disc_price,
-       round(avg(l_quantity), 2)                          AS avg_qty,
-       round(sum(CAST(round(l_discount * 100) AS BIGINT))
-             / (100.0 * count(*)), 4)                     AS avg_disc,
+       {oracle_round_div(
+           'sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))',
+           '10000', 2)} AS sum_disc_price,
+       {oracle_round_div('CAST(sum(l_quantity) AS BIGINT)', 'count(*)', 2)}
+                                                          AS avg_qty,
+       {oracle_round_div('sum(CAST(round(l_discount * 100) AS BIGINT))',
+                         '100 * count(*)', 4)}            AS avg_disc,
        count(*)                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

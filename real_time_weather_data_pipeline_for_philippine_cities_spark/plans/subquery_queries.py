@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import oracle_round_div, round_div
 from .base import Q, spread, t
 
 
@@ -135,9 +136,16 @@ def q_small_qty_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     li = t(spark, sf_dir, "lineitem")
     joined = li.join(part, li.l_partkey == part.p_partkey, "inner")
-    w = Window.partitionBy("l_partkey")
+    # 0.2*avg == sum/(5*count) exactly: integer ratio -> exact 6-dp
+    # quantization (tie-margin batch, round 8; l_quantity is integral so
+    # the BIGINT cast of its sum is exact)
     flagged = joined.withColumn(
-        "qty_threshold", F.round(0.2 * F.avg("l_quantity").over(w), 6)
+        "qty_threshold",
+        round_div(
+            "CAST(sum(l_quantity) OVER (PARTITION BY l_partkey) AS BIGINT)",
+            "5 * count(l_quantity) OVER (PARTITION BY l_partkey)",
+            6,
+        ),
     )
     return flagged.filter(F.col("l_quantity") < F.col("qty_threshold")).agg(
         (
@@ -146,13 +154,15 @@ def q_small_qty_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SMALL_QTY_SQL = """
+_SMALL_QTY_SQL = f"""
 SELECT CAST(sum(CAST(l_extendedprice * 100 AS DECIMAL(38,0))) / 700.0 AS DOUBLE)
          AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#23'
-  AND l.l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 6)
+  AND l.l_quantity < (SELECT {oracle_round_div(
+                          'CAST(sum(l2.l_quantity) AS BIGINT)',
+                          '5 * count(l2.l_quantity)', 6)}
                       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
 """
 

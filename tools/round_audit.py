@@ -1,0 +1,215 @@
+"""Mechanical inventory of every ``F.round(`` site in the package — the
+"decidable-safe list" the round-8 verdict asked for.
+
+The tie-margin bug class: ``round()`` on a raw double is engine-dependent
+exactly when the double's shortest decimal representation lands on a
+rounding half at the target precision (Spark rounds that representation
+HALF_UP, DuckDB rounds the binary value). The converted sites now run the
+shared integer-space / IEEE-identical templates in functions/rounding.py
+and no longer appear here (they contain no ``F.round``). Every REMAINING
+``F.round`` call must match exactly one ledger rule below; the test
+(tests/test_round_audit.py) fails on any new unclassified site and on any
+rule that stops matching — so the inventory cannot silently rot.
+
+Classes:
+
+* ``safe-0dp`` — round to an INTEGER (no dp argument / dp=0). A 0-dp tie
+  is X.5, which is exactly representable in binary for |X| < 2^52, and a
+  shortest repr ending in ".5" round-trips to exactly that double — so
+  shortest-repr-half and binary-half coincide and both engines agree on
+  every input. Divergence is IMPOSSIBLE at 0 dp.
+* ``safe-subgrid`` — the input is an exact k-decimal grid value (integer
+  cents / 100, a 2-dp money column, an integral-double sum) rounded at
+  n >= k dp: its shortest repr has at most k decimals, so it cannot end
+  in a half digit at position n+1.
+* ``safe-proven`` — a site with an inline arithmetic proof that a tie is
+  impossible (the quality composite: its exact value is even in 1e-5
+  units, ties are odd).
+* ``stream-internal`` — a streaming-only surface with no DuckDB oracle:
+  both sides of every comparison (batch-parity tests, stateful twins) run
+  Spark's round, so cross-engine repr divergence cannot arise. If one of
+  these expressions is ever given a SQL twin it must be reclassified.
+* ``risky-latent`` — a genuine remaining exposure: an integer ratio or a
+  generic double rounded at >= 2 dp. Bitwise-green at sf0.01/sf1/sf10
+  today (no landed tie in three decades of data); each is convertible
+  with the existing templates and queued as the round-9 batch (window
+  slots are the constraint, not the recipe — see BASELINE.md).
+
+Usage: python tools/round_audit.py   (prints the classified inventory;
+exit code = number of unclassified sites + dead rules)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "real_time_weather_data_pipeline_for_philippine_cities_spark",
+)
+
+#: (file basename, distinctive substring of the normalized call, class, note)
+#: Normalization collapses all whitespace, so substrings must be written
+#: without spaces-sensitive gaps. A site matches a rule when the rule's
+#: substring occurs in the site's normalized full-call text and the file
+#: matches; every site must match >= 1 rule (first match wins for class),
+#: and every rule must match >= 1 site.
+LEDGER: list[tuple[str, str, str, str]] = [
+    # ---- safe-subgrid ----
+    ("relational_queries.py", "F.round(F.sum(\"l_quantity\"),2)", "safe-subgrid", "integral-double sum @2dp"),
+    ("relational_queries.py", "F.round(F.sum(F.round(F.col(\"l_extendedprice\")*100).cast(\"bigint\"))/100.0,2", "safe-subgrid", "cents/100 @2dp"),
+    ("relational_queries.py", "F.round(F.sum(F.round(finite(\"value\")*100).cast(\"bigint\"))/100.0,2", "safe-subgrid", "cents/100 @2dp"),
+    ("relational_queries.py", "F.round(F.coalesce(\"acctbal\",F.lit(0.0)),2)", "safe-subgrid", "2-dp money grid @2dp"),
+    ("relational_queries.py", "F.round(F.col(\"c_acctbal\")+F.when(F.col(\"c_custkey\")%7==0,F.lit(100.0))", "safe-subgrid", "2-dp grid + exact 100 @2dp"),
+    # ---- safe-0dp: integer quantization (money cents / micro units) ----
+    ("warehouse_queries.py", "F.round(expr*100)", "safe-0dp", "_cents helper"),
+    ("warehouse_queries.py", "p_retailprice\")*F.col(\"l_quantity\")*60", "safe-0dp", "profit cost cents"),
+    ("subquery_queries.py", "*(1-F.col(\"l_discount\"))*100)", "safe-0dp", "revenue cents"),
+    ("subquery_queries.py", "F.round(F.col(\"p_retailprice\")*100)", "safe-0dp", "retail cents"),
+    ("relational_queries.py", "F.round(F.col(\"l_extendedprice\")*100)", "safe-0dp", "price cents"),
+    ("relational_queries.py", "F.round(finite(\"value\")*100)", "safe-0dp", "metric cents"),
+    ("relational_queries.py", "l_extendedprice\")*(1-F.col(\"l_discount\"))*100", "safe-0dp", "revenue cents"),
+    ("relational_queries.py", "F.round(F.col(\"o_totalprice\")*100)", "safe-0dp", "order cents"),
+    ("timeseries_queries.py", "F.round(F.col(\"o_totalprice\")*100)", "safe-0dp", "order cents"),
+    ("timeseries_queries.py", "F.round(F.col(\"value\")*100)", "safe-0dp", "metric cents"),
+    ("timeseries_queries.py", "F.round(finite(\"value\")*1000000)", "safe-0dp", "metric micros"),
+    ("timeseries_queries.py", "F.round(F.col(\"value\")*1000000)", "safe-0dp", "metric micros"),
+    ("timeseries_queries.py", "F.round(F.sum(\"day_cents\").over(w)/F.count", "safe-0dp", "7d MA cents (0-dp int ratio: X.5 representable, engines agree)"),
+    ("operators/timeseries.py", "F.round(F.col(value_col)*100)", "safe-0dp", "metric cents"),
+    ("curation_queries.py", "F.round(F.col(\"quality\")*10000,0)", "safe-0dp", "quality key micro-units"),
+    # ---- safe-proven ----
+    ("functions/text.py", "F.round(0.4*ttr+0.4*stop_ratio+0.2*(1-punct_ratio),4)", "safe-proven", "even-in-1e-5 composite; tie arithmetically impossible (see inline proof)"),
+    # ---- stream-internal (no DuckDB oracle on these surfaces) ----
+    ("streaming/windows.py", "F.round(F.min(value_col),2)", "stream-internal", "windowed min"),
+    ("streaming/windows.py", "F.round(F.max(value_col),2)", "stream-internal", "windowed max"),
+    ("streaming/windows.py", "F.round(F.avg(value_col),2)", "stream-internal", "windowed avg"),
+    ("streaming/windows.py", "F.round(F.sum(value_col),2)", "stream-internal", "session sum"),
+    ("streaming/neardup.py", "F.array_intersect(\"hs_a\",\"hs_b\")", "stream-internal", "stream jaccard (batch-parity tested vs the SAME expression)"),
+    # ---- risky-latent: the round-9 conversion batch ----
+    ("corpus_queries.py", "F.round(F.expr(_fold_sum_spark(err)),6)", "risky-latent", "quantize-error doubles @6dp -> quantize_double"),
+    ("corpus_queries.py", "array_max({err})", "risky-latent", "quantize-error max @6dp -> quantize_double"),
+    ("corpus_queries.py", "F.log(F.sum(\"c\"))-F.sum(F.col(\"c\")*F.log(\"c\"))", "risky-latent", "token entropy @6dp -> quantize_double"),
+    ("subquery_queries.py", "F.round(F.avg(\"c_acctbal\"),2)", "risky-latent", "cents ratio @2dp -> round_div"),
+    ("subquery_queries.py", "F.round(1.3*F.avg(\"o_totalprice\").over(w),4)", "risky-latent", "13*cents/(1000n) @4dp -> round_div"),
+    ("subquery_queries.py", "F.round(F.percent_rank().over(w),6)", "risky-latent", "(rank-1)/(n-1) @6dp -> round_div"),
+    ("subquery_queries.py", "F.round(F.cume_dist().over(w),6)", "risky-latent", "k/n @6dp -> round_div"),
+    ("function_queries.py", "F.round(F.col(\"value\"),2)", "risky-latent", "raw double @2dp -> quantize_double"),
+    ("function_queries.py", "F.round(F.col(\"value\")*2,2)", "risky-latent", "raw double @2dp -> quantize_double"),
+    ("llm_queries.py", "(F.col(\"n_grams\")-F.col(\"n_distinct\"))/F.col(\"n_grams\")", "risky-latent", "int ratio @6dp -> round_div"),
+    ("curation_queries.py", "F.col(\"dup_segments\").cast(\"double\")/F.col(\"n_segments\")", "risky-latent", "int ratio @6dp -> round_div"),
+    ("curation_queries.py", "F.round(\"mean\",6)", "risky-latent", "micro-int/n ratio @6dp -> round_div"),
+    ("curation_queries.py", "F.round(\"std\",6)", "risky-latent", "sqrt moment @6dp -> quantize_double"),
+    ("curation_queries.py", "F.log(", "risky-latent", "PMI log @dp -> quantize_double"),
+    ("search_queries.py", "F.round(score,6)", "risky-latent", "bm25 double @6dp -> quantize_double"),
+    ("profiling_queries.py", "_p50x", "risky-latent", "rel-err double @4dp -> quantize_double"),
+    ("profiling_queries.py", "percentile(fanout,0.99)", "risky-latent", "percentile interp @4dp -> quantize_double"),
+    ("profiling_queries.py", "F.col(\"max_fanout\")*F.col(\"n_keys\")", "risky-latent", "int ratio @4dp -> round_div"),
+    ("profiling_queries.py", "percentile(value,0.01)", "risky-latent", "winsor bound @6dp -> quantize_double"),
+    ("profiling_queries.py", "percentile(value,0.99)", "risky-latent", "winsor bound @6dp -> quantize_double"),
+    ("profiling_queries.py", "F.round(F.avg(\"value\"),4)", "risky-latent", "avg double @4dp -> quantize_double"),
+    ("profiling_queries.py", "F.round(F.avg(\"wvalue\"),4)", "risky-latent", "avg double @4dp -> quantize_double"),
+    ("warehouse_queries.py", "_nat\").cast(\"double\")", "risky-latent", "cents ratio @6dp -> round_div"),
+    ("warehouse_queries.py", "F.sum(\"n_transitions\").over(wrow)", "risky-latent", "int ratio @6dp -> round_div"),
+    ("warehouse_queries.py", "F.first(\"n\").cast(\"double\")", "risky-latent", "test statistic @dp -> round-9 triage"),
+    ("warehouse_queries.py", "F.round(slope,4)", "risky-latent", "regression double @4dp -> quantize_double"),
+    ("warehouse_queries.py", "F.round(intercept,4)", "risky-latent", "regression double @4dp -> quantize_double"),
+    ("relational_queries.py", "F.round(F.min(\"value\"),2)", "risky-latent", "raw double @2dp -> quantize_double"),
+    ("relational_queries.py", "F.round(F.max(\"value\"),2)", "risky-latent", "raw double @2dp -> quantize_double"),
+    ("relational_queries.py", "F.round(F.avg(\"value\"),2)", "risky-latent", "avg double @2dp -> quantize_double"),
+    ("timeseries_queries.py", "F.round(\"value\",4)", "risky-latent", "raw double @4dp -> quantize_double"),
+    ("timeseries_queries.py", "percentile(value,0.5)", "risky-latent", "percentile @dp -> quantize_double"),
+    ("timeseries_queries.py", "percentile(value,0.95)", "risky-latent", "percentile @4dp -> quantize_double"),
+    ("timeseries_queries.py", "percentile(value,0.99)", "risky-latent", "percentile @4dp -> quantize_double"),
+    ("timeseries_queries.py", "percentile(ad,0.5)", "risky-latent", "MAD percentile @6dp -> quantize_double"),
+    ("timeseries_queries.py", "F.lag(\"n_events\").over(w)", "risky-latent", "pct-change ratio @2dp -> round_div"),
+    ("timeseries_queries.py", "F.round(\"mean\",6)", "risky-latent", "micro-int/n @6dp -> round_div"),
+    ("timeseries_queries.py", "F.round(\"std\",6)", "risky-latent", "sqrt moment @6dp -> quantize_double"),
+    ("timeseries_queries.py", "CASEWHENaccISNULLTHENxELSE", "risky-latent", "EWMA fold double @6dp -> quantize_double"),
+    ("timeseries_queries.py", "F.round(F.col(\"obs_val\"),6)", "risky-latent", "interp @6dp -> quantize_double"),
+    ("timeseries_queries.py", "F.round(F.col(\"next_val\"),6)", "risky-latent", "interp @6dp -> quantize_double"),
+    ("timeseries_queries.py", "F.round(F.col(\"prev_val\"),6)", "risky-latent", "interp @6dp -> quantize_double"),
+    ("timeseries_queries.py", "F.round(", "risky-latent", "interp midpoint @6dp -> quantize_double"),
+    ("operators/dedup.py", "F.array_intersect(F.col(\"ha.hs\"),F.col(\"hb.hs\"))", "risky-latent", "minhash jaccard int ratio @4dp -> round_div"),
+    ("operators/dedup.py", "inter/(F.col(\"sza\")+F.col(\"szb\")-inter)", "risky-latent", "jaccard int ratio @4dp -> round_div"),
+    ("operators/dedup.py", "inter/(F.col(\"ha.sz\")+F.col(\"hb.sz\")-inter)", "risky-latent", "jaccard int ratio @4dp -> round_div"),
+    ("operators/similarity.py", "dot_col(\"qv\",\"v\")/(F.col(\"qn\")*F.col(\"nrm\"))", "risky-latent", "cosine @6dp -> quantize_double"),
+    ("operators/similarity.py", "F.round(dot_col(\"qu\",\"u\"),6)", "risky-latent", "unit-dot cosine @6dp -> quantize_double"),
+    ("operators/similarity.py", "F.col(\"dot\")/(F.col(\"na\")*F.col(\"nb\"))", "risky-latent", "cosine @6dp -> quantize_double"),
+    ("operators/similarity.py", "dot_col(\"a.v\",\"b.v\")/(F.col(\"a.nrm\")*F.col(\"b.nrm\"))", "risky-latent", "cosine @6dp -> quantize_double"),
+]
+
+
+def _sites() -> list[tuple[str, int, str]]:
+    """Every F.round( call site as (relpath, line, normalized full call)."""
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(ROOT):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in filenames:
+            if not fn.endswith(".py") or fn == "rounding.py":
+                continue
+            path = os.path.join(dirpath, fn)
+            src = open(path).read()
+            for m in re.finditer(r"F\.round\(", src):
+                start = m.start()
+                depth, i = 0, m.end() - 1
+                while i < len(src):
+                    if src[i] == "(":
+                        depth += 1
+                    elif src[i] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    i += 1
+                call = re.sub(r"\s+", "", src[start : i + 1])
+                line = src[: start].count("\n") + 1
+                rel = os.path.relpath(path, ROOT)
+                out.append((rel, line, call))
+    return out
+
+
+def audit() -> tuple[list[tuple[str, int, str, str, str]], list[tuple[str, int, str]], list[tuple[str, str]]]:
+    """Returns (classified, unclassified, dead_rules)."""
+    sites = _sites()
+    classified, unclassified = [], []
+    used = set()
+    for rel, line, call in sites:
+        hit = None
+        for idx, (f, sub, cls, note) in enumerate(LEDGER):
+            if rel.endswith(f) and re.sub(r"\s+", "", sub) in call:
+                hit = (cls, note)
+                used.add(idx)
+                break
+        if hit:
+            classified.append((rel, line, call[:70], hit[0], hit[1]))
+        else:
+            unclassified.append((rel, line, call[:120]))
+    dead = [
+        (f, sub) for idx, (f, sub, _c, _n) in enumerate(LEDGER) if idx not in used
+    ]
+    return classified, unclassified, dead
+
+
+def main() -> int:
+    classified, unclassified, dead = audit()
+    from collections import Counter
+
+    by_class = Counter(c for _r, _l, _call, c, _n in classified)
+    for rel, line, call, cls, note in sorted(classified, key=lambda x: (x[3], x[0], x[1])):
+        print(f"{cls:16} {rel}:{line}  {call}  # {note}")
+    print(f"\n{len(classified)} classified: {dict(by_class)}")
+    if unclassified:
+        print(f"\nUNCLASSIFIED ({len(unclassified)}):")
+        for rel, line, call in unclassified:
+            print(f"  {rel}:{line}  {call}")
+    if dead:
+        print(f"\nDEAD RULES ({len(dead)}):")
+        for f, sub in dead:
+            print(f"  {f}: {sub}")
+    return len(unclassified) + len(dead)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
