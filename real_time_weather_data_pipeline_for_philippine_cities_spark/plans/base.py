@@ -86,6 +86,16 @@ def finite_sql(expr: str) -> str:
     return f"CASE WHEN isfinite({expr}) THEN {expr} END"
 
 
+def finite_spark_sql(expr: str) -> str:
+    """Spark-SQL TEXT form of ``finite()`` for string-built expressions
+    (the round_div/oracle_round_div templates take SQL snippets). Spark
+    has no isfinite(); the NaN/Inf checks match finite() exactly."""
+    return (
+        f"(CASE WHEN NOT isnan({expr}) AND abs({expr}) <> "
+        f"CAST('Infinity' AS DOUBLE) THEN {expr} END)"
+    )
+
+
 def finite_pred(col) -> "F.Column":
     """Row-filter form of the ``finite()`` contract: present AND finite.
     NULL propagates to NULL through both comparisons, so NULLs drop too —

@@ -20,7 +20,7 @@ from ..operators.relational import (
     topk_per_group,
 )
 from ..functions.rounding import oracle_round_div, round_div
-from .base import Q, finite, finite_pred, t
+from .base import Q, finite, finite_pred, finite_spark_sql, finite_sql, t
 
 
 # --------------------------------------------------------------------------
@@ -86,15 +86,21 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # engines (the sf10 last-cent class). sum_qty / sum_base_price stay
         # plain round: their inputs are an exact integral double and an
         # exact cents/100 value — 2-decimal grids cannot tie at 2 dp.
+        # Money quantization rides the finite() contract (non-finite money
+        # = missing, round-8 money sweep): CAST(round(NaN*100) AS BIGINT)
+        # is a loud ANSI abort on BOTH engines — one corrupted price row
+        # must not kill a 100 TB job.
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(
-                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                F.sum(F.round(finite("l_extendedprice") * 100).cast("bigint"))
                 / 100.0,
                 2,
             ).alias("sum_base_price"),
             round_div(
-                "sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))",
+                "sum(CAST(round("
+                + finite_spark_sql("l_extendedprice * (1 - l_discount)")
+                + " * 10000) AS BIGINT))",
                 "10000",
                 2,
             ).alias("sum_disc_price"),
@@ -102,7 +108,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_qty"
             ),
             round_div(
-                "sum(CAST(round(l_discount * 100) AS BIGINT))",
+                "sum(CAST(round(" + finite_spark_sql("l_discount") + " * 100) AS BIGINT))",
                 "100 * count(*)",
                 4,
             ).alias("avg_disc"),
@@ -114,14 +120,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRICING_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                          AS sum_qty,
-       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
-                                                          AS sum_base_price,
+       round(sum(CAST(round(({finite_sql('l_extendedprice')}) * 100) AS BIGINT))
+             / 100.0, 2)                                  AS sum_base_price,
        {oracle_round_div(
-           'sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))',
+           'sum(CAST(round((' + finite_sql('l_extendedprice * (1 - l_discount)')
+           + ') * 10000) AS BIGINT))',
            '10000', 2)} AS sum_disc_price,
        {oracle_round_div('CAST(sum(l_quantity) AS BIGINT)', 'count(*)', 2)}
                                                           AS avg_qty,
-       {oracle_round_div('sum(CAST(round(l_discount * 100) AS BIGINT))',
+       {oracle_round_div('sum(CAST(round((' + finite_sql('l_discount')
+                         + ') * 100) AS BIGINT))',
                          '100 * count(*)', 4)}            AS avg_disc,
        count(*)                                           AS count_order
 FROM lineitem
@@ -137,15 +145,17 @@ def q_project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
         .withColumnRenamed("c_mktsegment", "segment")
         .withColumn("cust_code", F.col("c_custkey").cast("string"))
-        .withColumn("acctbal_floor", F.floor("c_acctbal").cast("long"))
+        # finite() money contract (round-8 money sweep): floor(NaN) cast
+        # to BIGINT crashed the oracle; a non-finite balance is missing
+        .withColumn("acctbal_floor", F.floor(finite("c_acctbal")).cast("long"))
         .drop("c_acctbal")
     )
 
 
-_PROJECT_SQL = """
+_PROJECT_SQL = f"""
 SELECT c_custkey, c_name, c_mktsegment AS segment,
        CAST(c_custkey AS VARCHAR) AS cust_code,
-       CAST(floor(c_acctbal) AS BIGINT) AS acctbal_floor
+       CAST(floor({finite_sql('c_acctbal')}) AS BIGINT) AS acctbal_floor
 FROM customer
 """
 
@@ -511,8 +521,10 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
     # exact integer cents before summation (same sf1 last-cent drift fix
     # as revenue_by_nation).
+    # finite() money contract (round-8 money sweep): a NaN/Inf price or
+    # discount makes the revenue of that line MISSING, never a job abort
     rev_cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        finite(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
     ).cast("bigint")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
@@ -532,13 +544,14 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PROMO_SQL = """
+_PROMO_SQL = f"""
 SELECT date_trunc('month', l_shipdate) AS ship_month,
        sum(CASE WHEN p_type = 'PROMO'
-                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                          AS BIGINT)
+                THEN CAST(round(({finite_sql('l_extendedprice * (1 - l_discount)')})
+                          * 100) AS BIGINT)
                 ELSE 0 END) / 100.0 AS promo_revenue,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       sum(CAST(round(({finite_sql('l_extendedprice * (1 - l_discount)')}) * 100)
+                AS BIGINT))
          / 100.0 AS total_revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -709,18 +722,20 @@ def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+        # finite() money contract (round-8 money sweep)
+        (F.sum(F.round(finite("o_totalprice") * 100).cast("long")) / 100.0).alias(
             "total_revenue"
         ),
     )
 
 
-_SALTED_SQL = """
+_SALTED_SQL = f"""
 WITH dim AS (
   SELECT DISTINCT o_orderpriority, substr(o_orderpriority, 1, 1) AS tier
   FROM orders)
 SELECT tier, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_revenue
+       sum(CAST(round(({finite_sql('o_totalprice')}) * 100) AS BIGINT)) / 100.0
+         AS total_revenue
 FROM orders JOIN dim USING (o_orderpriority)
 GROUP BY tier
 """

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import oracle_round_div, round_div
-from .base import Q, spread, t
+from .base import Q, finite, finite_sql, spread, t
 
 
 # -- EXISTS: late-shipment priority census (TPC-H Q4 shape) -----------------
@@ -257,9 +257,11 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     supplier = t(spark, sf_dir, "supplier")
+    # finite() money contract (round-8 money sweep): non-finite revenue
+    # rows are missing, never a CAST abort.
     revenue = li.groupBy("l_suppkey").agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            F.round(finite(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
             .cast("bigint")
         ).alias("revenue_cents")
     )
@@ -280,10 +282,11 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOP_SUPP_SQL = """
+_TOP_SUPP_SQL = f"""
 WITH revenue AS (
   SELECT l_suppkey,
-         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         sum(CAST(round(({finite_sql('l_extendedprice * (1 - l_discount)')}) * 100)
+                  AS BIGINT))
            AS revenue_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -582,8 +585,9 @@ def q_significant_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums keep the comparison fold-order-free and exact across engines.
     """
     part = t(spark, sf_dir, "part")
+    # finite() money contract (round-8 money sweep)
     per_type = part.groupBy("p_type").agg(
-        F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint")).alias("cents")
+        F.sum(F.round(finite("p_retailprice") * 100).cast("bigint")).alias("cents")
     )
     w = Window.partitionBy()  # over the 6-row aggregate, NOT the fact
     return (
@@ -594,13 +598,15 @@ def q_significant_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIGNIFICANT_TYPES_SQL = """
+_SIGNIFICANT_TYPES_SQL = f"""
 SELECT p_type,
-       sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS total_value
+       sum(CAST(round(({finite_sql('p_retailprice')}) * 100) AS BIGINT)) / 100.0
+         AS total_value
 FROM part
 GROUP BY p_type
-HAVING sum(CAST(round(p_retailprice * 100) AS BIGINT))
-     > (SELECT sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 8.0 FROM part)
+HAVING sum(CAST(round(({finite_sql('p_retailprice')}) * 100) AS BIGINT))
+     > (SELECT sum(CAST(round(({finite_sql('p_retailprice')}) * 100) AS BIGINT))
+        / 8.0 FROM part)
 ORDER BY total_value DESC, p_type
 """
 

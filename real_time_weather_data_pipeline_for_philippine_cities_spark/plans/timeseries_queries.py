@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.rangejoin import point_in_interval_join
 from ..operators.timeseries import asof_join_backward, session_stats
-from .base import Q, finite, finite_pred, t
+from .base import Q, finite, finite_pred, finite_sql, t
 
 
 # -- as-of join: latest event value at-or-before each order date -----------
@@ -97,17 +97,19 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact integer cents before summation (same sf1 last-cent drift fix
     # as revenue_by_nation).
+    # finite() money contract (round-8 money sweep): non-finite price is
+    # missing, never a CAST abort.
     return joined.rollup("region_name", "nation_name").agg(
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias(
+        (F.sum(F.round(finite("o_totalprice") * 100).cast("bigint")) / 100.0).alias(
             "total_revenue"
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
-_ROLLUP_SQL = """
+_ROLLUP_SQL = f"""
 SELECT r_name AS region_name, n_name AS nation_name,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+       sum(CAST(round(({finite_sql('o_totalprice')}) * 100) AS BIGINT)) / 100.0
          AS total_revenue,
        count(*) AS n_orders
 FROM orders

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import oracle_round_div, round_div
-from .base import Q, spread, t
+from .base import Q, finite, finite_sql, spread, t
 
 
 def _cents(expr: Column) -> Column:
@@ -415,7 +415,9 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrankable, excluded on both engines (degenerate-parity sweep, r7)
     rev = (
         orders.groupBy("o_custkey")
-        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rc"))
+        # finite() money contract (round-8 money sweep): non-finite price
+        # is missing, never a CAST abort
+        .agg(F.sum(_cents(finite("o_totalprice"))).alias("rc"))
         .filter(F.col("rc").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -446,9 +448,10 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REVENUE_GINI_SQL = """
+_REVENUE_GINI_SQL = f"""
 WITH rev AS (
-  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
+  SELECT o_custkey,
+         sum(CAST(round(({finite_sql('o_totalprice')}) * 100) AS BIGINT)) AS rc
   FROM orders GROUP BY 1 HAVING rc IS NOT NULL),
 p AS (
   SELECT rc, row_number() OVER (ORDER BY rc, o_custkey) AS i,

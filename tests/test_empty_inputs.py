@@ -95,12 +95,34 @@ def test_every_catalog_query_survives_all_null_rows(spark, null_sf_dir):
 def weird_sf_dir(spark, tmp_path_factory):
     """Adversarial CONTENT with valid schemas and unique keys: empty /
     whitespace-only / 20k-char-token / unicode / newline documents,
-    NaN and Inf event values, NaN and zero-length embedding vectors."""
+    NaN and Inf event values, NaN and zero-length embedding vectors, and
+    (round-8 money sweep) NaN/Inf money columns — l_extendedprice,
+    l_discount, o_totalprice, p_retailprice, c_acctbal. The money rows
+    CLONE real sampled rows (only the money column poisoned, keys bumped)
+    so they survive the same date/brand/segment predicates the originals
+    do — a fixture that gets filtered out proves nothing."""
     from pyspark.sql import functions as F
 
+    MONEY_POISON = {
+        "lineitem": [("l_orderkey", "l_extendedprice"), ("l_orderkey", "l_discount")],
+        "orders": [("o_orderkey", "o_totalprice")],
+        "part": [("p_partkey", "p_retailprice")],
+        "customer": [("c_custkey", "c_acctbal")],
+    }
     dst = str(tmp_path_factory.mktemp("sf_weird"))
     for t in TABLES:
         df = load_table(spark, SRC, t).limit(20)
+        base20 = df
+        for i, (key, col) in enumerate(MONEY_POISON.get(t, [])):
+            df = df.unionByName(
+                base20.withColumn(key, F.col(key) + 900000 * (i + 1))
+                .withColumn(
+                    col,
+                    F.when(F.rand(7) < 0.5, float("nan")).otherwise(
+                        float("inf")
+                    ),
+                )
+            )
         if t == "documents":
             weird = spark.createDataFrame(
                 [
