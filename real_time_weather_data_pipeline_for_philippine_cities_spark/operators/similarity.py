@@ -339,7 +339,43 @@ def ann_lsh_topk_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_tables: int = 1,
 ) -> str:
+    if n_tables > 1:
+        # OR-amplified twin of the multi-table Spark path: per-table
+        # bucket ids, candidates = union of per-(table, bucket)
+        # collisions, duplicates collapsed by DISTINCT (every duplicate
+        # row scores the SAME pair on the SAME vectors, so collapsing
+        # before or after the dot is value-identical — the Spark plan
+        # collapses before for cost, the oracle after for simplicity).
+        tables = [lsh_planes(n_planes, dim, table=tb) for tb in range(n_tables)]
+        buckets = ", ".join(lsh_bucket_sql("v", tb, dim) for tb in tables)
+        return f"""
+WITH base AS (
+  SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}
+  WHERE {finite_vec_sql(emb_col, dim)}),
+normed AS (
+  SELECT vid, v, {norm_sql('v')} AS nrm, [{buckets}] AS buckets
+  FROM base),
+flat AS (
+  SELECT vid, v, nrm, CAST(i AS INTEGER) AS tbl,
+         buckets[CAST(i AS INTEGER)] AS bucket
+  FROM normed, range(1, {n_tables + 1}) t(i)),
+q AS (
+  SELECT vid AS query_id, v AS qv, nrm AS qn, tbl, bucket
+  FROM flat WHERE {query_pred_sql}),
+scored AS (
+  SELECT DISTINCT q.query_id, n.vid AS neighbor_id,
+         round({dot_sql('q.qv', 'n.v', dim)} / (q.qn * n.nrm), 6) AS cos_sim
+  FROM flat n JOIN q ON n.tbl = q.tbl AND n.bucket = q.bucket
+  WHERE n.vid <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
     planes = lsh_planes(n_planes, dim)
     return f"""
 WITH base AS (

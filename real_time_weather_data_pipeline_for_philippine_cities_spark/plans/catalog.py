@@ -48,102 +48,58 @@ for _mod_name in (
 # whose plan was edited this round — a green row for the OLD plan proves
 # nothing about the new one, and the artifact files can't see the diff.
 _PLAN_CHANGED: list[str] = [
-    # round 7: fuzzy probe fan-out parametrized to defaultParallelism
-    # (was a literal 32 — identical plan on this host, but the operator
-    # internals moved: round-6 verdict #3) and the rebuilt local relation
-    # now derives the probe column's type from the probe schema (round-6
-    # advice). Cheap re-proof.
-    "fuzzy_name_match",
-    # round 7: bounded_key_cutoff drops NULL keys before the top-k and
-    # raises on duplicate keys at the cap boundary (round-6 advice) — the
-    # probe job feeding this entry's `<= cutoff` bound changed.
-    "near_dup_embeddings",
-    # round 7: scd2_apply_write's promote rewritten from read-and-rewrite
-    # to O(1) directory renames (round-6 verdict #4) + remote-scheme
-    # rejection (round-6 advice). The merge plan itself is unchanged, but
-    # re-prove the catalog entry under the reworked module.
-    "scd2_apply",
-    # round 7: the sf10 strict sweep caught pricing_summary's raw-double
-    # money sums drifting a last cent at ~54M rows/group — both money
-    # aggregates and avg_disc now accumulate exact integer units (cents /
-    # 1e-4 units), oracle mirrored; hourly_window_agg's sum_value got the
-    # identical fix preemptively (same class, one decade of headroom).
-    "pricing_summary",
-    "hourly_window_agg",
-    # round 7: NULL-robustness sweep — the injectable fetchers now mirror
-    # the reference's no-result geocode path ({} instead of crashing on a
-    # NULL name), and near_dup's pairing excludes NULL vectors up front
-    # (the SQL twin's threshold predicate already dropped them). Outputs
-    # bitwise-identical on real data at sf0.01/sf1; re-proof is free —
-    # this entry was already in the stale-rotation window.
-    "weather_pipeline_e2e",
-    # round 7: weird-content sweep — empty documents crashed the quality
-    # ratio expressions under ANSI (length 0 divisor; nullif guard added
-    # on BOTH engines), and ragged/NaN embedding vectors crashed the
-    # Arrow cosine kernels (per-length sub-blocks now mirror the SQL
-    # twin's NULL-dot drop). Values identical on real data, but these
-    # plans/oracles changed textually:
-    "quality_score",
+    # round 8, tie-margin batch: every inventoried round-on-raw-ratio site
+    # (BASELINE.md "Tie-margin audit") now quantizes through the exact
+    # integer-space template (functions/rounding.py round_div), and the
+    # generic-double histogram edges through the new IEEE-identical
+    # quantize_double template. quality_features' three ratios moved to
+    # the same template, which textually changes every consumer.
     "quality_filter",
+    "quality_score",
     "token_budget_select",
     "curation_funnel",
-    "embedding_decontam",
-    # round 7: the 2^61-key probe showed the packed argmax encodings
-    # (value*ID_CAP - id) silently MIS-RANK when ids exceed the cap —
-    # the worst failure class. In-plan assert_id_domain guards added
-    # (plans/base.py): breach now raises with a dense_ids re-key hint.
-    "inverted_index_stats",
-    "canonical_doc_assign",
-    # round 7: the sf10 sweep also caught unigram_logprob rounding a raw
-    # double division at a true half-case (-8.1276605 split across
-    # engines at the 6th decimal) — final quantization now happens in
-    # exact integer space (half-away-from-zero integer division), oracle
-    # mirrored.
-    "unigram_logprob",
-    # round 7, temporal-extremes sweep: every epoch-seconds conversion
-    # rewritten to an exact integer floor on BOTH engines.
-    # unix_timestamp truncates toward zero (a -1 µs timestamp bucketed
-    # to 0 instead of -1) and the oracles' floor(epoch(ts)) double loses
-    # microseconds at year-9999 magnitude (.999999 rounds into the NEXT
-    # second). Now: Spark CAST(ts AS LONG) (true micros floorDiv) /
-    # DuckDB epoch(date_trunc('second', ts)) (exact integer < 2^53),
-    # with pmod/div for the resample bucket quotient.
-    "epoch_roundtrip",
-    "resample_interpolate",
-    "trailing_hour_stats",
-    # round 7, degenerate-parity sweep (bitwise oracle parity on the
-    # empty/all-NULL/weird/dup/2^61 fixtures — the survive-only sweeps'
-    # .count() probe let Catalyst PRUNE poisoned expressions, hiding
-    # that one NaN metric row ANSI-aborted every micro-quantization
-    # under real materialization). Two shared contracts landed:
-    # finite()/finite_pred (non-finite metric = missing, plans/base.py)
-    # across the events.value surface, and finite_vec_pred (well-formed
-    # vector = full-dim + all-finite, operators/similarity.py) across
-    # the embedding-geometry surface; plus per-query NULL-semantics
-    # mirrors (null-skip concat_ws dedup key, '' string_agg identity,
-    # NULL-text -> no fingerprint/cluster/shingles, NULL media -> NULL
-    # features, unknown revenue unrankable, violation counts total).
-    "sessionize_events",
-    "cube_event_stats",
-    "percentiles_by_type",
-    "moving_avg_7d",
-    "event_value_outliers",
-    "mad_outliers",
-    "quantile_sketch",
-    "winsorized_stats",
-    "numeric_histogram",
-    "dq_checks",
-    "embedding_cosine_topk",
-    "ann_lsh_cosine",
-    "ivf_cosine_topk",
-    "embedding_quantize_error",
-    "embedding_norm_outliers",
-    "doc_fingerprint",
-    "dedup_exact",
-    "types_per_user_stragg",
     "substring_dup_spans",
+    "vocab_coverage",
+    "ngram_novelty",
+    "mixture_drift",
+    "dataset_split",
+    "rare_category_collapse",
+    "tfidf_top_terms",
+    "numeric_histogram",
+    "shingle_containment",
+    "small_qty_avg_yearly",
+    "incremental_near_dup",
+    # round 8, finite() money contract: the weird-content sweep now
+    # carries NaN/Inf money rows; these 8 aborted on
+    # CAST(round(NaN*100) AS BIGINT) (or floor(NaN)) and now treat
+    # non-finite money as missing on both engines. pricing_summary also
+    # carries three tie-margin ratio conversions (sum_disc_price,
+    # avg_qty, avg_disc).
+    "pricing_summary",
+    "promo_revenue_share",
     "revenue_gini",
-    "multimodal_features",
+    "rollup_revenue",
+    "salted_skew_join_agg",
+    "significant_part_types",
+    "top_revenue_supplier",
+    "project_rename_cast",
+    # + the two whose fixture rows happened to be predicate-excluded but
+    # carry the identical abort pattern — guarded proactively:
+    "nation_trade_volume",
+    "disjunctive_brand_revenue",
+    # round 8, advice: ann_lsh_topk's Spark ingestion now applies the dim
+    # constraint its oracle always had (a finite ragged vector could
+    # previously reach top-k via bucket 0 Spark-side only).
+    "ann_lsh_cosine",
+    # NOT force-fronted, deliberately: the four dim-less finite_vec
+    # consumers (embedding_cosine_topk, near_dup_embeddings,
+    # embedding_norm_outliers, embedding_decontam) gained the size>0
+    # clause on BOTH engines this round — value-identical on any corpus
+    # without zero-length vectors, re-proven bitwise in the committed
+    # strict sweeps at HEAD and exercised by the degenerate fixtures
+    # (which carry empty vectors). Their driver rows are r7; the four
+    # window slots this frees complete the r4 stale rotation, the round-8
+    # verdict's item 2. The rotation auto-fronts them next round.
 ]
 
 

@@ -403,8 +403,9 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
+                    # finite() money contract (round-8 money sweep)
                     F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        finite(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
                     ).cast("bigint")
                 )
                 / 100.0
@@ -414,10 +415,11 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRADE_VOLUME_SQL = """
+_TRADE_VOLUME_SQL = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
-       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+       sum(CAST(round(({finite_sql('l.l_extendedprice * (1 - l.l_discount)')}) * 100)
+                AS BIGINT))
          / 100.0 AS volume
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -464,8 +466,9 @@ def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(branch1 | branch2 | branch3).agg(
         (
             F.sum(
+                # finite() money contract (round-8 money sweep)
                 F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    finite(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
                 ).cast("bigint")
             )
             / 100.0
@@ -474,8 +477,9 @@ def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DISJUNCTIVE_SQL = """
-SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+_DISJUNCTIVE_SQL = f"""
+SELECT sum(CAST(round(({finite_sql('l_extendedprice * (1 - l_discount)')}) * 100)
+                AS BIGINT))
          / 100.0 AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey

@@ -766,7 +766,12 @@ def test_pricing_summary_money_sums_are_integer_space(spark, sf_dir):
     # three integer-unit money sums: base price (cents), disc price
     # (1e-4 units), discount (1e-2 units) — all bigint partial sums
     assert plan.count("as bigint)") >= 6, plan[:2000]  # partial+final x3
-    assert "partial_sum(cast(round(" in plan, plan[:2000]
+    # since the round-8 money contract each quantization sits inside the
+    # finite() CASE guard: partial_sum(case when not isnan(...) ...
+    # round(...) as bigint); the integer-space shape is the bigint casts
+    # plus round() still inside the partial aggregate
+    assert "partial_sum(CASE WHEN (NOT isnan(" in plan, plan[:2000]
+    assert "round(" in plan, plan[:2000]
     # still ONE exchange (partial agg below it), pushed shipdate filter
     assert plan.count("Exchange") == 1
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan

@@ -59,20 +59,20 @@ ROOT = os.path.join(
 LEDGER: list[tuple[str, str, str, str]] = [
     # ---- safe-subgrid ----
     ("relational_queries.py", "F.round(F.sum(\"l_quantity\"),2)", "safe-subgrid", "integral-double sum @2dp"),
-    ("relational_queries.py", "F.round(F.sum(F.round(F.col(\"l_extendedprice\")*100).cast(\"bigint\"))/100.0,2", "safe-subgrid", "cents/100 @2dp"),
+    ("relational_queries.py", "F.round(F.sum(F.round(finite(\"l_extendedprice\")*100).cast(\"bigint\"))/100.0,2", "safe-subgrid", "cents/100 @2dp"),
     ("relational_queries.py", "F.round(F.sum(F.round(finite(\"value\")*100).cast(\"bigint\"))/100.0,2", "safe-subgrid", "cents/100 @2dp"),
     ("relational_queries.py", "F.round(F.coalesce(\"acctbal\",F.lit(0.0)),2)", "safe-subgrid", "2-dp money grid @2dp"),
     ("relational_queries.py", "F.round(F.col(\"c_acctbal\")+F.when(F.col(\"c_custkey\")%7==0,F.lit(100.0))", "safe-subgrid", "2-dp grid + exact 100 @2dp"),
     # ---- safe-0dp: integer quantization (money cents / micro units) ----
     ("warehouse_queries.py", "F.round(expr*100)", "safe-0dp", "_cents helper"),
     ("warehouse_queries.py", "p_retailprice\")*F.col(\"l_quantity\")*60", "safe-0dp", "profit cost cents"),
-    ("subquery_queries.py", "*(1-F.col(\"l_discount\"))*100)", "safe-0dp", "revenue cents"),
-    ("subquery_queries.py", "F.round(F.col(\"p_retailprice\")*100)", "safe-0dp", "retail cents"),
-    ("relational_queries.py", "F.round(F.col(\"l_extendedprice\")*100)", "safe-0dp", "price cents"),
+    ("subquery_queries.py", "finite(F.col(\"l_extendedprice\")*(1-F.col(\"l_discount\")))*100", "safe-0dp", "revenue cents (finite-guarded)"),
+    ("subquery_queries.py", "F.round(finite(\"p_retailprice\")*100)", "safe-0dp", "retail cents (finite-guarded)"),
+    ("relational_queries.py", "F.round(finite(\"l_extendedprice\")*100)", "safe-0dp", "price cents (finite-guarded)"),
     ("relational_queries.py", "F.round(finite(\"value\")*100)", "safe-0dp", "metric cents"),
     ("relational_queries.py", "l_extendedprice\")*(1-F.col(\"l_discount\"))*100", "safe-0dp", "revenue cents"),
-    ("relational_queries.py", "F.round(F.col(\"o_totalprice\")*100)", "safe-0dp", "order cents"),
-    ("timeseries_queries.py", "F.round(F.col(\"o_totalprice\")*100)", "safe-0dp", "order cents"),
+    ("relational_queries.py", "finite(F.col(\"l_extendedprice\")*(1-F.col(\"l_discount\")))*100", "safe-0dp", "revenue cents (finite-guarded)"),
+    ("relational_queries.py", "F.round(finite(\"o_totalprice\")*100)", "safe-0dp", "order cents (finite-guarded)"),
     ("timeseries_queries.py", "F.round(F.col(\"value\")*100)", "safe-0dp", "metric cents"),
     ("timeseries_queries.py", "F.round(finite(\"value\")*1000000)", "safe-0dp", "metric micros"),
     ("timeseries_queries.py", "F.round(F.col(\"value\")*1000000)", "safe-0dp", "metric micros"),
