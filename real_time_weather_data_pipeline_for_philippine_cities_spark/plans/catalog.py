@@ -91,7 +91,13 @@ _PLAN_CHANGED: list[str] = [
     # constraint its oracle always had (a finite ragged vector could
     # previously reach top-k via bucket 0 Spark-side only).
     "ann_lsh_cosine",
-    # NOT force-fronted, deliberately: the four dim-less finite_vec
+    # NOT force-fronted, deliberately: part_basket_triangles and
+    # multimodal_features changed ORACLE-side only this round (the sf10
+    # retirement rewrites — linearized basket pairs / row-local byte
+    # histogram); old-vs-new oracle equality is pinned in DuckDB itself by
+    # tests/test_oracle_linearization.py and the new twins are
+    # strict-proven at HEAD, so their window slots go to the rotation.
+    # Likewise the four dim-less finite_vec
     # consumers (embedding_cosine_topk, near_dup_embeddings,
     # embedding_norm_outliers, embedding_decontam) gained the size>0
     # clause on BOTH engines this round — value-identical on any corpus

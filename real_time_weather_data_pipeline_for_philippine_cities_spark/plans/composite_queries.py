@@ -210,7 +210,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixed-width hex encoding (substr pairs, ordering by hex == ordering by
 # byte value), entropy as a sequential fold over ascending byte values with
 # libm log2 — the identical accumulation contract the Python UDF uses.
-_MULTIMODAL_SQL = """
+#: Per-byte-unnest form, kept ONLY as the ground-truth reference for
+#: tests/test_oracle_linearization.py (it OOM'd DuckDB at sf10 on the
+#: ~1e9-row non-spillable unnest — see the row-local _MULTIMODAL_SQL
+#: below, which replaced it as the strict-sweep oracle in round 8).
+_MULTIMODAL_SQL_BRUTE = """
 WITH b AS (
   SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
   FROM documents),
@@ -232,6 +236,43 @@ ent AS (
   SELECT doc_id,
          round(list_reduce(list_concat([0.0], ts), (acc, x) -> acc + x), 6) AS e
   FROM terms)
+SELECT d.doc_id,
+       'image' AS media_type,
+       'fake'  AS format,
+       octet_length(encode(d.text)) AS n_bytes,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(ent.e, 0.0) END AS byte_entropy,
+       CAST(('0x' || substr(md5(d.text), 1, 15)) AS BIGINT) AS checksum
+FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+"""
+
+
+# The byte histogram is ROW-LOCAL (list_aggregate 'histogram' over the
+# per-doc hex-pair list) instead of a corpus-wide per-byte unnest: at
+# sf10 the unnest materialized ~1e9 rows on a non-spillable path and
+# OOM'd DuckDB (the former measured exclusion). Entropy folds over the
+# SAME byte-ascending term order (list_sort of the map entries == the
+# old ORDER BY bh ASC), so the doubles are bit-identical — old-vs-new
+# DuckDB equality pinned by tests/test_oracle_linearization.py.
+_MULTIMODAL_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents),
+hist AS (
+  SELECT doc_id, n,
+         list_sort(map_entries(list_aggregate(
+           list_transform(range(0, CAST(n AS INTEGER)),
+                          i -> substr(h, CAST(2 * i + 1 AS INTEGER), 2)),
+           'histogram'))) AS ents
+  FROM b WHERE n > 0),
+ent AS (
+  SELECT doc_id,
+         round(list_reduce(list_concat([0.0],
+           list_transform(ents, e ->
+             -((CAST(e.value AS DOUBLE) / CAST(n AS DOUBLE))
+               * log2(CAST(e.value AS DOUBLE) / CAST(n AS DOUBLE))))),
+           (acc, x) -> acc + x), 6) AS e
+  FROM hist)
 SELECT d.doc_id,
        'image' AS media_type,
        'fake'  AS format,

@@ -828,7 +828,11 @@ def q_part_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRIANGLES_SQL = f"""
+#: The textbook self-join form, kept ONLY as the ground-truth reference
+#: for tests/test_oracle_linearization.py (it spilled past free disk at
+#: sf10 — see the linearized _TRIANGLES_SQL below, which replaced it as
+#: the strict-sweep oracle in round 8).
+_TRIANGLES_SQL_BRUTE = f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 keep AS (
   SELECT l_orderkey FROM li
@@ -843,6 +847,38 @@ pairs AS (
 edges AS (
   SELECT x, y FROM pairs
   GROUP BY x, y HAVING count(*) >= {MIN_SUPPORT})
+SELECT 'n_nodes' AS metric, CAST(count(*) AS BIGINT) AS n_value
+FROM (SELECT x AS n FROM edges UNION SELECT y FROM edges)
+UNION ALL
+SELECT 'n_edges', CAST(count(*) AS BIGINT) FROM edges
+UNION ALL
+SELECT 'n_triangles', CAST(count(*) AS BIGINT)
+FROM edges e1
+JOIN edges e2 ON e1.y = e2.x
+JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y
+"""
+
+
+# Edge generation is LINEARIZED like the engine's (per-basket packed-key
+# list comprehension) instead of the textbook li2xli2 self-join: at sf10
+# the join materialization spilled past the host's free disk (the former
+# measured exclusion), while the basket form streams one BIGINT pk per
+# in-basket pair into a spillable group-by. Old-vs-new DuckDB equality is
+# pinned by tests/test_oracle_linearization.py (edges identical by
+# construction: baskets are sorted distinct part sets, so (p, q) with
+# p < q enumerates exactly the a.l_partkey < b.l_partkey pairs).
+_TRIANGLES_SQL = f"""
+WITH baskets AS (
+  SELECT list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+  HAVING count(DISTINCT l_partkey) BETWEEN 2 AND {MAX_BASKET}),
+pairs AS (
+  SELECT unnest(flatten(list_transform(parts, (p, i) ->
+           list_transform(parts[i + 1:], q -> p * 4294967296 + q)))) AS pk
+  FROM baskets),
+edges AS (
+  SELECT pk // 4294967296 AS x, pk % 4294967296 AS y
+  FROM pairs GROUP BY pk HAVING count(*) >= {MIN_SUPPORT})
 SELECT 'n_nodes' AS metric, CAST(count(*) AS BIGINT) AS n_value
 FROM (SELECT x AS n FROM edges UNION SELECT y FROM edges)
 UNION ALL

@@ -110,3 +110,65 @@ def test_linearized_on_planted_adversarial_docs(tmp_path):
     assert (1, 2) in found
     loose = {(a, b) for a, b, _ in c.execute(allpairs_jaccard_sql(threshold=0.5)).fetchall()}
     assert (1, 3) in loose and (2, 3) in loose
+
+
+# -- round-8 sf10 exclusion retirements -------------------------------------
+
+@pytest.fixture(scope="module")
+def con_li():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'")
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return c
+
+
+def test_triangles_linearized_equals_selfjoin(con_li):
+    """The basket-list pair comprehension (the sf10-affordable oracle)
+    must produce the identical census as the textbook li2 x li2 self-join
+    (which spilled past free disk at sf10)."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.subquery_queries import (
+        _TRIANGLES_SQL,
+        _TRIANGLES_SQL_BRUTE,
+    )
+
+    brute = _rows(con_li, _TRIANGLES_SQL_BRUTE)
+    linear = _rows(con_li, _TRIANGLES_SQL)
+    assert brute and any(r[1] > 0 for r in brute)  # non-degenerate graph
+    assert linear == brute
+
+
+def test_multimodal_rowlocal_histogram_equals_unnest(con_li):
+    """The row-local list_aggregate histogram (the sf10-affordable oracle)
+    must be bitwise-identical to the per-byte unnest form (which OOM'd
+    DuckDB at sf10), including the empty-text entropy-0.0 and NULL-text
+    NULL-features rows."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.composite_queries import (
+        _MULTIMODAL_SQL,
+        _MULTIMODAL_SQL_BRUTE,
+    )
+
+    brute = _rows(con_li, _MULTIMODAL_SQL_BRUTE)
+    linear = _rows(con_li, _MULTIMODAL_SQL)
+    assert brute
+    assert linear == brute
+
+
+def test_multimodal_rowlocal_histogram_degenerate_texts():
+    """Empty / whitespace / unicode / NULL texts through BOTH multimodal
+    oracle forms — the shapes the weird-content fixture carries."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.composite_queries import (
+        _MULTIMODAL_SQL,
+        _MULTIMODAL_SQL_BRUTE,
+    )
+
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, ''), (2, '   '), (3, NULL), (4, 'aaaa'), "
+        "(5, '\U0001f600 éè中文'), (6, chr(10) || chr(10))"
+        ") t(doc_id, text)"
+    )
+    brute = _rows(c, _MULTIMODAL_SQL_BRUTE)
+    linear = _rows(c, _MULTIMODAL_SQL)
+    assert len(brute) == 6
+    assert linear == brute
