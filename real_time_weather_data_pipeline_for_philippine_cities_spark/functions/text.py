@@ -163,6 +163,61 @@ def quality_features(text_sql: str = "text") -> dict[str, Column]:
     }
 
 
+#: output column names attach_quality_features appends, in order.
+QUALITY_FEATURE_COLS = ("n_tokens", "ttr", "stop_ratio", "punct_ratio", "quality")
+
+
+def attach_quality_features(df, text_sql: str = "text"):
+    """Append the quality-feature columns via STAGED projections so the
+    tokenize chain evaluates ONCE per row.
+
+    Why not one projection (``quality_features``): the integer-space
+    round_div template references its operands ~5x and the composite
+    re-embeds all three ratio fragments, and Catalyst's codegen
+    subexpression elimination does not cover the higher-order-function
+    lambdas inside ``filter``/``array_distinct`` — a single projection
+    re-runs split()/lower() per textual reference (measured 1.34x on
+    quality_score at sf0.1, round-8 bench scan). Staging computes the
+    five integer counts once, the ratios over those named columns, and
+    the composite over the named ratios; CollapseProject keeps the
+    stages apart because the shared sub-expressions are non-cheap and
+    multiply-referenced. Values are identical to ``quality_features``
+    by construction (same fragments over the same integers) and pinned
+    by tests/test_functions.py.
+    """
+    from pyspark.sql import functions as _F
+
+    from .rounding import round_div
+
+    toks = tokens_spark_sql(text_sql)
+    counts = df.select(
+        "*",
+        _F.expr(f"size({toks})").alias("__q_nt"),
+        _F.expr(f"size(array_distinct({toks}))").alias("__q_nd"),
+        _F.expr(_stopword_count_spark_sql(toks, STOPWORDS["en"])).alias("__q_ns"),
+        _F.expr(
+            f"length(regexp_replace({text_sql}, '[A-Za-z0-9 ]', ''))"
+        ).alias("__q_np"),
+        _F.expr(f"nullif(length({text_sql}), 0)").alias("__q_nc"),
+    )
+    ratios = counts.select(
+        "*",
+        round_div("__q_nd", "__q_nt", 4).alias("ttr"),
+        round_div("__q_ns", "__q_nt", 4).alias("stop_ratio"),
+        round_div("__q_np", "__q_nc", 4).alias("punct_ratio"),
+    )
+    return ratios.select(
+        "*",
+        _F.col("__q_nt").alias("n_tokens"),
+        _F.round(
+            0.4 * _F.col("ttr")
+            + 0.4 * _F.col("stop_ratio")
+            + 0.2 * (1 - _F.col("punct_ratio")),
+            4,
+        ).alias("quality"),
+    ).drop("__q_nt", "__q_nd", "__q_ns", "__q_np", "__q_nc")
+
+
 def quality_features_sql(expr: str) -> dict[str, str]:
     from .rounding import oracle_round_div
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import oracle_round_div, round_div
-from ..functions.text import quality_features, quality_features_sql, tokens_spark_sql
+from ..functions.text import attach_quality_features, quality_features_sql
 from ..operators.similarity import (
     _fold_sum_duck,
     _fold_sum_spark,
@@ -444,20 +444,18 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff no rule fires, and ``reasons`` says exactly which fired (bit i =
     QUALITY_RULES[i]). Pure map-side codegen expressions, scan-scaling."""
     docs = spread(t(spark, sf_dir, "documents"))
-    qf = quality_features("text")
+    # staged attach: tokenize once per row (see attach_quality_features).
     # mean_tok_len is an integer ratio (n_chars / n_tokens) quantized at
     # 4 dp through the exact integer-space template (tie-margin batch,
     # round 8) — round() on the raw double was a per-landed-half engine
     # lottery, the class the sf1/sf10 strict sweeps caught 7 times.
-    base = docs.select(
+    base = attach_quality_features(docs).select(
         "doc_id",
-        qf["n_tokens"].alias("n_tokens"),
-        qf["ttr"].alias("ttr"),
-        qf["stop_ratio"].alias("stop_ratio"),
-        qf["punct_ratio"].alias("punct_ratio"),
-        round_div("n_chars", f"size({tokens_spark_sql('text')})", 4).alias(
-            "mean_tok_len"
-        ),
+        "n_tokens",
+        "ttr",
+        "stop_ratio",
+        "punct_ratio",
+        round_div("n_chars", "n_tokens", 4).alias("mean_tok_len"),
     )
     flags = [
         F.col("n_tokens") < 10,

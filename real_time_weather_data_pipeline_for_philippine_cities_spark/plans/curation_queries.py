@@ -672,12 +672,13 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = spread(t(spark, sf_dir, "documents"))
-    feats = T.quality_features("text")
+    # staged attach: tokenize once per row (see attach_quality_features)
     d = (
-        docs.select(
+        T.attach_quality_features(docs)
+        .select(
             "doc_id",
-            feats["quality"].alias("quality"),
-            feats["n_tokens"].cast("long").alias("w"),
+            "quality",
+            F.col("n_tokens").cast("long").alias("w"),
         )
         .withColumn("qk", F.round(F.col("quality") * 10000, 0).cast("long"))
         .withColumn("qb", F.expr(f"qk div {QBUCKET}"))
@@ -755,16 +756,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_domain_cap_sample``'s. Every output is an exact integer.
     """
     docs = spread(t(spark, sf_dir, "documents"))
-    feats = T.quality_features("text")
-    base = docs.select(
+    # staged attach: tokenize once per row (see attach_quality_features)
+    base = T.attach_quality_features(docs).select(
         "doc_id",
         "source",
         F.md5("text").alias("h"),
         F.md5(
             F.concat(F.lit(DOMAIN_CAP_SALT), F.col("doc_id").cast("string"))
         ).alias("hk"),
-        feats["n_tokens"].cast("long").alias("w"),
-        feats["quality"].alias("q"),
+        F.col("n_tokens").cast("long").alias("w"),
+        F.col("quality").alias("q"),
     ).withColumn("qp", F.col("q") >= FUNNEL_QUALITY_MIN)
     w_dup = Window.partitionBy("h", "qp").orderBy("doc_id")
     base = base.withColumn(

@@ -422,9 +422,11 @@ FROM documents
 
 # -- quality scoring -------------------------------------------------------
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # staged attach: tokenize once per row (see attach_quality_features)
     docs = spread(t(spark, sf_dir, "documents"))
-    feats = T.quality_features("text")
-    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+    return T.attach_quality_features(docs).select(
+        "doc_id", *T.QUALITY_FEATURE_COLS
+    )
 
 
 _QUALITY_SQL = (

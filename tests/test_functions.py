@@ -165,3 +165,26 @@ def test_zorder_layout_tightens_chunk_bounding_boxes(spark):
     assert max_span(rm, "y") == side  # row-major never skips on y
     assert max_span(zm, "y") <= side // 2  # z-order: every chunk y-bounded
     assert max_span(zm, "x") <= side // 2  # ...and x-bounded
+
+
+def test_attach_quality_features_equals_single_projection(spark):
+    """The staged attach (counts -> ratios -> composite; tokenize once per
+    row) must be value-identical to the single-projection reference
+    quality_features — same fragments over the same integers."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.text import (
+        QUALITY_FEATURE_COLS,
+        attach_quality_features,
+        quality_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    qf = quality_features("text")
+    single = docs.select(
+        "doc_id", *[qf[n].alias(n) for n in QUALITY_FEATURE_COLS]
+    ).orderBy("doc_id")
+    staged = (
+        attach_quality_features(docs)
+        .select("doc_id", *QUALITY_FEATURE_COLS)
+        .orderBy("doc_id")
+    )
+    assert staged.collect() == single.collect()

@@ -81,6 +81,7 @@ LEDGER: list[tuple[str, str, str, str]] = [
     ("curation_queries.py", "F.round(F.col(\"quality\")*10000,0)", "safe-0dp", "quality key micro-units"),
     # ---- safe-proven ----
     ("functions/text.py", "F.round(0.4*ttr+0.4*stop_ratio+0.2*(1-punct_ratio),4)", "safe-proven", "even-in-1e-5 composite; tie arithmetically impossible (see inline proof)"),
+    ("functions/text.py", "F.round(0.4*_F.col(\"ttr\")+0.4*_F.col(\"stop_ratio\")+0.2*(1-_F.col(\"punct_ratio\")),4,)", "safe-proven", "same composite, staged-attach form (same proof)"),
     # ---- stream-internal (no DuckDB oracle on these surfaces) ----
     ("streaming/windows.py", "F.round(F.min(value_col),2)", "stream-internal", "windowed min"),
     ("streaming/windows.py", "F.round(F.max(value_col),2)", "stream-internal", "windowed max"),
