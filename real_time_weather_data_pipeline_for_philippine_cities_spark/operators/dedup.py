@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_PRIME, minhash_coefficients
+from ..functions.rounding import oracle_round_div, round_div
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -178,12 +179,13 @@ def minhash_near_dup_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.size(F.array_intersect(F.col("ha.hs"), F.col("hb.hs")))
-                / F.size(F.array_union(F.col("ha.hs"), F.col("hb.hs"))),
-                4,
-            ).alias("jaccard"),
+            # name the counts first: the exact-integer tie template
+            # references its numerator several times, and a named column
+            # evaluates the intersection once
+            F.size(F.array_intersect(F.col("ha.hs"), F.col("hb.hs"))).alias("inter"),
+            F.size(F.array_union(F.col("ha.hs"), F.col("hb.hs"))).alias("uni"),
         )
+        .select("doc_a", "doc_b", round_div("inter", "uni", 4).alias("jaccard"))
     )
     return pairs.filter(F.col("jaccard") >= threshold)
 
@@ -221,13 +223,16 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id),
-pairs AS (
+counted AS (
   SELECT doc_a, doc_b,
-         round(len(list_intersect(ha.hs, hb.hs))::DOUBLE
-               / len(list_distinct(list_concat(ha.hs, hb.hs))), 4) AS jaccard
+         len(list_intersect(ha.hs, hb.hs)) AS inter,
+         len(list_distinct(list_concat(ha.hs, hb.hs))) AS uni
   FROM cand
   JOIN hashes ha ON ha.doc_id = doc_a
-  JOIN hashes hb ON hb.doc_id = doc_b)
+  JOIN hashes hb ON hb.doc_id = doc_b),
+pairs AS (
+  SELECT doc_a, doc_b, {oracle_round_div('inter', 'uni', 4)} AS jaccard
+  FROM counted)
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 """
 
@@ -910,7 +915,13 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter / (F.col("sza") + F.col("szb") - inter), 4).alias("jaccard"),
+            inter.alias("inter"),
+            (F.col("sza") + F.col("szb")).alias("szsum"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            round_div("inter", "szsum - inter", 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -987,7 +998,13 @@ def allpairs_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter / (F.col("ha.sz") + F.col("hb.sz") - inter), 4).alias("jaccard"),
+            inter.alias("inter"),
+            (F.col("ha.sz") + F.col("hb.sz")).alias("szsum"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            round_div("inter", "szsum - inter", 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -1014,13 +1031,16 @@ base AS (
   SELECT doc_id, {shingle_hash_sql('t', n)} AS hs
   FROM toks WHERE len(t) >= {n}),
 sized AS (SELECT doc_id, hs, len(hs) AS sz FROM base),
-pairs AS (
+counted AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(len(list_intersect(a.hs, b.hs))::DOUBLE
-               / (a.sz + b.sz - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
+         len(list_intersect(a.hs, b.hs)) AS inter,
+         a.sz + b.sz AS szsum
   FROM sized a JOIN sized b
     ON a.doc_id < b.doc_id
-   AND least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz))
+   AND least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz)),
+pairs AS (
+  SELECT doc_a, doc_b, {oracle_round_div('inter', 'szsum - inter', 4)} AS jaccard
+  FROM counted)
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 """
 
@@ -1060,14 +1080,16 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
   WHERE least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz)),
-pairs AS (
+counted AS (
   SELECT doc_a, doc_b,
-         round(len(list_intersect(ha.hs, hb.hs))::DOUBLE
-               / (ha.sz + hb.sz - len(list_intersect(ha.hs, hb.hs))), 4)
-           AS jaccard
+         len(list_intersect(ha.hs, hb.hs)) AS inter,
+         ha.sz + hb.sz AS szsum
   FROM cand
   JOIN sized ha ON ha.doc_id = doc_a
-  JOIN sized hb ON hb.doc_id = doc_b)
+  JOIN sized hb ON hb.doc_id = doc_b),
+pairs AS (
+  SELECT doc_a, doc_b, {oracle_round_div('inter', 'szsum - inter', 4)} AS jaccard
+  FROM counted)
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 """
 
@@ -1099,12 +1121,15 @@ sized AS (
 probes AS (
   SELECT doc_id, hs, sz, bucket + d AS bucket
   FROM sized, (SELECT unnest([-1, 0, 1]) AS d)),
-pairs AS (
+counted AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(len(list_intersect(a.hs, b.hs))::DOUBLE
-               / (a.sz + b.sz - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
+         len(list_intersect(a.hs, b.hs)) AS inter,
+         a.sz + b.sz AS szsum
   FROM sized a JOIN probes b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-  WHERE least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz))
+  WHERE least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz)),
+pairs AS (
+  SELECT doc_a, doc_b, {oracle_round_div('inter', 'szsum - inter', 4)} AS jaccard
+  FROM counted)
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 """
 
@@ -1148,13 +1173,15 @@ cand AS (
   FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
   WHERE abs(a.bucket - b.bucket) <= 1
     AND least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz)),
-pairs AS (
+counted AS (
   SELECT doc_a, doc_b,
-         round(len(list_intersect(ha.hs, hb.hs))::DOUBLE
-               / (ha.sz + hb.sz - len(list_intersect(ha.hs, hb.hs))), 4)
-           AS jaccard
+         len(list_intersect(ha.hs, hb.hs)) AS inter,
+         ha.sz + hb.sz AS szsum
   FROM cand
   JOIN sized ha ON ha.doc_id = doc_a
-  JOIN sized hb ON hb.doc_id = doc_b)
+  JOIN sized hb ON hb.doc_id = doc_b),
+pairs AS (
+  SELECT doc_a, doc_b, {oracle_round_div('inter', 'szsum - inter', 4)} AS jaccard
+  FROM counted)
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 """

@@ -24,6 +24,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import oracle_quantize_double, quantize_double
+
 
 def _fold_sum_spark(arr_expr: str) -> str:
     return f"aggregate({arr_expr}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -90,8 +92,17 @@ def norm_sql(vec_col: str = "v") -> str:
     return f"sqrt({_fold_sum_duck(f'list_transform({vec_col}, x -> x * x)')})"
 
 
+def dot_spark(a: str, b: str) -> str:
+    """Spark-SQL snippet form of the dot product — the string the
+    quantize_double template needs (tie-margin audit, round 9: the
+    cosine rounds moved from plain 6-dp rounding to the engine-identical
+    half-away template so a cosine landing on a 6-dp half cannot split
+    the engines)."""
+    return _fold_sum_spark(f"zip_with({a}, {b}, (x, y) -> x * y)")
+
+
 def dot_col(a: str, b: str) -> Column:
-    return F.expr(_fold_sum_spark(f"zip_with({a}, {b}, (x, y) -> x * y)"))
+    return F.expr(dot_spark(a, b))
 
 
 def dot_sql(a: str, b: str, dim: int) -> str:
@@ -142,7 +153,7 @@ def cosine_topk(
             (F.col("vid") != F.col("query_id"))
             & (F.size(F.col("v")) == F.size(F.col("qv"))),
         )
-        .withColumn("cos_sim", F.round(dot_col("qv", "v") / (F.col("qn") * F.col("nrm")), 6))
+        .withColumn("cos_sim", quantize_double(dot_spark("qv", "v") + " / (qn * nrm)", 6))
         .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -167,7 +178,7 @@ q AS (
   SELECT vid AS query_id, v AS qv, nrm AS qn FROM normed WHERE {query_pred_sql}),
 scored AS (
   SELECT q.query_id, n.vid AS neighbor_id,
-         round({dot_sql('q.qv', 'n.v', dim)} / (q.qn * n.nrm), 6) AS cos_sim
+         {oracle_quantize_double(dot_sql('q.qv', 'n.v', dim) + ' / (q.qn * n.nrm)', 6)} AS cos_sim
   FROM normed n CROSS JOIN q
   WHERE n.vid <> q.query_id AND len(n.v) = len(q.qv)),
 ranked AS (
@@ -283,7 +294,7 @@ def ann_lsh_topk(
         scored = (
             base.join(q, "bucket")
             .filter(F.col("vid") != F.col("query_id"))
-            .withColumn("cos_sim", F.round(dot_col("qv", "v") / (F.col("qn") * F.col("nrm")), 6))
+            .withColumn("cos_sim", quantize_double(dot_spark("qv", "v") + " / (qn * nrm)", 6))
             .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
         )
     else:
@@ -323,7 +334,7 @@ def ann_lsh_topk(
         scored = (
             cand.withColumn(
                 "cos_sim",
-                F.round(dot_col("qv", "v") / (F.col("qn") * F.col("nrm")), 6),
+                quantize_double(dot_spark("qv", "v") + " / (qn * nrm)", 6),
             )
             .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
         )
@@ -366,7 +377,7 @@ q AS (
   FROM flat WHERE {query_pred_sql}),
 scored AS (
   SELECT DISTINCT q.query_id, n.vid AS neighbor_id,
-         round({dot_sql('q.qv', 'n.v', dim)} / (q.qn * n.nrm), 6) AS cos_sim
+         {oracle_quantize_double(dot_sql('q.qv', 'n.v', dim) + ' / (q.qn * n.nrm)', 6)} AS cos_sim
   FROM flat n JOIN q ON n.tbl = q.tbl AND n.bucket = q.bucket
   WHERE n.vid <> q.query_id),
 ranked AS (
@@ -390,7 +401,7 @@ q AS (
   FROM normed WHERE {query_pred_sql}),
 scored AS (
   SELECT q.query_id, n.vid AS neighbor_id,
-         round({dot_sql('q.qv', 'n.v', dim)} / (q.qn * n.nrm), 6) AS cos_sim
+         {oracle_quantize_double(dot_sql('q.qv', 'n.v', dim) + ' / (q.qn * n.nrm)', 6)} AS cos_sim
   FROM normed n JOIN q ON n.bucket = q.bucket
   WHERE n.vid <> q.query_id),
 ranked AS (
@@ -580,7 +591,7 @@ def ivf_topk(
     scored = (
         base.join(q, "bucket")
         .filter(F.col("vid") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(dot_col("qu", "u"), 6))
+        .withColumn("cos_sim", quantize_double(dot_spark("qu", "u"), 6))
         .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -638,7 +649,7 @@ qprobe AS (
   WHERE {query_pred_sql}),
 scored AS (
   SELECT q.query_id, a.vid AS neighbor_id,
-         round({dot_sql('q.qu', 'a.u', dim)}, 6) AS cos_sim
+         {oracle_quantize_double(dot_sql('q.qu', 'a.u', dim), 6)} AS cos_sim
   FROM assigned a JOIN (SELECT * FROM qprobe WHERE pr <= {n_probe}) q
     ON a.bucket = q.bucket
   WHERE a.vid <> q.query_id),
@@ -954,7 +965,7 @@ def near_dup_pairs_cosine_blocked(
     )
     return (
         verified.withColumn(
-            "cos_sim", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+            "cos_sim", quantize_double("dot / (na * nb)", 6)
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
@@ -988,7 +999,7 @@ def near_dup_pairs_cosine(
         a.join(b, F.col("a.vid") < F.col("b.vid"))
         .withColumn(
             "cos_sim",
-            F.round(dot_col("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")), 6),
+            quantize_double(dot_spark("a.v", "b.v") + " / (a.nrm * b.nrm)", 6),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"), "cos_sim")
@@ -1011,7 +1022,7 @@ WITH base AS (
 normed AS (
   SELECT vid, v, {norm_sql('v')} AS nrm FROM base)
 SELECT a.vid AS vec_a, b.vid AS vec_b,
-       round({dot_sql('a.v', 'b.v', dim)} / (a.nrm * b.nrm), 6) AS cos_sim
+       {oracle_quantize_double(dot_sql('a.v', 'b.v', dim) + ' / (a.nrm * b.nrm)', 6)} AS cos_sim
 FROM normed a JOIN normed b ON a.vid < b.vid AND len(a.v) = len(b.v)
-WHERE round({dot_sql('a.v', 'b.v', dim)} / (a.nrm * b.nrm), 6) >= {threshold}
+WHERE {oracle_quantize_double(dot_sql('a.v', 'b.v', dim) + ' / (a.nrm * b.nrm)', 6)} >= {threshold}
 """

@@ -141,9 +141,7 @@ def q_segment_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_segments",
             "dup_segments",
-            F.round(
-                F.col("dup_segments").cast("double") / F.col("n_segments"), 6
-            ).alias("dup_fraction"),
+            round_div("dup_segments", "n_segments", 6).alias("dup_fraction"),
         )
     )
 
@@ -159,7 +157,7 @@ roll AS (
            AS dup_segments
   FROM per_dh JOIN per_h USING (h) GROUP BY doc_id)
 SELECT doc_id, n_segments, dup_segments,
-       round(CAST(dup_segments AS DOUBLE) / n_segments, 6) AS dup_fraction
+       {oracle_round_div('dup_segments', 'n_segments', 6)} AS dup_fraction
 FROM roll
 """
 

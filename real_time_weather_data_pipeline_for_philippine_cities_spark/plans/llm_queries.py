@@ -325,9 +325,7 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         F.when(
             F.col("n_grams") > 0,
-            F.round(
-                (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams"), 6
-            ),
+            round_div("n_grams - n_distinct", "n_grams", 6),
         )
         .otherwise(F.lit(0.0))
         .alias("repetition_ratio"),
@@ -345,7 +343,7 @@ base AS (
   FROM toks)
 SELECT doc_id, n_grams, n_distinct,
        CASE WHEN n_grams > 0
-            THEN round((n_grams - n_distinct) / CAST(n_grams AS DOUBLE), 6)
+            THEN {oracle_round_div('n_grams - n_distinct', 'n_grams', 6)}
             ELSE 0.0 END AS repetition_ratio
 FROM base
 """

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import oracle_quantize_double, quantize_double
+from ..functions.rounding import (
+    oracle_quantize_double,
+    oracle_round_div,
+    quantize_double,
+    round_div,
+)
 from .base import Q, finite, finite_pred, t
 
 #: Profiled columns of `events`: (name, is_numeric)
@@ -580,18 +585,14 @@ def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_keys"),
                 F.sum("fanout").alias("n_rows"),
                 F.max("fanout").alias("max_fanout"),
-                F.round(F.expr("percentile(fanout, 0.99)"), 4).alias("p99_fanout"),
+                quantize_double("percentile(fanout, 0.99)", 4).alias("p99_fanout"),
             ).select(
                 F.lit(label).alias("join_key"),
                 "n_keys",
                 "n_rows",
                 "max_fanout",
                 "p99_fanout",
-                F.round(
-                    (F.col("max_fanout") * F.col("n_keys")).cast("double")
-                    / F.col("n_rows"),
-                    4,
-                ).alias("skew_ratio"),
+                round_div("max_fanout * n_keys", "n_rows", 4).alias("skew_ratio"),
             )
         )
     df = outs[0]
@@ -608,8 +609,8 @@ SELECT '{label}' AS join_key,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(fanout) AS BIGINT) AS n_rows,
        max(fanout) AS max_fanout,
-       round(quantile_cont(fanout, 0.99), 4) AS p99_fanout,
-       round(CAST(max(fanout) * count(*) AS DOUBLE) / sum(fanout), 4)
+       {oracle_quantize_double('quantile_cont(fanout, 0.99)', 4)} AS p99_fanout,
+       {oracle_round_div('max(fanout) * count(*)', 'sum(fanout)', 4)}
          AS skew_ratio
 FROM (SELECT CAST(count(*) AS BIGINT) AS fanout FROM {tbl} GROUP BY {col})""")
     return " UNION ALL ".join(parts) + "\nORDER BY join_key"
@@ -776,8 +777,8 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tie at that value into the clipped count (caught by the sf1 strict
     # sweep: 227.40999999999997 vs 227.41 moved 10 rows).
     bounds = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.01)"), 6).alias("p01"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        quantize_double("percentile(value, 0.01)", 6).alias("p01"),
+        quantize_double("percentile(value, 0.99)", 6).alias("p99"),
     )
     clamped = ev.join(F.broadcast(bounds), "event_type").select(
         "event_type",
@@ -793,18 +794,18 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("value") != F.col("wvalue")).cast("long")).alias(
                 "clipped_n"
             ),
-            F.round(F.avg("value"), 4).alias("raw_mean"),
-            F.round(F.avg("wvalue"), 4).alias("winsorized_mean"),
+            quantize_double("avg(value)", 4).alias("raw_mean"),
+            quantize_double("avg(wvalue)", 4).alias("winsorized_mean"),
         )
         .orderBy("event_type")
     )
 
 
-_WINSORIZED_SQL = """
+_WINSORIZED_SQL = f"""
 WITH b AS (
   SELECT event_type,
-         round(quantile_cont(value, 0.01), 6) AS p01,
-         round(quantile_cont(value, 0.99), 6) AS p99
+         {oracle_quantize_double('quantile_cont(value, 0.01)', 6)} AS p01,
+         {oracle_quantize_double('quantile_cont(value, 0.99)', 6)} AS p99
   FROM events WHERE isfinite(value) GROUP BY 1),
 c AS (
   SELECT e.event_type, e.value,
@@ -815,8 +816,8 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN value <> wvalue THEN 1 ELSE 0 END) AS BIGINT)
          AS clipped_n,
-       round(avg(value), 4) AS raw_mean,
-       round(avg(wvalue), 4) AS winsorized_mean
+       {oracle_quantize_double('avg(value)', 4)} AS raw_mean,
+       {oracle_quantize_double('avg(wvalue)', 4)} AS winsorized_mean
 FROM c GROUP BY 1 ORDER BY 1
 """
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import oracle_round_div, round_div
-from .base import Q, finite, finite_sql, spread, t
+from .base import Q, finite, finite_pred, finite_spark_sql, finite_sql, spread, t
 
 
 # -- EXISTS: late-shipment priority census (TPC-H Q4 shape) -----------------
@@ -85,12 +85,26 @@ def q_cold_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
+    # threshold as an exact cents ratio (tie-margin audit, round 9): the
+    # 2-dp money grid makes avg() a sum_cents/(100n) rational that CAN
+    # land on a rounding half; quantize it in integer space on both
+    # engines. finite() rides along per the money contract.
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.round(F.avg("c_acctbal"), 2).alias("bal_threshold"))
+        .agg(
+            round_div(
+                "sum(CAST(round(" + finite_spark_sql("c_acctbal") + " * 100) AS BIGINT))",
+                "100 * count(" + finite_spark_sql("c_acctbal") + ")",
+                2,
+            ).alias("bal_threshold")
+        )
     )
+    # finite() money contract: a NaN/Inf balance row is MISSING, not a
+    # job abort — without this, NaN sorts above the (now finite)
+    # threshold on BOTH engines and poisons the decimal cents cast.
     return (
-        cust.join(F.broadcast(avg_bal))
+        cust.filter(finite_pred("c_acctbal"))
+        .join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("bal_threshold"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_nationkey")
@@ -104,13 +118,17 @@ def q_cold_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COLD_CUST_SQL = """
+_COLD_CUST_SQL = f"""
 SELECT c_nationkey,
        count(*) AS numcust,
        CAST(sum(CAST(c_acctbal * 100 AS DECIMAL(38,0))) / 100.0 AS DOUBLE)
          AS totacctbal
 FROM customer c
-WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+WHERE isfinite(c.c_acctbal)
+  AND c.c_acctbal > (SELECT {oracle_round_div(
+        "sum(CAST(round((" + finite_sql('c_acctbal') + ") * 100) AS BIGINT))",
+        "100 * count(" + finite_sql('c_acctbal') + ")",
+        2)} FROM customer
                      WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
@@ -313,22 +331,45 @@ def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.round(F.percent_rank().over(w), 6).alias("bal_percentile"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
-        F.ntile(10).over(w).alias("bal_decile"),
+    wp = Window.partitionBy("c_mktsegment")
+    # tie-margin audit (round 9): with singleton peer groups
+    # percent_rank ≡ (rn-1)/(n-1) and cume_dist ≡ rn/n — materialize the
+    # integer rank/count and quantize through the exact-integer template
+    # so a ratio landing on a 6-dp half cannot split the engines. The
+    # single-row-partition case (percent_rank = 0) is made explicit.
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+            F.ntile(10).over(w).alias("bal_decile"),
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.when(F.col("n") > 1, round_div("rn - 1", "n - 1", 6))
+            .otherwise(F.lit(0.0))
+            .alias("bal_percentile"),
+            round_div("rn", "n", 6).alias("bal_cume_dist"),
+            "bal_decile",
+        )
     )
 
 
-_RANK_SUITE_SQL = """
+_RANK_SUITE_SQL = f"""
 SELECT c_custkey, c_mktsegment,
-       round(percent_rank() OVER w, 6) AS bal_percentile,
-       round(cume_dist()    OVER w, 6) AS bal_cume_dist,
-       ntile(10)            OVER w     AS bal_decile
-FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+       CASE WHEN n > 1 THEN {oracle_round_div('rn - 1', 'n - 1', 6)}
+            ELSE 0.0 END AS bal_percentile,
+       {oracle_round_div('rn', 'n', 6)} AS bal_cume_dist,
+       bal_decile
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n,
+         ntile(10) OVER w AS bal_decile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)) s
 """
 
 

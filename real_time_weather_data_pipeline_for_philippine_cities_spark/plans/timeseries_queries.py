@@ -11,6 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import (
+    oracle_quantize_double,
+    oracle_round_div,
+    quantize_double,
+    round_div,
+)
 from ..operators.rangejoin import point_in_interval_join
 from ..operators.timeseries import asof_join_backward, session_stats
 from .base import Q, finite, finite_pred, finite_sql, t
@@ -153,18 +159,20 @@ def q_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finite_pred: Spark and DuckDB place NaN differently inside ordinal
     # statistics — non-finite values are missing by contract.
     ev = t(spark, sf_dir, "events").filter(finite_pred("value"))
+    # interpolated percentiles are generic doubles: quantize through the
+    # engine-identical half-away template, not F.round (tie-margin audit)
     return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        quantize_double("percentile(value, 0.5)", 4).alias("p50"),
+        quantize_double("percentile(value, 0.95)", 4).alias("p95"),
+        quantize_double("percentile(value, 0.99)", 4).alias("p99"),
     )
 
 
-_PERCENTILES_SQL = """
+_PERCENTILES_SQL = f"""
 SELECT event_type,
-       round(quantile_cont(value, 0.5), 4)  AS p50,
-       round(quantile_cont(value, 0.95), 4) AS p95,
-       round(quantile_cont(value, 0.99), 4) AS p99
+       {oracle_quantize_double('quantile_cont(value, 0.5)', 4)}  AS p50,
+       {oracle_quantize_double('quantile_cont(value, 0.95)', 4)} AS p95,
+       {oracle_quantize_double('quantile_cont(value, 0.99)', 4)} AS p99
 FROM events WHERE isfinite(value)
 GROUP BY event_type
 """
@@ -969,13 +977,13 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "value")
     )
     med = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+        quantize_double("percentile(value, 0.5)", 6).alias("med")
     )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "ad", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+        quantize_double("percentile(ad, 0.5)", 6).alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -991,13 +999,15 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MAD_SQL = """
+_MAD_SQL = f"""
 WITH ev AS (SELECT event_type, value FROM events WHERE isfinite(value)),
-med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+med AS (SELECT event_type,
+               {oracle_quantize_double('quantile_cont(value, 0.5)', 6)} AS med
         FROM ev GROUP BY event_type),
 dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
         FROM ev e JOIN med m USING (event_type)),
-mad AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+mad AS (SELECT event_type,
+               {oracle_quantize_double('quantile_cont(ad, 0.5)', 6)} AS mad
         FROM dev GROUP BY event_type)
 SELECT d.event_type, d.med, m.mad,
        CAST(count(*) AS BIGINT) AS n_events,

@@ -74,6 +74,7 @@ LEDGER: list[tuple[str, str, str, str]] = [
     ("relational_queries.py", "finite(F.col(\"l_extendedprice\")*(1-F.col(\"l_discount\")))*100", "safe-0dp", "revenue cents (finite-guarded)"),
     ("relational_queries.py", "F.round(finite(\"o_totalprice\")*100)", "safe-0dp", "order cents (finite-guarded)"),
     ("timeseries_queries.py", "F.round(F.col(\"value\")*100)", "safe-0dp", "metric cents"),
+    ("timeseries_queries.py", "F.round(finite(\"o_totalprice\")*100)", "safe-0dp", "order cents (finite-guarded; was mislabeled by the pre-round-9 catch-all)"),
     ("timeseries_queries.py", "F.round(finite(\"value\")*1000000)", "safe-0dp", "metric micros"),
     ("timeseries_queries.py", "F.round(F.col(\"value\")*1000000)", "safe-0dp", "metric micros"),
     ("timeseries_queries.py", "F.round(F.sum(\"day_cents\").over(w)/F.count", "safe-0dp", "7d MA cents (0-dp int ratio: X.5 representable, engines agree)"),
@@ -92,25 +93,14 @@ LEDGER: list[tuple[str, str, str, str]] = [
     ("corpus_queries.py", "F.round(F.expr(_fold_sum_spark(err)),6)", "risky-latent", "quantize-error doubles @6dp -> quantize_double"),
     ("corpus_queries.py", "array_max({err})", "risky-latent", "quantize-error max @6dp -> quantize_double"),
     ("corpus_queries.py", "F.log(F.sum(\"c\"))-F.sum(F.col(\"c\")*F.log(\"c\"))", "risky-latent", "token entropy @6dp -> quantize_double"),
-    ("subquery_queries.py", "F.round(F.avg(\"c_acctbal\"),2)", "risky-latent", "cents ratio @2dp -> round_div"),
     ("subquery_queries.py", "F.round(1.3*F.avg(\"o_totalprice\").over(w),4)", "risky-latent", "13*cents/(1000n) @4dp -> round_div"),
-    ("subquery_queries.py", "F.round(F.percent_rank().over(w),6)", "risky-latent", "(rank-1)/(n-1) @6dp -> round_div"),
-    ("subquery_queries.py", "F.round(F.cume_dist().over(w),6)", "risky-latent", "k/n @6dp -> round_div"),
     ("function_queries.py", "F.round(F.col(\"value\"),2)", "risky-latent", "raw double @2dp -> quantize_double"),
     ("function_queries.py", "F.round(F.col(\"value\")*2,2)", "risky-latent", "raw double @2dp -> quantize_double"),
-    ("llm_queries.py", "(F.col(\"n_grams\")-F.col(\"n_distinct\"))/F.col(\"n_grams\")", "risky-latent", "int ratio @6dp -> round_div"),
-    ("curation_queries.py", "F.col(\"dup_segments\").cast(\"double\")/F.col(\"n_segments\")", "risky-latent", "int ratio @6dp -> round_div"),
     ("curation_queries.py", "F.round(\"mean\",6)", "risky-latent", "micro-int/n ratio @6dp -> round_div"),
     ("curation_queries.py", "F.round(\"std\",6)", "risky-latent", "sqrt moment @6dp -> quantize_double"),
-    ("curation_queries.py", "F.log(", "risky-latent", "PMI log @dp -> quantize_double"),
+    ("curation_queries.py", "F.round(F.log((F.col(\"c_ab\")", "risky-latent", "PMI log @dp -> quantize_double"),
     ("search_queries.py", "F.round(score,6)", "risky-latent", "bm25 double @6dp -> quantize_double"),
     ("profiling_queries.py", "_p50x", "risky-latent", "rel-err double @4dp -> quantize_double"),
-    ("profiling_queries.py", "percentile(fanout,0.99)", "risky-latent", "percentile interp @4dp -> quantize_double"),
-    ("profiling_queries.py", "F.col(\"max_fanout\")*F.col(\"n_keys\")", "risky-latent", "int ratio @4dp -> round_div"),
-    ("profiling_queries.py", "percentile(value,0.01)", "risky-latent", "winsor bound @6dp -> quantize_double"),
-    ("profiling_queries.py", "percentile(value,0.99)", "risky-latent", "winsor bound @6dp -> quantize_double"),
-    ("profiling_queries.py", "F.round(F.avg(\"value\"),4)", "risky-latent", "avg double @4dp -> quantize_double"),
-    ("profiling_queries.py", "F.round(F.avg(\"wvalue\"),4)", "risky-latent", "avg double @4dp -> quantize_double"),
     ("warehouse_queries.py", "_nat\").cast(\"double\")", "risky-latent", "cents ratio @6dp -> round_div"),
     ("warehouse_queries.py", "F.sum(\"n_transitions\").over(wrow)", "risky-latent", "int ratio @6dp -> round_div"),
     ("warehouse_queries.py", "F.first(\"n\").cast(\"double\")", "risky-latent", "test statistic @dp -> round-9 triage"),
@@ -120,10 +110,6 @@ LEDGER: list[tuple[str, str, str, str]] = [
     ("relational_queries.py", "F.round(F.max(\"value\"),2)", "risky-latent", "raw double @2dp -> quantize_double"),
     ("relational_queries.py", "F.round(F.avg(\"value\"),2)", "risky-latent", "avg double @2dp -> quantize_double"),
     ("timeseries_queries.py", "F.round(\"value\",4)", "risky-latent", "raw double @4dp -> quantize_double"),
-    ("timeseries_queries.py", "percentile(value,0.5)", "risky-latent", "percentile @dp -> quantize_double"),
-    ("timeseries_queries.py", "percentile(value,0.95)", "risky-latent", "percentile @4dp -> quantize_double"),
-    ("timeseries_queries.py", "percentile(value,0.99)", "risky-latent", "percentile @4dp -> quantize_double"),
-    ("timeseries_queries.py", "percentile(ad,0.5)", "risky-latent", "MAD percentile @6dp -> quantize_double"),
     ("timeseries_queries.py", "F.lag(\"n_events\").over(w)", "risky-latent", "pct-change ratio @2dp -> round_div"),
     ("timeseries_queries.py", "F.round(\"mean\",6)", "risky-latent", "micro-int/n @6dp -> round_div"),
     ("timeseries_queries.py", "F.round(\"std\",6)", "risky-latent", "sqrt moment @6dp -> quantize_double"),
@@ -131,14 +117,7 @@ LEDGER: list[tuple[str, str, str, str]] = [
     ("timeseries_queries.py", "F.round(F.col(\"obs_val\"),6)", "risky-latent", "interp @6dp -> quantize_double"),
     ("timeseries_queries.py", "F.round(F.col(\"next_val\"),6)", "risky-latent", "interp @6dp -> quantize_double"),
     ("timeseries_queries.py", "F.round(F.col(\"prev_val\"),6)", "risky-latent", "interp @6dp -> quantize_double"),
-    ("timeseries_queries.py", "F.round(", "risky-latent", "interp midpoint @6dp -> quantize_double"),
-    ("operators/dedup.py", "F.array_intersect(F.col(\"ha.hs\"),F.col(\"hb.hs\"))", "risky-latent", "minhash jaccard int ratio @4dp -> round_div"),
-    ("operators/dedup.py", "inter/(F.col(\"sza\")+F.col(\"szb\")-inter)", "risky-latent", "jaccard int ratio @4dp -> round_div"),
-    ("operators/dedup.py", "inter/(F.col(\"ha.sz\")+F.col(\"hb.sz\")-inter)", "risky-latent", "jaccard int ratio @4dp -> round_div"),
-    ("operators/similarity.py", "dot_col(\"qv\",\"v\")/(F.col(\"qn\")*F.col(\"nrm\"))", "risky-latent", "cosine @6dp -> quantize_double"),
-    ("operators/similarity.py", "F.round(dot_col(\"qu\",\"u\"),6)", "risky-latent", "unit-dot cosine @6dp -> quantize_double"),
-    ("operators/similarity.py", "F.col(\"dot\")/(F.col(\"na\")*F.col(\"nb\"))", "risky-latent", "cosine @6dp -> quantize_double"),
-    ("operators/similarity.py", "dot_col(\"a.v\",\"b.v\")/(F.col(\"a.nrm\")*F.col(\"b.nrm\"))", "risky-latent", "cosine @6dp -> quantize_double"),
+    ("timeseries_queries.py", "F.round(F.col(\"prev_val\")+(F.col(\"next_val\")-F.col(\"prev_val\"))*ratio", "risky-latent", "interp midpoint @6dp -> quantize_double"),
 ]
 
 
@@ -171,30 +150,55 @@ def _sites() -> list[tuple[str, int, str]]:
     return out
 
 
-def audit() -> tuple[list[tuple[str, int, str, str, str]], list[tuple[str, int, str]], list[tuple[str, str]]]:
-    """Returns (classified, unclassified, dead_rules)."""
+#: Rules expected to (first-)match MORE than one site. Any rule whose
+#: match count differs from its expectation fails the audit — so a NEW
+#: F.round site that happens to contain an existing rule's substring
+#: cannot silently inherit that rule's class (it bumps the count and the
+#: gate trips); it must be classified deliberately (round-8 advice).
+EXPECTED_MULTI: dict[tuple[str, str], int] = {
+    ("relational_queries.py", "F.round(F.col(\"c_acctbal\")+F.when(F.col(\"c_custkey\")%7==0,F.lit(100.0))"): 2,
+    ("subquery_queries.py", "finite(F.col(\"l_extendedprice\")*(1-F.col(\"l_discount\")))*100"): 3,
+    ("timeseries_queries.py", "F.round(F.col(\"value\")*100)"): 3,
+}
+
+
+def audit() -> tuple[
+    list[tuple[str, int, str, str, str]],
+    list[tuple[str, int, str]],
+    list[tuple[str, str]],
+    list[tuple[str, str, int, int]],
+]:
+    """Returns (classified, unclassified, dead_rules, miscounted_rules)."""
     sites = _sites()
     classified, unclassified = [], []
-    used = set()
+    counts: dict[int, int] = {}
     for rel, line, call in sites:
         hit = None
         for idx, (f, sub, cls, note) in enumerate(LEDGER):
             if rel.endswith(f) and re.sub(r"\s+", "", sub) in call:
                 hit = (cls, note)
-                used.add(idx)
+                counts[idx] = counts.get(idx, 0) + 1
                 break
         if hit:
             classified.append((rel, line, call[:70], hit[0], hit[1]))
         else:
             unclassified.append((rel, line, call[:120]))
     dead = [
-        (f, sub) for idx, (f, sub, _c, _n) in enumerate(LEDGER) if idx not in used
+        (f, sub)
+        for idx, (f, sub, _c, _n) in enumerate(LEDGER)
+        if idx not in counts
     ]
-    return classified, unclassified, dead
+    miscounted = []
+    for idx, (f, sub, _c, _n) in enumerate(LEDGER):
+        got = counts.get(idx, 0)
+        want = EXPECTED_MULTI.get((f, sub), 1)
+        if got and got != want:
+            miscounted.append((f, sub, want, got))
+    return classified, unclassified, dead, miscounted
 
 
 def main() -> int:
-    classified, unclassified, dead = audit()
+    classified, unclassified, dead, miscounted = audit()
     from collections import Counter
 
     by_class = Counter(c for _r, _l, _call, c, _n in classified)
@@ -209,7 +213,11 @@ def main() -> int:
         print(f"\nDEAD RULES ({len(dead)}):")
         for f, sub in dead:
             print(f"  {f}: {sub}")
-    return len(unclassified) + len(dead)
+    if miscounted:
+        print(f"\nMISCOUNTED RULES ({len(miscounted)}):")
+        for f, sub, want, got in miscounted:
+            print(f"  {f}: {sub}  expected {want}, matched {got}")
+    return len(unclassified) + len(dead) + len(miscounted)
 
 
 if __name__ == "__main__":

@@ -53,7 +53,10 @@ def _is_arrow_ns_overflow(e: Exception) -> bool:
         seen.add(id(cur))
         if "outofbounds" in type(cur).__name__.lower():
             return True
-        if "out of bounds" in str(cur).lower():
+        # Specific marker only: Spark's INVALID_ARRAY_INDEX also says
+        # "index ... is out of bounds", and that is a plan bug that must
+        # NOT route onto the schema-kind fallback (round-8 advice).
+        if "out of bounds timestamp" in str(cur).lower():
             return True
         cur = cur.__cause__ or cur.__context__
     return False
