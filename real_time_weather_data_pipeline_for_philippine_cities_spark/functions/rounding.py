@@ -132,3 +132,15 @@ def oracle_quantize_double(x_sql: str, n_dp: int) -> str:
     integral double and Spark's BIGINT convert to the same double, and at
     or above 2^53 floor is the identity on both engines)."""
     return _quantize_fragment(x_sql, n_dp)
+
+
+def quantize_domain_guard(x_sql: str, n_dp: int) -> str:
+    """Engine-identical domain gate for :func:`quantize_double` on a
+    column whose magnitude is NOT structurally bounded: values with
+    ``|x| >= 10^(18-N)`` (safely inside the ``|x|*10^N < 2^63`` BIGINT
+    box) become NULL on BOTH engines instead of Spark's floor
+    ANSI-aborting while DuckDB's DOUBLE floor sails on — one poisoned
+    but *finite* huge metric (say 1e300) must not kill the job the
+    oracle survives (round-8 advice). The guard text is identical ANSI
+    on both dialects, so wrap the snippet before EITHER template."""
+    return f"(CASE WHEN abs({x_sql}) < 1e{18 - n_dp} THEN ({x_sql}) END)"

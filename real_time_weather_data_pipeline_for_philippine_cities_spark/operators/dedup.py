@@ -912,11 +912,19 @@ def ngram_jaccard_pairs(
             ),
             "doc_b",
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("inter"),
-            (F.col("sza") + F.col("szb")).alias("szsum"),
+        # aggregate barrier, not a projection: the tie template references
+        # its integer inputs several times and the threshold filter
+        # inlines the whole expression — through a bare Project that
+        # re-evaluates the shingle intersection per reference (measured
+        # 1.9 -> 8.6 s at sf0.1). An Aggregate's outputs cannot be
+        # substituted past it, so the intersection runs ONCE per pair in
+        # the map-side partial agg; the shuffle payload is 2 keys + 2
+        # ints per candidate. (doc_a, doc_b) is already distinct, so
+        # min() is the value.
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min(inter).alias("inter"),
+            F.min(F.col("sza") + F.col("szb")).alias("szsum"),
         )
         .select(
             "doc_a",
@@ -995,11 +1003,12 @@ def allpairs_jaccard_pairs(
     return (
         cand.join(base.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
         .join(base.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("inter"),
-            (F.col("ha.sz") + F.col("hb.sz")).alias("szsum"),
+        # aggregate barrier — same reasoning as ngram_jaccard_pairs: one
+        # intersection per pair, template and filter read agg outputs.
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min(inter).alias("inter"),
+            F.min(F.col("ha.sz") + F.col("hb.sz")).alias("szsum"),
         )
         .select(
             "doc_a",

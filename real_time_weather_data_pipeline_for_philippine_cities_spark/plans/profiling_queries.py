@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import (
     oracle_quantize_double,
     oracle_round_div,
+    quantize_domain_guard,
     quantize_double,
     round_div,
 )
@@ -662,12 +663,18 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             # generic-double edges -> engine-identical half-away template
             # (tie-margin batch, round 8: round() on a raw double whose
-            # shortest repr lands on a half is a per-engine coin flip)
+            # shortest repr lands on a half is a per-engine coin flip).
+            # Domain-gated: a finite-but-huge metric (1e300) would ANSI-
+            # abort Spark's floor while DuckDB sails on — out-of-box
+            # edges are NULL on both engines instead (round-8 advice).
             quantize_double(
-                f"lo + bin * (hi - lo) / {HIST_BINS}", 6
+                quantize_domain_guard(f"lo + bin * (hi - lo) / {HIST_BINS}", 6), 6
             ).alias("bin_lo"),
             quantize_double(
-                f"lo + (bin + 1) * (hi - lo) / {HIST_BINS}", 6
+                quantize_domain_guard(
+                    f"lo + (bin + 1) * (hi - lo) / {HIST_BINS}", 6
+                ),
+                6,
             ).alias("bin_hi"),
         )
     )
@@ -696,8 +703,8 @@ binned AS (
 spine AS (
   SELECT unnest(generate_series(0, {HIST_BINS - 1})) AS bin, lo, hi FROM b)
 SELECT s.bin,
-       {oracle_quantize_double(f's.lo + s.bin * (s.hi - s.lo) / {HIST_BINS}', 6)} AS bin_lo,
-       {oracle_quantize_double(f's.lo + (s.bin + 1) * (s.hi - s.lo) / {HIST_BINS}', 6)} AS bin_hi,
+       {oracle_quantize_double(quantize_domain_guard(f's.lo + s.bin * (s.hi - s.lo) / {HIST_BINS}', 6), 6)} AS bin_lo,
+       {oracle_quantize_double(quantize_domain_guard(f's.lo + (s.bin + 1) * (s.hi - s.lo) / {HIST_BINS}', 6), 6)} AS bin_hi,
        coalesce(c.n, 0) AS n
 FROM spine s LEFT JOIN binned c USING (bin)
 ORDER BY s.bin

@@ -87,7 +87,17 @@ def _verified_pairs(cand: DataFrame, threshold: float) -> DataFrame:
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_id_a", "doc_id_b", "jaccard")
+        # canonical (least, greatest) output orientation: an epoch REPLAY
+        # re-joins its own docs against their store copies in BOTH
+        # store->new orientations; jaccard is symmetric, so canonicalized
+        # mirrors become exact duplicate rows the caller's distinct()
+        # collapses (round-8 advice). Orientation stays role-based UNTIL
+        # here because hs_b resolves from batch sigs only.
+        .select(
+            F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+            F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+            "jaccard",
+        )
     )
 
 
@@ -132,11 +142,26 @@ def neardup_epoch_fn(
             )
             pair_keys = []
             if os.path.isdir(bands_path):
+                # bands/ without sigs/ means a crash landed between the
+                # two store appends (sigs are written FIRST below, so
+                # this state should be unreachable) — fail loudly rather
+                # than silently dropping every store-vs-new match whose
+                # hs_a row is missing (round-8 advice).
+                if not os.path.isdir(sigs_path):
+                    raise RuntimeError(
+                        f"near-dup store corrupt: {bands_path} exists "
+                        f"without {sigs_path}; rebuild the store"
+                    )
                 store_bands = spark.read.parquet(bands_path)
-                # store doc vs new doc: candidate on shared band key
+                # store doc vs new doc: candidate on shared band key.
+                # On epoch REPLAY a doc already folded into the store
+                # collides with itself — the != guard keeps the
+                # self-pair (jaccard 1.0) out of matches/ (round-8
+                # advice).
                 pair_keys.append(
                     batch_bands.alias("new")
                     .join(store_bands.alias("old"), "band_key")
+                    .filter(F.col("old.doc_id") != F.col("new.doc_id"))
                     .select(
                         F.col("old.doc_id").alias("doc_id_a"),
                         F.col("new.doc_id").alias("doc_id_b"),
@@ -192,10 +217,15 @@ def neardup_epoch_fn(
             # against the pre-epoch store and re-appends the same rows
             # (duplicate matches collapse downstream; parquet appends are
             # the simple, restart-tolerant store for this local shape —
-            # a real deployment would use a transactional table format)
-            batch_bands.coalesce(4).write.mode("append").parquet(bands_path)
+            # a real deployment would use a transactional table format).
+            # SIGS BEFORE BANDS: a crash between the two appends must
+            # leave orphan sigs (harmless — never joined without a band
+            # row), never bands without their hs_a rows, which would
+            # silently drop store-vs-new matches (round-8 advice; the
+            # bands-without-sigs state also trips the loud guard above).
             # batch ids are unique here (deduped pre-hash in _signatures)
             batch_sigs.coalesce(1).write.mode("append").parquet(sigs_path)
+            batch_bands.coalesce(4).write.mode("append").parquet(bands_path)
         finally:
             sig_rows.unpersist()
 

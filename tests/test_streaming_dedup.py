@@ -180,3 +180,43 @@ def test_stream_and_batch_dedup_survivor_sets_agree(spark, tmp_path):
     assert sorted(r.text for r in stream_rows) == sorted(r.text for r in kept)
     # exactly one survivor per distinct text on both paths
     assert len(stream_rows) == len({t for _, t, _ in docs})
+
+
+def test_streaming_neardup_replay_no_self_pairs(spark, tmp_path):
+    """Epoch replay safety (round-8 advice): re-running an epoch whose
+    docs already folded into the store must not emit self-pairs from the
+    store-vs-new band join (a doc colliding with its own store copy
+    verifies at jaccard 1.0). Simulated by calling the epoch lambda twice
+    with the same batch — exactly what a post-crash foreachBatch replay
+    delivers. Also: bands/ without sigs/ (the crash window between the
+    two store appends, now ordered sigs-first) fails loudly instead of
+    silently dropping store matches."""
+    import shutil
+
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.neardup import (
+        neardup_epoch_fn,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the old river "
+            "bank while birds sing in the tall green trees above")
+    a2 = base.replace("green", "golden")
+    batch = spark.createDataFrame(
+        [(1, base), (2, a2)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "store")
+    matches = str(tmp_path / "matches")
+    epoch_fn = neardup_epoch_fn(spark, store, matches, threshold=0.5)
+
+    epoch_fn(batch, 0)
+    epoch_fn(batch, 0)  # replay: docs 1 and 2 are already in the store
+    out = spark.read.parquet(matches).collect()
+    assert not any(r.doc_id_a == r.doc_id_b for r in out), "self-pair leaked"
+    # replayed duplicates collapse to the same pair set downstream
+    assert {(r.doc_id_a, r.doc_id_b) for r in out} == {(1, 2)}
+
+    # corrupt-store guard: bands/ present without sigs/ raises
+    shutil.rmtree(str(tmp_path / "store" / "sigs"))
+    import pytest
+
+    with pytest.raises(RuntimeError, match="near-dup store corrupt"):
+        epoch_fn(batch, 1)
