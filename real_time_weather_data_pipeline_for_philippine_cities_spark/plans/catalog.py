@@ -48,65 +48,36 @@ for _mod_name in (
 # whose plan was edited this round — a green row for the OLD plan proves
 # nothing about the new one, and the artifact files can't see the diff.
 _PLAN_CHANGED: list[str] = [
-    # round 8, tie-margin batch: every inventoried round-on-raw-ratio site
-    # (BASELINE.md "Tie-margin audit") now quantizes through the exact
-    # integer-space template (functions/rounding.py round_div), and the
-    # generic-double histogram edges through the new IEEE-identical
-    # quantize_double template. quality_features' three ratios moved to
-    # the same template, which textually changes every consumer.
-    "quality_filter",
-    "quality_score",
-    "token_budget_select",
-    "curation_funnel",
-    "substring_dup_spans",
-    "vocab_coverage",
-    "ngram_novelty",
-    "mixture_drift",
-    "dataset_split",
-    "rare_category_collapse",
-    "tfidf_top_terms",
-    "numeric_histogram",
-    "shingle_containment",
-    "small_qty_avg_yearly",
-    "incremental_near_dup",
-    # round 8, finite() money contract: the weird-content sweep now
-    # carries NaN/Inf money rows; these 8 aborted on
-    # CAST(round(NaN*100) AS BIGINT) (or floor(NaN)) and now treat
-    # non-finite money as missing on both engines. pricing_summary also
-    # carries three tie-margin ratio conversions (sum_disc_price,
-    # avg_qty, avg_disc).
-    "pricing_summary",
-    "promo_revenue_share",
-    "revenue_gini",
-    "rollup_revenue",
-    "salted_skew_join_agg",
-    "significant_part_types",
-    "top_revenue_supplier",
-    "project_rename_cast",
-    # + the two whose fixture rows happened to be predicate-excluded but
-    # carry the identical abort pattern — guarded proactively:
-    "nation_trade_volume",
-    "disjunctive_brand_revenue",
-    # round 8, advice: ann_lsh_topk's Spark ingestion now applies the dim
-    # constraint its oracle always had (a finite ragged vector could
-    # previously reach top-k via bucket 0 Spark-side only).
+    # round 9, tie-margin batch 2 (verdict item 2): 25 more sites through
+    # the exact-integer / IEEE-identical templates — cosine @6dp (the
+    # whole top-k family), jaccard @4dp (with the aggregate barrier that
+    # keeps the intersection one-per-pair), percentile interpolations,
+    # percent_rank/cume_dist as explicit rn/n ratios, the cold-customer
+    # threshold as finite()-guarded cents. Oracle twins moved in the same
+    # diff; every name below is a query whose PLAN text changed.
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_allpairs_jaccard",
+    "dedup_cluster_assign",   # consumes minhash pairs on both engines
+    "pagerank_dup_graph",     # same edge source
+    "embedding_cosine_topk",
     "ann_lsh_cosine",
-    # NOT force-fronted, deliberately: part_basket_triangles and
-    # multimodal_features changed ORACLE-side only this round (the sf10
-    # retirement rewrites — linearized basket pairs / row-local byte
-    # histogram); old-vs-new oracle equality is pinned in DuckDB itself by
-    # tests/test_oracle_linearization.py and the new twins are
-    # strict-proven at HEAD, so their window slots go to the rotation.
-    # Likewise the four dim-less finite_vec
-    # consumers (embedding_cosine_topk, near_dup_embeddings,
-    # embedding_norm_outliers, embedding_decontam) gained the size>0
-    # clause on BOTH engines this round — value-identical on any corpus
-    # without zero-length vectors, re-proven bitwise in the committed
-    # strict sweeps at HEAD and exercised by the degenerate fixtures
-    # (which carry empty vectors). Their driver rows are r7; the four
-    # window slots this frees complete the r4 stale rotation, the round-8
-    # verdict's item 2. The rotation auto-fronts them next round.
+    "ann_lsh_multitable",
+    "ivf_cosine_topk",
+    "near_dup_embeddings",
+    "percentiles_by_type",
+    "mad_outliers",
+    "winsorized_stats",
+    "join_key_skew_profile",
+    "numeric_histogram",      # + quantize_domain_guard on the bin edges
+    "cold_customer_balances",
+    "window_rank_suite",
+    "repetition_score",
+    "segment_dup_fraction",
 ]
+
+# (The round-8 force-front list lived here; superseded each round — the
+# per-round sets are recorded in BASELINE.md and git history.)
 
 
 def _proof_green(rec: dict) -> bool:
