@@ -223,7 +223,7 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id),
-counted AS (
+counted AS MATERIALIZED (
   SELECT doc_a, doc_b,
          len(list_intersect(ha.hs, hb.hs)) AS inter,
          len(list_distinct(list_concat(ha.hs, hb.hs))) AS uni
@@ -1040,7 +1040,7 @@ base AS (
   SELECT doc_id, {shingle_hash_sql('t', n)} AS hs
   FROM toks WHERE len(t) >= {n}),
 sized AS (SELECT doc_id, hs, len(hs) AS sz FROM base),
-counted AS (
+counted AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.hs, b.hs)) AS inter,
          a.sz + b.sz AS szsum
@@ -1089,7 +1089,7 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
   WHERE least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz)),
-counted AS (
+counted AS MATERIALIZED (
   SELECT doc_a, doc_b,
          len(list_intersect(ha.hs, hb.hs)) AS inter,
          ha.sz + hb.sz AS szsum
@@ -1130,7 +1130,7 @@ sized AS (
 probes AS (
   SELECT doc_id, hs, sz, bucket + d AS bucket
   FROM sized, (SELECT unnest([-1, 0, 1]) AS d)),
-counted AS (
+counted AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.hs, b.hs)) AS inter,
          a.sz + b.sz AS szsum
@@ -1182,7 +1182,7 @@ cand AS (
   FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
   WHERE abs(a.bucket - b.bucket) <= 1
     AND least(a.sz, b.sz) >= {threshold} * greatest(a.sz, b.sz)),
-counted AS (
+counted AS MATERIALIZED (
   SELECT doc_a, doc_b,
          len(list_intersect(ha.hs, hb.hs)) AS inter,
          ha.sz + hb.sz AS szsum
