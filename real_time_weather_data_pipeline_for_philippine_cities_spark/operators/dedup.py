@@ -916,22 +916,30 @@ def ngram_jaccard_pairs(
         # its integer inputs several times and the threshold filter
         # inlines the whole expression — through a bare Project that
         # re-evaluates the shingle intersection per reference (measured
-        # 1.9 -> 8.6 s at sf0.1). An Aggregate's outputs cannot be
-        # substituted past it, so the intersection runs ONCE per pair in
-        # the map-side partial agg; the shuffle payload is 2 keys + 2
-        # ints per candidate. (doc_a, doc_b) is already distinct, so
-        # min() is the value.
+        # 1.9 -> 8.6 s at sf0.1). The counts must be AGG FUNCTIONS (min),
+        # not grouping keys: a filter on grouping keys is pushable below
+        # the aggregate, and Catalyst then evaluates the whole template
+        # as a join residual per joined row (measured 1.9 -> 11.6 s).
+        # min() outputs are unpushable, so the intersection runs ONCE per
+        # row map-side; identical duplicate copies (the operator's
+        # dup-safety contract) make min() exact, and count(*) + the
+        # sequence explode restore the oracle's join-multiplied multiset
+        # (duplicated-rows parity fixture).
         .groupBy("doc_a", "doc_b")
         .agg(
             F.min(inter).alias("inter"),
             F.min(F.col("sza") + F.col("szb")).alias("szsum"),
+            F.count(F.lit(1)).alias("m"),
         )
         .select(
             "doc_a",
             "doc_b",
             round_div("inter", "szsum - inter", 4).alias("jaccard"),
+            "m",
         )
         .filter(F.col("jaccard") >= threshold)
+        .withColumn("_i", F.explode(F.expr("sequence(1, m)")))
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -1004,18 +1012,24 @@ def allpairs_jaccard_pairs(
         cand.join(base.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
         .join(base.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
         # aggregate barrier — same reasoning as ngram_jaccard_pairs: one
-        # intersection per pair, template and filter read agg outputs.
+        # intersection per row via min() AGG outputs (grouping keys would
+        # let the threshold filter push below the aggregate into the join
+        # residual), count+explode restores duplicate-id multiplicity.
         .groupBy("doc_a", "doc_b")
         .agg(
             F.min(inter).alias("inter"),
             F.min(F.col("ha.sz") + F.col("hb.sz")).alias("szsum"),
+            F.count(F.lit(1)).alias("m"),
         )
         .select(
             "doc_a",
             "doc_b",
             round_div("inter", "szsum - inter", 4).alias("jaccard"),
+            "m",
         )
         .filter(F.col("jaccard") >= threshold)
+        .withColumn("_i", F.explode(F.expr("sequence(1, m)")))
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

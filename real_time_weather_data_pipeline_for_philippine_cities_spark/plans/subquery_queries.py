@@ -331,18 +331,24 @@ def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    wp = Window.partitionBy("c_mktsegment")
     # tie-margin audit (round 9): with singleton peer groups
     # percent_rank ≡ (rn-1)/(n-1) and cume_dist ≡ rn/n — materialize the
     # integer rank/count and quantize through the exact-integer template
     # so a ratio landing on a 6-dp half cannot split the engines. The
     # single-row-partition case (percent_rank = 0) is made explicit.
+    # The partition count rides the SAME ordered spec with an unbounded
+    # frame so all four functions fuse into one Window node / one
+    # exchange (test_rank_suite_single_window_exchange).
     return (
         cust.select(
             "c_custkey",
             "c_mktsegment",
             F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wp).alias("n"),
+            F.count(F.lit(1))
+            .over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+            .alias("n"),
             F.ntile(10).over(w).alias("bal_decile"),
         )
         .select(
