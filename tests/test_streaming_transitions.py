@@ -7,6 +7,8 @@ transitions that straddle micro-batch boundaries (the per-user state row).
 from __future__ import annotations
 
 import json
+import os
+import time
 
 import duckdb
 
@@ -20,6 +22,17 @@ from real_time_weather_data_pipeline_for_philippine_cities_spark.streaming.trans
 )
 
 _SCHEMA = "user_id long, ts timestamp, event_id long, event_type string"
+
+
+def _space_mtimes(*paths) -> None:
+    """FileStreamSource admits files in MODIFICATION-TIME order (ms
+    granularity); files written back-to-back can tie and then replay in
+    either order, which scrambles cross-chunk transitions (the one
+    intermittent failure of the full-suite run). Pin strictly increasing
+    mtimes so chunk order is the written order, deterministically."""
+    base = time.time() - 2 * len(paths)  # stay in the past
+    for i, p in enumerate(paths):
+        os.utime(p, (base + 2 * i, base + 2 * i))
 
 
 def _run_stream(spark, landing, sink, ckpt):
@@ -63,6 +76,7 @@ def test_boundary_transition_counted_once(spark, tmp_path):
     with open(landing / "b2.json", "w") as f:
         f.write(json.dumps({"user_id": 7, "ts": "2024-01-01T00:02:00",
                             "event_id": 3, "event_type": "c"}) + "\n")
+    _space_mtimes(landing / "b1.json", landing / "b2.json")
     sink, ckpt = tmp_path / "sink", tmp_path / "ckpt"
     _run_stream(spark, landing, sink, ckpt)
     assert _matrix_from_sink(spark, sink) == {("a", "b"): 1, ("b", "c"): 1}
@@ -90,6 +104,7 @@ def test_streaming_matrix_equals_batch_query(spark, tmp_path, sf_dir):
                     )
                     + "\n"
                 )
+    _space_mtimes(*(landing / f"chunk{i}.json" for i in range(3)))
     sink, ckpt = tmp_path / "sink", tmp_path / "ckpt"
     _run_stream(spark, landing, sink, ckpt)
     got = _matrix_from_sink(spark, sink)
