@@ -142,5 +142,14 @@ def quantize_domain_guard(x_sql: str, n_dp: int) -> str:
     ANSI-aborting while DuckDB's DOUBLE floor sails on — one poisoned
     but *finite* huge metric (say 1e300) must not kill the job the
     oracle survives (round-8 advice). The guard text is identical ANSI
-    on both dialects, so wrap the snippet before EITHER template."""
+    on both dialects, so wrap the snippet before EITHER template.
+
+    Cost contract (round-9 advice): the guard interpolates ``x_sql``
+    TWICE (the abs() test and the CASE result), and quantize_double
+    nests three more references — six total. Apply it to a NAMED
+    column (pre-project the value in a prior select / CTE, as
+    percentiles_by_type and winsorized_stats do), never to an
+    expensive inline snippet like a fold-based dot product or a raw
+    ``percentile(...)`` call, or the expression is evaluated up to six
+    times per row on engines that don't dedupe subexpressions."""
     return f"(CASE WHEN abs({x_sql}) < 1e{18 - n_dp} THEN ({x_sql}) END)"

@@ -829,6 +829,14 @@ def ngram_jaccard_pairs(
       * |A∪B| = |A|+|B|−|A∩B|: one array_intersect per surviving pair.
       * ``base`` is persisted (feeds both join sides; see
         minhash_near_dup_pairs for the re-inlining pathology).
+
+    Input contract (dup-safety): rows sharing a ``doc_id`` MUST carry
+    identical ``text``. The pair aggregation collapses candidates with a
+    min() barrier keyed on (doc_a, doc_b); duplicated ids with DIFFERING
+    text are undefined behavior — min(intersection) and min(size-sum) can
+    then combine values from different copies, emitting a jaccard that
+    matches no actual pair (silently, not loudly). Callers with
+    conflicting duplicate ids must dedup or re-key first.
     """
     from pyspark import StorageLevel
 
@@ -967,6 +975,12 @@ def allpairs_jaccard_pairs(
     keyed verification joins (strategy left to AQE: broadcast at small
     SF, shuffled hash at scale). All shuffles are keyed; nothing is
     quadratic except verified candidates.
+
+    Input contract (dup-safety): rows sharing a ``doc_id`` MUST carry
+    identical ``text`` — the min() pair-aggregation barrier assumes every
+    duplicate of a pair scores the same sets; duplicated ids with
+    differing text silently emit a jaccard matching no actual pair (see
+    ngram_jaccard_pairs for the full statement).
     """
     from pyspark import StorageLevel
 

@@ -139,6 +139,11 @@ def cosine_topk(
         # (n_queries × corpus) scoring pass uses every core.
         .repartition(F.col(id_col))
         .withColumn("nrm", norm_col("v"))
+        # nrm > 0: an all-zero vector passes finite_vec_pred but makes
+        # cos = 0/0 = NaN — Spark's quantize floor(NaN) would ANSI-abort
+        # while the DuckDB twin sails on with NaN (round-9 advice). Both
+        # twins drop zero-norm vectors, like ivf_topk already does.
+        .filter(F.col("nrm") > 0)
     )
     q = base.filter(query_pred).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
@@ -173,7 +178,8 @@ WITH base AS (
   SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}
   WHERE {finite_vec_sql(emb_col)}),
 normed AS (
-  SELECT vid, v, {norm_sql('v')} AS nrm FROM base),
+  SELECT * FROM (SELECT vid, v, {norm_sql('v')} AS nrm FROM base)
+  WHERE nrm > 0),
 q AS (
   SELECT vid AS query_id, v AS qv, nrm AS qn FROM normed WHERE {query_pred_sql}),
 scored AS (
@@ -283,6 +289,8 @@ def ann_lsh_topk(
             # Spread small-file scans so bucket scoring parallelizes.
             .repartition(F.col(id_col))
             .withColumn("nrm", norm_col("v"))
+            # zero-norm gate — see cosine_topk; both twins apply it.
+            .filter(F.col("nrm") > 0)
             .withColumn("bucket", lsh_bucket_col("v", planes))
         )
         q = base.filter(query_pred).select(
@@ -303,6 +311,8 @@ def ann_lsh_topk(
             emb.select(F.col(id_col).alias("vid"), vec_double_col(emb_col).alias("v"))
             .repartition(F.col(id_col))
             .withColumn("nrm", norm_col("v"))
+            # zero-norm gate — see cosine_topk; both twins apply it.
+            .filter(F.col("nrm") > 0)
             .withColumn(
                 "buckets", F.array(*[lsh_bucket_col("v", tb) for tb in tables])
             )
@@ -366,8 +376,9 @@ WITH base AS (
   SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}
   WHERE {finite_vec_sql(emb_col, dim)}),
 normed AS (
-  SELECT vid, v, {norm_sql('v')} AS nrm, [{buckets}] AS buckets
-  FROM base),
+  SELECT * FROM (
+    SELECT vid, v, {norm_sql('v')} AS nrm, [{buckets}] AS buckets
+    FROM base) WHERE nrm > 0),
 flat AS (
   SELECT vid, v, nrm, CAST(i AS INTEGER) AS tbl,
          buckets[CAST(i AS INTEGER)] AS bucket
@@ -393,9 +404,10 @@ WITH base AS (
   SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}
   WHERE {finite_vec_sql(emb_col, dim)}),
 normed AS (
-  SELECT vid, v, {norm_sql('v')} AS nrm,
-         {lsh_bucket_sql('v', planes, dim)} AS bucket
-  FROM base),
+  SELECT * FROM (
+    SELECT vid, v, {norm_sql('v')} AS nrm,
+           {lsh_bucket_sql('v', planes, dim)} AS bucket
+    FROM base) WHERE nrm > 0),
 q AS (
   SELECT vid AS query_id, v AS qv, nrm AS qn, bucket
   FROM normed WHERE {query_pred_sql}),
@@ -964,8 +976,17 @@ def near_dup_pairs_cosine_blocked(
         .applyInPandas(verify, schema=pairs_schema)
     )
     return (
+        # NULL-gate zero norms BEFORE quantizing: an all-zero vector
+        # passes finite_vec_pred, the kernel keeps its 0/0=NaN pair for
+        # Spark to judge, and floor(NaN) would ANSI-abort while the
+        # DuckDB twin (NaN sorts above everything) would PASS the
+        # threshold — both twins now drop zero-norm rows (round-9
+        # advice; the twin's normed CTE carries the matching nrm > 0).
         verified.withColumn(
-            "cos_sim", quantize_double("dot / (na * nb)", 6)
+            "cos_sim",
+            quantize_double(
+                "CASE WHEN na * nb > 0 THEN dot / (na * nb) END", 6
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
@@ -992,6 +1013,9 @@ def near_dup_pairs_cosine(
         # products must parallelize across cores, not run in one task.
         .repartition(F.col(id_col))
         .withColumn("nrm", norm_col("v"))
+        # zero-norm gate — see cosine_topk; keeps 0/0=NaN out of the
+        # quantize and matches the oracle's nrm > 0.
+        .filter(F.col("nrm") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = base.alias("a"), base.alias("b")
@@ -1020,7 +1044,10 @@ WITH base AS (
   WHERE {finite_vec_sql(emb_col)}
   ORDER BY vid ASC LIMIT {max_rows}),
 normed AS (
-  SELECT vid, v, {norm_sql('v')} AS nrm FROM base)
+  -- nrm > 0 AFTER the id cap: zero-norm vectors count toward the cap on
+  -- both twins (Spark's bounded_key_cutoff sees them too), then drop.
+  SELECT * FROM (SELECT vid, v, {norm_sql('v')} AS nrm FROM base)
+  WHERE nrm > 0)
 SELECT a.vid AS vec_a, b.vid AS vec_b,
        {oracle_quantize_double(dot_sql('a.v', 'b.v', dim) + ' / (a.nrm * b.nrm)', 6)} AS cos_sim
 FROM normed a JOIN normed b ON a.vid < b.vid AND len(a.v) = len(b.v)

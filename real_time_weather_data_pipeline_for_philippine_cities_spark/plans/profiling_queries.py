@@ -783,9 +783,22 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound one ulp below a heavily-tied data value silently flips every
     # tie at that value into the clipped count (caught by the sf1 strict
     # sweep: 227.40999999999997 vs 227.41 moved 10 rows).
-    bounds = ev.groupBy("event_type").agg(
-        quantize_double("percentile(value, 0.01)", 6).alias("p01"),
-        quantize_double("percentile(value, 0.99)", 6).alias("p99"),
+    # Aggregate into named columns, then guard+quantize: `value` is
+    # unbounded-magnitude, so the bounds and means need
+    # quantize_domain_guard (one huge-but-finite row would ANSI-abort
+    # Spark's floor→BIGINT while the DuckDB twin's DOUBLE floor
+    # survives — round-9 advice, same treatment as the histogram edges).
+    bounds = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.01)").alias("_p01"),
+            F.expr("percentile(value, 0.99)").alias("_p99"),
+        )
+        .select(
+            "event_type",
+            quantize_double(quantize_domain_guard("_p01", 6), 6).alias("p01"),
+            quantize_double(quantize_domain_guard("_p99", 6), 6).alias("p99"),
+        )
     )
     clamped = ev.join(F.broadcast(bounds), "event_type").select(
         "event_type",
@@ -801,31 +814,50 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("value") != F.col("wvalue")).cast("long")).alias(
                 "clipped_n"
             ),
-            quantize_double("avg(value)", 4).alias("raw_mean"),
-            quantize_double("avg(wvalue)", 4).alias("winsorized_mean"),
+            F.avg("value").alias("_rm"),
+            F.avg("wvalue").alias("_wm"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "clipped_n",
+            quantize_double(quantize_domain_guard("_rm", 4), 4).alias("raw_mean"),
+            quantize_double(quantize_domain_guard("_wm", 4), 4).alias(
+                "winsorized_mean"
+            ),
         )
         .orderBy("event_type")
     )
 
 
 _WINSORIZED_SQL = f"""
-WITH b AS (
+WITH b0 AS (
   SELECT event_type,
-         {oracle_quantize_double('quantile_cont(value, 0.01)', 6)} AS p01,
-         {oracle_quantize_double('quantile_cont(value, 0.99)', 6)} AS p99
+         quantile_cont(value, 0.01) AS _p01,
+         quantile_cont(value, 0.99) AS _p99
   FROM events WHERE isfinite(value) GROUP BY 1),
+b AS (
+  SELECT event_type,
+         {oracle_quantize_double(quantize_domain_guard('_p01', 6), 6)} AS p01,
+         {oracle_quantize_double(quantize_domain_guard('_p99', 6), 6)} AS p99
+  FROM b0),
 c AS (
   SELECT e.event_type, e.value,
          least(greatest(e.value, b.p01), b.p99) AS wvalue
   FROM events e JOIN b USING (event_type)
-  WHERE isfinite(e.value))
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CASE WHEN value <> wvalue THEN 1 ELSE 0 END) AS BIGINT)
-         AS clipped_n,
-       {oracle_quantize_double('avg(value)', 4)} AS raw_mean,
-       {oracle_quantize_double('avg(wvalue)', 4)} AS winsorized_mean
-FROM c GROUP BY 1 ORDER BY 1
+  WHERE isfinite(e.value)),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value <> wvalue THEN 1 ELSE 0 END) AS BIGINT)
+           AS clipped_n,
+         avg(value) AS _rm,
+         avg(wvalue) AS _wm
+  FROM c GROUP BY 1)
+SELECT event_type, n, clipped_n,
+       {oracle_quantize_double(quantize_domain_guard('_rm', 4), 4)} AS raw_mean,
+       {oracle_quantize_double(quantize_domain_guard('_wm', 4), 4)} AS winsorized_mean
+FROM g ORDER BY 1
 """
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import (
     oracle_quantize_double,
     oracle_round_div,
+    quantize_domain_guard,
     quantize_double,
     round_div,
 )
@@ -160,21 +161,42 @@ def q_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # statistics — non-finite values are missing by contract.
     ev = t(spark, sf_dir, "events").filter(finite_pred("value"))
     # interpolated percentiles are generic doubles: quantize through the
-    # engine-identical half-away template, not F.round (tie-margin audit)
-    return ev.groupBy("event_type").agg(
-        quantize_double("percentile(value, 0.5)", 4).alias("p50"),
-        quantize_double("percentile(value, 0.95)", 4).alias("p95"),
-        quantize_double("percentile(value, 0.99)", 4).alias("p99"),
+    # engine-identical half-away template, not F.round (tie-margin audit).
+    # Aggregate FIRST into named columns, then guard+quantize: `value` is
+    # unbounded-magnitude, so without quantize_domain_guard one huge-but-
+    # finite row (1e300 passes isfinite) makes Spark's floor→BIGINT
+    # ANSI-abort while DuckDB's DOUBLE floor returns a value (round-9
+    # advice); the named-column pre-projection keeps the guard's double
+    # interpolation of x_sql from re-evaluating the percentile.
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("_p50"),
+            F.expr("percentile(value, 0.95)").alias("_p95"),
+            F.expr("percentile(value, 0.99)").alias("_p99"),
+        )
+        .select(
+            "event_type",
+            quantize_double(quantize_domain_guard("_p50", 4), 4).alias("p50"),
+            quantize_double(quantize_domain_guard("_p95", 4), 4).alias("p95"),
+            quantize_double(quantize_domain_guard("_p99", 4), 4).alias("p99"),
+        )
     )
 
 
 _PERCENTILES_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5)  AS _p50,
+         quantile_cont(value, 0.95) AS _p95,
+         quantile_cont(value, 0.99) AS _p99
+  FROM events WHERE isfinite(value)
+  GROUP BY event_type)
 SELECT event_type,
-       {oracle_quantize_double('quantile_cont(value, 0.5)', 4)}  AS p50,
-       {oracle_quantize_double('quantile_cont(value, 0.95)', 4)} AS p95,
-       {oracle_quantize_double('quantile_cont(value, 0.99)', 4)} AS p99
-FROM events WHERE isfinite(value)
-GROUP BY event_type
+       {oracle_quantize_double(quantize_domain_guard('_p50', 4), 4)} AS p50,
+       {oracle_quantize_double(quantize_domain_guard('_p95', 4), 4)} AS p95,
+       {oracle_quantize_double(quantize_domain_guard('_p99', 4), 4)} AS p99
+FROM agg
 """
 
 
@@ -976,14 +998,26 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(finite_pred("value"))
         .select("event_type", "value")
     )
-    med = ev.groupBy("event_type").agg(
-        quantize_double("percentile(value, 0.5)", 6).alias("med")
+    # unbounded-magnitude medians: aggregate into a named column, then
+    # guard+quantize (see q_percentiles_by_type — same round-9 advice).
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("_med"))
+        .select(
+            "event_type",
+            quantize_double(quantize_domain_guard("_med", 6), 6).alias("med"),
+        )
     )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "ad", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        quantize_double("percentile(ad, 0.5)", 6).alias("mad")
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.expr("percentile(ad, 0.5)").alias("_mad"))
+        .select(
+            "event_type",
+            quantize_double(quantize_domain_guard("_mad", 6), 6).alias("mad"),
+        )
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -1001,14 +1035,18 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAD_SQL = f"""
 WITH ev AS (SELECT event_type, value FROM events WHERE isfinite(value)),
+med0 AS (SELECT event_type, quantile_cont(value, 0.5) AS _med
+         FROM ev GROUP BY event_type),
 med AS (SELECT event_type,
-               {oracle_quantize_double('quantile_cont(value, 0.5)', 6)} AS med
-        FROM ev GROUP BY event_type),
+               {oracle_quantize_double(quantize_domain_guard('_med', 6), 6)} AS med
+        FROM med0),
 dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
         FROM ev e JOIN med m USING (event_type)),
+mad0 AS (SELECT event_type, quantile_cont(ad, 0.5) AS _mad
+         FROM dev GROUP BY event_type),
 mad AS (SELECT event_type,
-               {oracle_quantize_double('quantile_cont(ad, 0.5)', 6)} AS mad
-        FROM dev GROUP BY event_type)
+               {oracle_quantize_double(quantize_domain_guard('_mad', 6), 6)} AS mad
+        FROM mad0)
 SELECT d.event_type, d.med, m.mad,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)

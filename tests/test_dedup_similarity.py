@@ -176,6 +176,45 @@ def test_blocked_near_dup_handles_more_blocks_than_rows(spark):
     assert [(r.vec_a, r.vec_b, r.cos_sim) for r in out] == [(0, 3, 1.0)]
 
 
+def test_zero_norm_vectors_dropped_not_fatal(spark):
+    """An all-zero vector is finite and well-formed per finite_vec_pred,
+    but its cosine is 0/0 = NaN — before the round-9-advice nrm > 0 gate,
+    Spark's quantize floor(NaN) ANSI-aborted the whole job while the
+    DuckDB twin sailed on (and, NaN sorting above everything there, could
+    even PASS a threshold). Every cosine surface must instead DROP
+    zero-norm rows, on both engines, and keep scoring the healthy rest."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),       # the zero vector
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),       # dup of 1 -> cos 1.0
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    topk = S.cosine_topk(emb, F.col("vid") == 1, k=3).collect()
+    assert {r.neighbor_id for r in topk} == {2, 3}  # 0 dropped, no abort
+
+    ann = S.ann_lsh_topk(emb, F.col("vid") == 1, n_planes=1, dim=4, k=3).collect()
+    assert 0 not in {r.neighbor_id for r in ann}
+
+    ann_mt = S.ann_lsh_topk(
+        emb, F.col("vid") == 1, n_planes=1, dim=4, k=3, n_tables=2
+    ).collect()
+    assert 0 not in {r.neighbor_id for r in ann_mt}
+
+    brute = S.near_dup_pairs_cosine(emb, threshold=0.5).collect()
+    assert [(r.vec_a, r.vec_b, r.cos_sim) for r in brute] == [(1, 2, 1.0)]
+
+    blocked = S.near_dup_pairs_cosine_blocked(emb, threshold=0.5, n_blocks=4).collect()
+    assert [(r.vec_a, r.vec_b, r.cos_sim) for r in blocked] == [(1, 2, 1.0)]
+
+    # query side: a zero-norm QUERY must vanish, not abort
+    empty_q = S.cosine_topk(emb, F.col("vid") == 0, k=3).collect()
+    assert empty_q == []
+
+
 def test_star_cc_equals_propagation_on_chain_and_random(spark):
     """large-star/small-star must produce identical components to the
     min-label propagator — including on a 64-node chain (diameter 63,
