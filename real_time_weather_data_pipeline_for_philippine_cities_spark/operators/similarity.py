@@ -237,10 +237,14 @@ def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
 
 
 def lsh_bucket_sql(vec_col: str, planes: list[list[float]], dim: int) -> str:
+    # list_inner_product, not the lambda fold: same ascending-index
+    # accumulation, so BITWISE-identical (the round-7 dot_sql lesson,
+    # pinned by tests/test_oracle_linearization.py) — and ~50× faster in
+    # DuckDB (measured 53.4 s -> ~1 s per table-pass at sf1; the lambda
+    # fold was the entire cost of the multi-table oracle, round 10).
     terms = []
     for p, plane in enumerate(planes):
-        prods = f"list_transform(range(1, {dim + 1}), i -> {vec_col}[i] * {_plane_array_duck(plane)}[i])"
-        dot = _fold_sum_duck(prods)
+        dot = f"list_inner_product({vec_col}, {_plane_array_duck(plane)})"
         terms.append(
             f"(CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
@@ -363,34 +367,46 @@ def ann_lsh_topk_sql(
     n_tables: int = 1,
 ) -> str:
     if n_tables > 1:
-        # OR-amplified twin of the multi-table Spark path: per-table
-        # bucket ids, candidates = union of per-(table, bucket)
-        # collisions, duplicates collapsed by DISTINCT (every duplicate
-        # row scores the SAME pair on the SAME vectors, so collapsing
-        # before or after the dot is value-identical — the Spark plan
-        # collapses before for cost, the oracle after for simplicity).
+        # OR-amplified twin of the multi-table Spark path, LINEARIZED the
+        # same way the Spark plan is (round-10; this was the last strict-
+        # ladder exclusion at sf10): candidate pairs are DEDUPED as bare
+        # (query_id, vid) keys BEFORE any scoring, then the vectors join
+        # back and each surviving pair pays its 64-dim dot exactly ONCE.
+        # The previous form evaluated the dot per duplicated collision
+        # row and DISTINCTed after — value-identical (cos is a function
+        # of the pair) but ~L× the fold work plus DISTINCT over rows
+        # carrying 64-element lists; 451.6 s at sf1, unaffordable at
+        # sf10. `flat` is also projected to (vid, tbl, bucket) only, so
+        # the collision join never materializes vectors. MATERIALIZED
+        # pins the once-per-CTE evaluation (the AS MATERIALIZED lesson
+        # from the round-9 jaccard twins).
         tables = [lsh_planes(n_planes, dim, table=tb) for tb in range(n_tables)]
         buckets = ", ".join(lsh_bucket_sql("v", tb, dim) for tb in tables)
         return f"""
 WITH base AS (
   SELECT {id_col} AS vid, {vec_double_sql(emb_col)} AS v FROM {table}
   WHERE {finite_vec_sql(emb_col, dim)}),
-normed AS (
+normed AS MATERIALIZED (
   SELECT * FROM (
     SELECT vid, v, {norm_sql('v')} AS nrm, [{buckets}] AS buckets
     FROM base) WHERE nrm > 0),
-flat AS (
-  SELECT vid, v, nrm, CAST(i AS INTEGER) AS tbl,
+flat AS MATERIALIZED (
+  SELECT vid, CAST(i AS INTEGER) AS tbl,
          buckets[CAST(i AS INTEGER)] AS bucket
   FROM normed, range(1, {n_tables + 1}) t(i)),
 q AS (
-  SELECT vid AS query_id, v AS qv, nrm AS qn, tbl, bucket
+  SELECT vid AS query_id, tbl, bucket
   FROM flat WHERE {query_pred_sql}),
-scored AS (
-  SELECT DISTINCT q.query_id, n.vid AS neighbor_id,
-         {oracle_quantize_double(dot_sql('q.qv', 'n.v', dim) + ' / (q.qn * n.nrm)', 6)} AS cos_sim
+pairs AS MATERIALIZED (
+  SELECT DISTINCT q.query_id, n.vid
   FROM flat n JOIN q ON n.tbl = q.tbl AND n.bucket = q.bucket
   WHERE n.vid <> q.query_id),
+scored AS (
+  SELECT p.query_id, p.vid AS neighbor_id,
+         {oracle_quantize_double(dot_sql('qv.v', 'nv.v', dim) + ' / (qv.nrm * nv.nrm)', 6)} AS cos_sim
+  FROM pairs p
+  JOIN normed qv ON qv.vid = p.query_id
+  JOIN normed nv ON nv.vid = p.vid),
 ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id

@@ -48,36 +48,42 @@ for _mod_name in (
 # whose plan was edited this round — a green row for the OLD plan proves
 # nothing about the new one, and the artifact files can't see the diff.
 _PLAN_CHANGED: list[str] = [
-    # round 9, tie-margin batch 2 (verdict item 2): 25 more sites through
-    # the exact-integer / IEEE-identical templates — cosine @6dp (the
-    # whole top-k family), jaccard @4dp (with the aggregate barrier that
-    # keeps the intersection one-per-pair), percentile interpolations,
-    # percent_rank/cume_dist as explicit rn/n ratios, the cold-customer
-    # threshold as finite()-guarded cents. Oracle twins moved in the same
-    # diff; every name below is a query whose PLAN text changed.
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_allpairs_jaccard",
-    "dedup_cluster_assign",   # consumes minhash pairs on both engines
-    "pagerank_dup_graph",     # same edge source
-    "embedding_cosine_topk",
-    "ann_lsh_cosine",
-    "ann_lsh_multitable",
-    "ivf_cosine_topk",
-    "near_dup_embeddings",
-    "percentiles_by_type",
-    "mad_outliers",
-    "winsorized_stats",
-    "join_key_skew_profile",
-    "numeric_histogram",      # + quantize_domain_guard on the bin edges
-    "cold_customer_balances",
-    "window_rank_suite",
-    "repetition_score",
-    "segment_dup_fraction",
+    # round 10, tie-margin FINAL batch + round-9-advice guards: the last
+    # 28 risky-latent F.round sites through the exact-integer round_div /
+    # IEEE-identical quantize_double templates (domain-guarded where the
+    # magnitude is unbounded), the nrm > 0 zero-vector gate on every
+    # cosine surface, and quantize_domain_guard on the unbounded
+    # percentile/mean quantize sites. Oracle twins moved in the same
+    # diffs; every name below is a query whose PLAN text changed.
+    "embedding_cosine_topk",     # nrm > 0 gate (both twins)
+    "ann_lsh_cosine",            # nrm > 0 gate
+    "ann_lsh_multitable",        # nrm > 0 gate
+    "near_dup_embeddings",       # oracle nrm > 0 + NULL-gated quantize
+    "percentiles_by_type",       # guard + named-column pre-projection
+    "mad_outliers",              # guard + named-column pre-projection
+    "winsorized_stats",          # guard on bounds and means
+    "asof_join",                 # value @4dp -> guarded quantize
+    "day_over_day_change",       # pct_change -> round_div
+    "event_value_outliers",      # mean -> round_div, std -> quantize
+    "ewma_per_user",             # fold -> named col + guarded quantize
+    "resample_interpolate",      # 4 interp rounds -> 1 guarded quantize
+    "market_share_by_year",      # cents ratio -> round_div
+    "event_transitions",         # share -> round_div
+    "revenue_gini",              # ratio -> named cols + quantize
+    "zipf_slope",                # fit -> named cols + quantize
+    "embedding_quantize_error",  # err folds -> guarded quantize
+    "token_entropy",             # H -> named col + quantize
+    "embedding_norm_outliers",   # mean -> round_div, std -> quantize
+    "bigram_pmi",                # pmi -> named col + quantize
+    "geocode_candidate_match",   # synth lat/lon -> guarded quantize
+    "quantile_sketch",           # rel-err -> guarded quantize
+    "daily_minmax",              # min/max/avg -> guarded quantize
+    "bm25_keyword_topk",         # score -> named col + quantize
+    "above_cust_avg_orders",     # 1.3*avg -> exact round_div threshold
 ]
 
-# (The round-8 force-front list lived here; superseded each round — the
-# per-round sets are recorded in BASELINE.md and git history.)
+# (Earlier rounds' force-front lists lived here; superseded each round —
+# the per-round sets are recorded in BASELINE.md and git history.)
 
 
 def _proof_green(rec: dict) -> bool:

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import oracle_round_div, round_div
+from ..functions.rounding import (
+    oracle_quantize_double,
+    oracle_round_div,
+    quantize_domain_guard,
+    quantize_double,
+    round_div,
+)
 from ..functions.text import attach_quality_features, quality_features_sql
 from ..operators.similarity import (
     _fold_sum_duck,
@@ -328,12 +334,21 @@ def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate(zip_with(qv, sequence(1, {EMB_DIM}), (q, i) -> q * i), "
         "CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
+    # pre-project the error folds into NAMED columns, then guarded
+    # engine-identical quantize (errors scale with the component
+    # magnitude, which is unbounded) — tie-margin audit, final batch.
     return q.select(
         "vec_id",
         F.col("s").alias("scale"),
         F.expr(checksum).alias("q_checksum"),
-        F.round(F.expr(_fold_sum_spark(err)), 6).alias("sum_abs_err"),
-        F.round(F.expr(f"array_max({err})"), 6).alias("max_abs_err"),
+        F.expr(_fold_sum_spark(err)).alias("_sae"),
+        F.expr(f"array_max({err})").alias("_mae"),
+    ).select(
+        "vec_id",
+        "scale",
+        "q_checksum",
+        quantize_double(quantize_domain_guard("_sae", 6), 6).alias("sum_abs_err"),
+        quantize_double(quantize_domain_guard("_mae", 6), 6).alias("max_abs_err"),
     )
 
 
@@ -352,14 +367,19 @@ scaled AS (
 quant AS (
   SELECT vec_id, v, s,
          list_transform(v, x -> CAST(round(x * 127.0 / s) AS BIGINT)) AS qv
-  FROM scaled WHERE s > 0)
-SELECT vec_id,
-       s AS scale,
-       CAST({_fold_sum_duck(f"list_transform(range(1, {EMB_DIM + 1}), i -> qv[i] * i)")}
-            AS BIGINT) AS q_checksum,
-       round({_fold_sum_duck(_QUANT_ERR_DUCK)}, 6) AS sum_abs_err,
-       round(list_max({_QUANT_ERR_DUCK}), 6) AS max_abs_err
-FROM quant
+  FROM scaled WHERE s > 0),
+errs AS (
+  SELECT vec_id,
+         s AS scale,
+         CAST({_fold_sum_duck(f"list_transform(range(1, {EMB_DIM + 1}), i -> qv[i] * i)")}
+              AS BIGINT) AS q_checksum,
+         {_fold_sum_duck(_QUANT_ERR_DUCK)} AS _sae,
+         list_max({_QUANT_ERR_DUCK}) AS _mae
+  FROM quant)
+SELECT vec_id, scale, q_checksum,
+       {oracle_quantize_double(quantize_domain_guard('_sae', 6), 6)} AS sum_abs_err,
+       {oracle_quantize_double(quantize_domain_guard('_mae', 6), 6)} AS max_abs_err
+FROM errs
 """
 
 
@@ -803,25 +823,37 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), " +")).alias("tok")
     )
     cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # pre-project H into a NAMED column, then engine-identical quantize
+    # (no guard: H is bounded by ln(n_tokens) << 1e14) — tie-margin
+    # audit, final batch.
     return cnt.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_unique"),
-        F.round(
-            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
-        ).alias("token_entropy"),
+        (
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+        ).alias("_h"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        quantize_double("_h", 6).alias("token_entropy"),
     )
 
 
-_TOKEN_ENTROPY_SQL = """
+_TOKEN_ENTROPY_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS tok
   FROM documents),
-cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
-SELECT doc_id,
-       CAST(sum(c) AS BIGINT) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS n_unique,
-       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
-FROM cnt GROUP BY doc_id
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+h AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_unique,
+         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS _h
+  FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_unique,
+       {oracle_quantize_double('_h', 6)} AS token_entropy
+FROM h
 """
 
 

@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..functions.rounding import oracle_round_div, round_div
+from ..functions.rounding import (
+    oracle_quantize_double,
+    oracle_round_div,
+    quantize_domain_guard,
+    quantize_double,
+    round_div,
+)
 from ..operators.relational import topk_per_group
 from ..operators.similarity import (
     _fold_sum_duck,
@@ -338,6 +344,7 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "n",
+            "su",
             (F.col("su").cast("double") / 1e6 / F.col("n")).alias("mean"),
             F.sqrt(
                 F.greatest(
@@ -357,13 +364,18 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_outliers"))
     )
+    # reported mean = su/(1e6·n) through exact round_div; std via guarded
+    # engine-identical quantize on the NAMED column (tie-margin audit,
+    # final batch — same treatment as event_value_outliers).
     return (
         stats.join(outl, "label", "left")
         .select(
             "label",
             "n",
-            F.round("mean", 6).alias("avg_norm"),
-            F.round("std", 6).alias("std_norm"),
+            round_div("su", "1000000 * n", 6).alias("avg_norm"),
+            quantize_double(quantize_domain_guard("std", 6), 6).alias(
+                "std_norm"
+            ),
             F.coalesce("n_outliers", F.lit(0).cast("long")).alias("n_outliers"),
         )
     )
@@ -376,11 +388,11 @@ WITH s AS (
          CAST(floor(sqrt({_fold_sum_duck("list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)")}) * 1e3) AS BIGINT) AS nm
   FROM embeddings WHERE {finite_vec_sql('embedding')}),
 st AS (
-  SELECT label, count(*) AS n,
+  SELECT label, count(*) AS n, CAST(sum(nu) AS BIGINT) AS sui,
          CAST(sum(nu) AS DOUBLE) AS su, CAST(sum(nm * nm) AS DOUBLE) AS sq
   FROM s GROUP BY label),
 st2 AS (
-  SELECT label, n, su / 1e6 / n AS mean,
+  SELECT label, n, sui, su / 1e6 / n AS mean,
          sqrt(greatest(sq / 1e6 / n - (su / 1e6 / n) * (su / 1e6 / n), 0.0))
            AS std
   FROM st),
@@ -389,7 +401,9 @@ o AS (
   FROM s JOIN st2 USING (label)
   WHERE abs(nm / 1e3 - mean) > 2 * std
   GROUP BY s.label)
-SELECT label, n, round(mean, 6) AS avg_norm, round(std, 6) AS std_norm,
+SELECT label, n,
+       {oracle_round_div('sui', '1000000 * n', 6)} AS avg_norm,
+       {oracle_quantize_double(quantize_domain_guard('std', 6), 6)} AS std_norm,
        CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers
 FROM st2 LEFT JOIN o USING (label)
 """
@@ -1178,21 +1192,25 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c_ab",
-            F.round(
-                F.log(
-                    (
-                        F.col("c_ab").cast("double")
-                        * F.col("n1_tot")
-                        * F.col("n1_tot")
-                    )
-                    / (
-                        F.col("n2_tot").cast("double")
-                        * F.col("c_a")
-                        * F.col("c_b")
-                    )
-                ),
-                4,
-            ).alias("pmi"),
+            # NAMED column then engine-identical quantize (no guard: PMI
+            # is a log of count ratios, |pmi| << 1e14) — tie-margin
+            # audit, final batch. Ranking runs on the QUANTIZED value on
+            # both engines, as before.
+            F.log(
+                (
+                    F.col("c_ab").cast("double")
+                    * F.col("n1_tot")
+                    * F.col("n1_tot")
+                )
+                / (
+                    F.col("n2_tot").cast("double")
+                    * F.col("c_a")
+                    * F.col("c_b")
+                )
+            ).alias("_pmi"),
+        )
+        .select(
+            "w1", "w2", "c_ab", quantize_double("_pmi", 4).alias("pmi")
         )
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOP)
@@ -1215,15 +1233,19 @@ big_all AS (
 big AS (SELECT * FROM big_all WHERE c_ab >= {PMI_MIN_COUNT}),
 tot AS (
   SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n1_tot,
-         (SELECT CAST(sum(c_ab) AS BIGINT) FROM big_all) AS n2_tot)
-SELECT b.w1, b.w2, b.c_ab,
-       round(ln((CAST(b.c_ab AS DOUBLE) * n1_tot * n1_tot)
-                / (CAST(n2_tot AS DOUBLE) * ua.c * ub.c)), 4) AS pmi
-FROM big b
-JOIN uni ua ON b.w1 = ua.w
-JOIN uni ub ON b.w2 = ub.w
-CROSS JOIN tot
-ORDER BY pmi DESC, b.w1, b.w2
+         (SELECT CAST(sum(c_ab) AS BIGINT) FROM big_all) AS n2_tot),
+raw AS (
+  SELECT b.w1, b.w2, b.c_ab,
+         ln((CAST(b.c_ab AS DOUBLE) * n1_tot * n1_tot)
+            / (CAST(n2_tot AS DOUBLE) * ua.c * ub.c)) AS _pmi
+  FROM big b
+  JOIN uni ua ON b.w1 = ua.w
+  JOIN uni ub ON b.w2 = ub.w
+  CROSS JOIN tot)
+SELECT w1, w2, c_ab,
+       {oracle_quantize_double('_pmi', 4)} AS pmi
+FROM raw
+ORDER BY pmi DESC, w1, w2
 LIMIT {PMI_TOP}
 """
 

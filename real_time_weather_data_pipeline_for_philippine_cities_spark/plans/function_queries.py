@@ -19,6 +19,11 @@ from ..functions.normalize import (
     normalize_city_name,
     strip_city_suffix,
 )
+from ..functions.rounding import (
+    oracle_quantize_double,
+    quantize_domain_guard,
+    quantize_double,
+)
 from ..operators.geocode import match_geocode_candidates
 from .base import Q, t
 
@@ -103,12 +108,14 @@ def _synth_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("value") < 80, F.lit("nan"))
         .otherwise(F.concat(F.col("event_type"), F.lit(" extra")))
         .alias("state"),
-        F.round(F.col("value"), 2).alias("lat"),
-        F.round(F.col("value") * 2, 2).alias("lon"),
+        # raw-double 2dp synth coords: engine-identical guarded quantize
+        # (cheap column snippets, so inline is fine) — tie-margin audit.
+        quantize_double(quantize_domain_guard("value", 2), 2).alias("lat"),
+        quantize_double(quantize_domain_guard("value * 2", 2), 2).alias("lon"),
     )
 
 
-_SYNTH_SQL = """
+_SYNTH_SQL = f"""
   SELECT user_id, event_id,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts ASC, event_id ASC) AS candidate_idx,
@@ -122,8 +129,8 @@ _SYNTH_SQL = """
               WHEN value < 60 THEN event_type
               WHEN value < 80 THEN 'nan'
               ELSE event_type || ' extra' END AS state,
-         round(value, 2) AS lat,
-         round(value * 2, 2) AS lon
+         {oracle_quantize_double(quantize_domain_guard('value', 2), 2)} AS lat,
+         {oracle_quantize_double(quantize_domain_guard('value * 2', 2), 2)} AS lon
   FROM events
 """
 

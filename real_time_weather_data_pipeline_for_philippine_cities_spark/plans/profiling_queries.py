@@ -379,6 +379,9 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("_p50x")
     )
+    # NAMED relative-error column, then guarded engine-identical quantize
+    # (a near-zero exact median makes the ratio unbounded) — tie-margin
+    # audit, final batch.
     return (
         sk.join(F.broadcast(counts), "event_type")
         .join(F.broadcast(exact), "event_type")
@@ -389,9 +392,20 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_est",
             "p90_est",
             "p99_est",
-            F.round(
-                F.abs(F.col("p50_est") - F.col("_p50x")) / F.abs("_p50x"), 4
-            ).alias("p50_rel_err"),
+            (F.abs(F.col("p50_est") - F.col("_p50x")) / F.abs("_p50x")).alias(
+                "_rel"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sample_k",
+            "p50_est",
+            "p90_est",
+            "p99_est",
+            quantize_double(quantize_domain_guard("_rel", 4), 4).alias(
+                "p50_rel_err"
+            ),
         )
         .orderBy("event_type")
     )
@@ -429,11 +443,15 @@ sk AS (
          max(CASE WHEN r2 = ceil(0.99 * k) THEN value END) AS p99_est
   FROM s2 GROUP BY 1),
 ex AS (SELECT event_type, quantile_cont(value, 0.5) AS p50x
-       FROM fin GROUP BY 1)
-SELECT sk.event_type, c.n, sk.sample_k, sk.p50_est, sk.p90_est, sk.p99_est,
-       round(abs(sk.p50_est - ex.p50x) / abs(ex.p50x), 4) AS p50_rel_err
-FROM sk JOIN counts c USING (event_type) JOIN ex USING (event_type)
-ORDER BY sk.event_type
+       FROM fin GROUP BY 1),
+rel AS (
+  SELECT sk.event_type, c.n, sk.sample_k, sk.p50_est, sk.p90_est, sk.p99_est,
+         abs(sk.p50_est - ex.p50x) / abs(ex.p50x) AS _rel
+  FROM sk JOIN counts c USING (event_type) JOIN ex USING (event_type))
+SELECT event_type, n, sample_k, p50_est, p90_est, p99_est,
+       {oracle_quantize_double(quantize_domain_guard('_rel', 4), 4)}
+         AS p50_rel_err
+FROM rel ORDER BY event_type
 """
 
 

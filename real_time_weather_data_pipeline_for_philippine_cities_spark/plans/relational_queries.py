@@ -19,7 +19,13 @@ from ..operators.relational import (
     symmetric_difference,
     topk_per_group,
 )
-from ..functions.rounding import oracle_round_div, round_div
+from ..functions.rounding import (
+    oracle_quantize_double,
+    oracle_round_div,
+    quantize_domain_guard,
+    quantize_double,
+    round_div,
+)
 from .base import Q, finite, finite_pred, finite_spark_sql, finite_sql, t
 
 
@@ -371,27 +377,50 @@ GROUP BY 1, 2, 3
 # -- analytics: per-type daily min/max -------------------------------------
 def q_daily_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
+    # aggregate into NAMED columns, then guarded engine-identical
+    # quantize: value is an unbounded raw double, and the guard also
+    # NULL-gates NaN/Inf identically on both engines — tie-margin audit,
+    # final batch.
     return (
         ev.filter(F.col("value").isNotNull())
         .groupBy(F.to_date("ts").alias("day"), "event_type")
         .agg(
-            F.round(F.min("value"), 2).alias("min_value"),
-            F.round(F.max("value"), 2).alias("max_value"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.min("value").alias("_mn"),
+            F.max("value").alias("_mx"),
+            F.avg("value").alias("_av"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "day",
+            "event_type",
+            quantize_double(quantize_domain_guard("_mn", 2), 2).alias(
+                "min_value"
+            ),
+            quantize_double(quantize_domain_guard("_mx", 2), 2).alias(
+                "max_value"
+            ),
+            quantize_double(quantize_domain_guard("_av", 2), 2).alias(
+                "avg_value"
+            ),
+            "n",
         )
     )
 
 
-_DAILY_SQL = """
-SELECT CAST(ts AS DATE) AS day, event_type,
-       round(min(value), 2) AS min_value,
-       round(max(value), 2) AS max_value,
-       round(avg(value), 2) AS avg_value,
-       count(*) AS n
-FROM events
-WHERE value IS NOT NULL
-GROUP BY 1, 2
+_DAILY_SQL = f"""
+WITH agg AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         min(value) AS _mn, max(value) AS _mx, avg(value) AS _av,
+         count(*) AS n
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2)
+SELECT day, event_type,
+       {oracle_quantize_double(quantize_domain_guard('_mn', 2), 2)} AS min_value,
+       {oracle_quantize_double(quantize_domain_guard('_mx', 2), 2)} AS max_value,
+       {oracle_quantize_double(quantize_domain_guard('_av', 2), 2)} AS avg_value,
+       n
+FROM agg
 """
 
 

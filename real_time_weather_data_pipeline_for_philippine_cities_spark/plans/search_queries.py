@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import oracle_quantize_double, quantize_double
 from ..functions.text import tokens, tokens_sql
 from .base import Q, spread, t
 
@@ -78,8 +79,12 @@ def q_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         denom = tf + BM25_K1 * (0.25 + BM25_B * (F.col("dl") / avgdl))
         contrib = idf * (tf * BM25_K1P1) / denom
         score = contrib if score is None else score + contrib
+    # NAMED score column then engine-identical quantize (no guard: BM25
+    # contributions are bounded rationals) — tie-margin audit, final
+    # batch. Threshold and ranking run on the QUANTIZED value, as before.
     return (
-        scored.withColumn("bm25", F.round(score, 6))
+        scored.withColumn("_score", score)
+        .withColumn("bm25", quantize_double("_score", 6))
         .filter(F.col("bm25") > 0.0)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP_K)
@@ -121,9 +126,12 @@ stats AS (
          CAST(sum(dl) AS BIGINT) AS sum_dl,
          {df_cols}
   FROM feat),
+raw AS (
+  SELECT f.doc_id, f.dl, {score} AS _score
+  FROM feat f, stats s),
 scored AS (
-  SELECT f.doc_id, f.dl, round({score}, 6) AS bm25
-  FROM feat f, stats s)
+  SELECT doc_id, dl, {oracle_quantize_double('_score', 6)} AS bm25
+  FROM raw)
 SELECT doc_id, dl, bm25 FROM scored WHERE bm25 > 0.0
 ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOP_K}
 """

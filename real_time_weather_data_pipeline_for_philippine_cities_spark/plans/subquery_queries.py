@@ -195,10 +195,18 @@ def q_above_cust_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     is summed in integer cents for cross-engine exactness.
     """
     orders = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey")
+    # threshold = 1.3 * avg = 13*cents/(1000*n) on exact integers through
+    # round_div (same window-snippet pattern as q_small_qty_revenue) —
+    # tie-margin audit, final batch.
     return (
         orders.withColumn(
-            "cust_avg", F.round(1.3 * F.avg("o_totalprice").over(w), 4)
+            "cust_avg",
+            round_div(
+                "13 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " OVER (PARTITION BY o_custkey) AS BIGINT)",
+                "1000 * count(o_totalprice) OVER (PARTITION BY o_custkey)",
+                4,
+            ),
         )
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .groupBy("o_orderpriority")
@@ -212,13 +220,15 @@ def q_above_cust_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ABOVE_AVG_SQL = """
+_ABOVE_AVG_SQL = f"""
 SELECT o_orderpriority,
        count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(38,0))) / 100.0 AS DOUBLE)
          AS total_value
 FROM orders o
-WHERE o.o_totalprice > (SELECT round(1.3 * avg(o2.o_totalprice), 4)
+WHERE o.o_totalprice > (SELECT {oracle_round_div(
+        '13 * CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)',
+        '1000 * count(o2.o_totalprice)', 4)}
                         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

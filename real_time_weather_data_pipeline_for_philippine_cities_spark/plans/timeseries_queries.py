@@ -26,8 +26,12 @@ from .base import Q, finite, finite_pred, finite_sql, t
 # -- as-of join: latest event value at-or-before each order date -----------
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    # raw-double 4dp: engine-identical quantize template, domain-guarded
+    # (value is unbounded-magnitude) — tie-margin audit, final batch.
     events = t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
-        "user_id", "ts", F.round("value", 4).alias("value")
+        "user_id",
+        "ts",
+        quantize_double(quantize_domain_guard("value", 4), 4).alias("value"),
     )
     out = asof_join_backward(
         orders, events, key="o_custkey", left_ts="o_orderdate",
@@ -36,9 +40,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_custkey", "o_orderdate", "asof_ts", "asof_value")
 
 
-_ASOF_SQL = """
+_ASOF_SQL = f"""
 WITH ev AS (
-  SELECT user_id, ts, max(round(value, 4)) AS value
+  SELECT user_id, ts,
+         max({oracle_quantize_double(quantize_domain_guard('value', 4), 4)})
+           AS value
   FROM events WHERE value IS NOT NULL GROUP BY user_id, ts)
 SELECT o_orderkey, o_custkey, o_orderdate,
        ev.ts AS asof_ts, ev.value AS asof_value
@@ -256,26 +262,27 @@ def q_day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
     w = Window.orderBy(F.col("day").asc())
-    return daily.select(
+    # pct_change is a pure integer ratio ((n - prev) * 100 / prev): the
+    # exact-integer round_div template ends the engine-dependent tie
+    # behavior of round() on the ratio double (tie-margin audit).
+    return daily.withColumn("prev", F.lag("n_events").over(w)).select(
         "day",
         "n_events",
-        (F.col("n_events") - F.lag("n_events").over(w)).alias("delta"),
-        F.round(
-            (F.col("n_events") - F.lag("n_events").over(w))
-            / F.lag("n_events").over(w) * 100.0,
-            2,
-        ).alias("pct_change"),
+        (F.col("n_events") - F.col("prev")).alias("delta"),
+        round_div("(n_events - prev) * 100", "prev", 2).alias("pct_change"),
     )
 
 
-_DOD_SQL = """
+_DOD_SQL = f"""
 WITH daily AS (
-  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1)
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1),
+lagged AS (
+  SELECT day, n_events, lag(n_events) OVER (ORDER BY day ASC) AS prev
+  FROM daily)
 SELECT day, n_events,
-       n_events - lag(n_events) OVER w AS delta,
-       round((n_events - lag(n_events) OVER w)::DOUBLE
-             / lag(n_events) OVER w * 100.0, 2) AS pct_change
-FROM daily WINDOW w AS (ORDER BY day ASC)
+       n_events - prev AS delta,
+       {oracle_round_div('(n_events - prev) * 100', 'prev', 2)} AS pct_change
+FROM lagged
 """
 
 
@@ -381,6 +388,7 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n",
+            "sv",
             (F.col("sv").cast("double") / 100 / F.col("n")).alias("mean"),
             F.sqrt(
                 F.greatest(
@@ -398,25 +406,28 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_outliers"))
     )
+    # reported mean = sv/(100n) through the exact-integer round_div
+    # template; std is a generic sqrt-moment double -> guarded quantize
+    # on the NAMED column (tie-margin audit, final batch).
     return stats.join(outl, "event_type", "left").select(
         "event_type",
         "n",
-        F.round("mean", 6).alias("mean_value"),
-        F.round("std", 6).alias("std_value"),
+        round_div("sv", "100 * n", 6).alias("mean_value"),
+        quantize_double(quantize_domain_guard("std", 6), 6).alias("std_value"),
         F.coalesce("n_outliers", F.lit(0).cast("long")).alias("n_outliers"),
     )
 
 
-_EVENT_OUTLIERS_SQL = """
+_EVENT_OUTLIERS_SQL = f"""
 WITH cents AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
   FROM events WHERE isfinite(value)),
 st AS (
-  SELECT event_type, count(*) AS n,
+  SELECT event_type, count(*) AS n, CAST(sum(vc) AS BIGINT) AS svi,
          CAST(sum(vc) AS DOUBLE) AS sv, CAST(sum(vc * vc) AS DOUBLE) AS sq
   FROM cents GROUP BY event_type),
 st2 AS (
-  SELECT event_type, n, sv / 100 / n AS mean,
+  SELECT event_type, n, svi, sv / 100 / n AS mean,
          sqrt(greatest(sq / 1e4 / n - (sv / 100 / n) * (sv / 100 / n), 0.0))
            AS std
   FROM st),
@@ -425,8 +436,9 @@ o AS (
   FROM cents c JOIN st2 USING (event_type)
   WHERE abs(vc / 100 - mean) > 3 * std
   GROUP BY c.event_type)
-SELECT event_type, n, round(mean, 6) AS mean_value,
-       round(std, 6) AS std_value,
+SELECT event_type, n,
+       {oracle_round_div('svi', '100 * n', 6)} AS mean_value,
+       {oracle_quantize_double(quantize_domain_guard('std', 6), 6)} AS std_value,
        CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers
 FROM st2 LEFT JOIN o USING (event_type)
 """
@@ -466,27 +478,36 @@ def q_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> x.value)"
         ).alias("seq")
     )
+    # pre-project the fold into a NAMED column, then guarded quantize:
+    # the EWMA is a generic unbounded double, and the guard/quantize
+    # templates reference their input multiple times (cost contract on
+    # quantize_domain_guard) — tie-margin audit, final batch.
     return per.select(
         "user_id",
         F.size("seq").cast("long").alias("n_events"),
-        F.round(
-            F.expr(
-                f"aggregate(seq, CAST(NULL AS DOUBLE), (acc, x) -> "
-                f"CASE WHEN acc IS NULL THEN x ELSE {a} * x + {b} * acc END)"
-            ),
-            6,
-        ).alias("ewma"),
+        F.expr(
+            f"aggregate(seq, CAST(NULL AS DOUBLE), (acc, x) -> "
+            f"CASE WHEN acc IS NULL THEN x ELSE {a} * x + {b} * acc END)"
+        ).alias("_ewma"),
+    ).select(
+        "user_id",
+        "n_events",
+        quantize_double(quantize_domain_guard("_ewma", 6), 6).alias("ewma"),
     )
 
 
 _EWMA_SQL = f"""
 WITH seqs AS (
   SELECT user_id, list(value ORDER BY ts, event_id) AS seq
-  FROM events WHERE value IS NOT NULL GROUP BY user_id)
-SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
-       round(list_reduce(seq, (acc, x) -> {EWMA_ALPHA} * x + {1.0 - EWMA_ALPHA} * acc), 6)
-         AS ewma
-FROM seqs
+  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+folded AS (
+  SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+         list_reduce(seq, (acc, x) -> {EWMA_ALPHA} * x + {1.0 - EWMA_ALPHA} * acc)
+           AS _ewma
+  FROM seqs)
+SELECT user_id, n_events,
+       {oracle_quantize_double(quantize_domain_guard('_ewma', 6), 6)} AS ewma
+FROM folded
 """
 
 
@@ -792,16 +813,16 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = (F.col("b") - F.col("prev_b")).cast("double") / (
         F.col("next_b") - F.col("prev_b")
     ).cast("double")
-    value_filled = (
-        F.when(F.col("obs_val").isNotNull(), F.round(F.col("obs_val"), 6))
-        .when(F.col("prev_val").isNull(), F.round(F.col("next_val"), 6))
-        .when(F.col("next_val").isNull(), F.round(F.col("prev_val"), 6))
+    # CASE first, quantize ONCE on the named result: collapsing the four
+    # per-branch F.round sites into one guarded engine-identical quantize
+    # is value-identical (the CASE picks a branch, then rounds) and ends
+    # this query's tie-margin exposure (audit, final batch).
+    value_raw = (
+        F.when(F.col("obs_val").isNotNull(), F.col("obs_val"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
         .otherwise(
-            F.round(
-                F.col("prev_val")
-                + (F.col("next_val") - F.col("prev_val")) * ratio,
-                6,
-            )
+            F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * ratio
         )
     )
     src = (
@@ -814,8 +835,15 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select(
         "user_id",
         F.timestamp_seconds(F.col("b") * RESAMPLE_BUCKET_S).alias("bucket_ts"),
-        value_filled.alias("value_filled"),
+        value_raw.alias("_vraw"),
         src.alias("src"),
+    ).select(
+        "user_id",
+        "bucket_ts",
+        quantize_double(quantize_domain_guard("_vraw", 6), 6).alias(
+            "value_filled"
+        ),
+        "src",
     )
 
 
@@ -854,20 +882,24 @@ filled AS (
     w_fwd AS (PARTITION BY user_id ORDER BY b
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
     w_bwd AS (PARTITION BY user_id ORDER BY b
-              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+raw AS (
+  SELECT user_id, b, obs_val, prev_val, next_val,
+         CASE WHEN obs_val IS NOT NULL THEN obs_val
+              WHEN prev_val IS NULL THEN next_val
+              WHEN next_val IS NULL THEN prev_val
+              ELSE prev_val + (next_val - prev_val)
+                   * (CAST(b - prev_b AS DOUBLE)
+                      / CAST(next_b - prev_b AS DOUBLE)) END AS _vraw
+  FROM filled)
 SELECT user_id,
        make_timestamp(b * {RESAMPLE_BUCKET_S} * 1000000) AS bucket_ts,
-       CASE WHEN obs_val IS NOT NULL THEN round(obs_val, 6)
-            WHEN prev_val IS NULL THEN round(next_val, 6)
-            WHEN next_val IS NULL THEN round(prev_val, 6)
-            ELSE round(prev_val + (next_val - prev_val)
-                       * (CAST(b - prev_b AS DOUBLE)
-                          / CAST(next_b - prev_b AS DOUBLE)), 6) END
+       {oracle_quantize_double(quantize_domain_guard('_vraw', 6), 6)}
          AS value_filled,
        CASE WHEN obs_val IS NOT NULL THEN 'observed'
             WHEN prev_val IS NULL OR next_val IS NULL THEN 'edge'
             ELSE 'interpolated' END AS src
-FROM filled
+FROM raw
 """
 
 

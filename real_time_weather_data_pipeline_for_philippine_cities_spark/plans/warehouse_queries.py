@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import oracle_round_div, round_div
+from ..functions.rounding import (
+    oracle_quantize_double,
+    oracle_round_div,
+    quantize_double,
+    round_div,
+)
 from .base import Q, finite, finite_sql, spread, t
 
 
@@ -165,16 +170,16 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
-            F.round(
-                F.col("_nat").cast("double") / F.col("_all").cast("double"), 6
-            ).alias("mkt_share"),
+            # exact-integer cents ratio through round_div — the last
+            # F.round-on-a-ratio in this file (tie-margin audit).
+            round_div("_nat", "_all", 6).alias("mkt_share"),
             (F.col("_all") / 100.0).alias("total_volume"),
         )
         .orderBy("o_year")
     )
 
 
-_MARKET_SHARE_SQL = """
+_MARKET_SHARE_SQL = f"""
 WITH vol AS (
   SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
          n2.n_name AS supp_nation,
@@ -189,12 +194,17 @@ WITH vol AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
   WHERE p.p_type = 'MEDIUM' AND r.r_name = 'ASIA'
-    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'),
+sums AS (
+  SELECT o_year,
+         CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END)
+              AS BIGINT) AS _nat,
+         CAST(sum(cents) AS BIGINT) AS _all
+  FROM vol GROUP BY o_year)
 SELECT o_year,
-       round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END)
-                  AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share,
-       sum(cents) / 100.0 AS total_volume
-FROM vol GROUP BY o_year ORDER BY o_year
+       {oracle_round_div('_nat', '_all', 6)} AS mkt_share,
+       _all / 100.0 AS total_volume
+FROM sums ORDER BY o_year
 """
 
 
@@ -354,20 +364,21 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
     wrow = Window.partitionBy("prev_type")
+    # share is a pure integer-count ratio: exact round_div template on the
+    # NAMED window sum (tie-margin audit, final batch).
     return (
-        trans.withColumn(
-            "share",
-            F.round(
-                F.col("n_transitions").cast("double")
-                / F.sum("n_transitions").over(wrow).cast("double"),
-                6,
-            ),
+        trans.withColumn("row_sum", F.sum("n_transitions").over(wrow))
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            round_div("n_transitions", "row_sum", 6).alias("share"),
         )
         .orderBy("prev_type", "next_type")
     )
 
 
-_EVENT_TRANSITIONS_SQL = """
+_EVENT_TRANSITIONS_SQL = f"""
 WITH s AS (
   SELECT event_type,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -376,12 +387,14 @@ WITH s AS (
 m AS (
   SELECT prev_type, event_type AS next_type,
          CAST(count(*) AS BIGINT) AS n_transitions
-  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+m2 AS (
+  SELECT prev_type, next_type, n_transitions,
+         sum(n_transitions) OVER (PARTITION BY prev_type) AS row_sum
+  FROM m)
 SELECT prev_type, next_type, n_transitions,
-       round(CAST(n_transitions AS DOUBLE) /
-             CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE),
-             6) AS share
-FROM m ORDER BY prev_type, next_type
+       {oracle_round_div('n_transitions', 'row_sum', 6)} AS share
+FROM m2 ORDER BY prev_type, next_type
 """
 
 
@@ -431,19 +444,27 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = pos.agg(
         F.count(F.lit(1)).alias("n"), F.sum("rc").alias("total_rc")
     )
+    # Aggregate the exact-integer parts into NAMED columns, then one
+    # engine-identical quantize on the ratio: numerator (decimal(38,0) /
+    # HUGEINT) and denominator cast to double identically on both engines
+    # (round-to-nearest int->double), the division is one IEEE op, and
+    # gini is bounded in [0, 1] so no domain guard is needed (tie-margin
+    # audit, final batch — this was the round-9 triage holdout).
     return (
         pos.crossJoin(F.broadcast(totals))
         .agg(
-            F.round(
-                F.sum(term).cast("double")
-                / (
-                    F.first("n").cast("double")
-                    * F.first("total_rc").cast("double")
-                ),
+            F.sum(term).alias("_num"),
+            F.first("n").alias("n_customers"),
+            F.first("total_rc").alias("_trc"),
+        )
+        .select(
+            quantize_double(
+                "CAST(_num AS DOUBLE)"
+                " / (CAST(n_customers AS DOUBLE) * CAST(_trc AS DOUBLE))",
                 6,
             ).alias("gini"),
-            F.first("n").alias("n_customers"),
-            (F.first("total_rc") / 100.0).alias("total_revenue"),
+            "n_customers",
+            (F.col("_trc") / 100.0).alias("total_revenue"),
         )
     )
 
@@ -456,13 +477,15 @@ WITH rev AS (
 p AS (
   SELECT rc, row_number() OVER (ORDER BY rc, o_custkey) AS i,
          count(*) OVER () AS n, sum(rc) OVER () AS total_rc
-  FROM rev)
-SELECT round(CAST(sum((2 * i - n - 1)::HUGEINT * rc::HUGEINT) AS DOUBLE)
-             / (CAST(any_value(n) AS DOUBLE) * CAST(any_value(total_rc) AS DOUBLE)),
-             6) AS gini,
-       CAST(any_value(n) AS BIGINT) AS n_customers,
-       any_value(total_rc) / 100.0 AS total_revenue
-FROM p
+  FROM rev),
+g AS (
+  SELECT sum((2 * i - n - 1)::HUGEINT * rc::HUGEINT) AS _num,
+         any_value(n) AS _n, any_value(total_rc) AS _trc
+  FROM p)
+SELECT {oracle_quantize_double("CAST(_num AS DOUBLE) / (CAST(_n AS DOUBLE) * CAST(_trc AS DOUBLE))", 6)} AS gini,
+       CAST(_n AS BIGINT) AS n_customers,
+       _trc / 100.0 AS total_revenue
+FROM g
 """
 
 
@@ -625,10 +648,17 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    # pre-project the fit into NAMED columns, then engine-identical
+    # quantize (no guard: log-moment magnitudes are bounded by
+    # K*ln(freq) << 1e14) — tie-margin audit, final batch.
     return stats.select(
-        F.round(slope, 4).alias("zipf_slope"),
-        F.round(intercept, 4).alias("zipf_intercept"),
+        slope.alias("_slope"),
+        intercept.alias("_icept"),
         F.col("n").cast("bigint").alias("n_terms"),
+    ).select(
+        quantize_double("_slope", 4).alias("zipf_slope"),
+        quantize_double("_icept", 4).alias("zipf_intercept"),
+        "n_terms",
     )
 
 
@@ -647,12 +677,16 @@ s AS (
          sum(ln(CAST(freq AS DOUBLE))) AS sy,
          sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS sxy,
          sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
-  FROM ranked)
-SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
-       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
-         AS zipf_intercept,
-       CAST(n AS BIGINT) AS n_terms
-FROM s
+  FROM ranked),
+fit AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS _slope,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS _icept,
+         CAST(n AS BIGINT) AS n_terms
+  FROM s)
+SELECT {oracle_quantize_double('_slope', 4)} AS zipf_slope,
+       {oracle_quantize_double('_icept', 4)} AS zipf_intercept,
+       n_terms
+FROM fit
 """
 
 

@@ -24,7 +24,12 @@ def test_every_round_site_is_classified_and_no_dead_rules():
     # silently inherited a neighbor's class (round-8 advice)
     assert not miscounted, f"rules with unexpected match counts: {miscounted}"
     # the inventory exists and covers the expected scale of the codebase
-    assert len(classified) > 50
+    # (33 sites after the round-10 batch emptied the risky-latent class —
+    # what remains is exactly the decidable-safe families)
+    assert len(classified) > 30
+    # the risky-latent class is retired for good: a new risky site must
+    # surface as UNCLASSIFIED (asserted above), never as a quiet re-entry
+    assert not any(cls == "risky-latent" for _r, _l, _c, cls, _n in classified)
 
 
 def test_converted_sites_do_not_reappear():
@@ -45,5 +50,16 @@ def test_converted_sites_do_not_reappear():
         'F.round(F.avg("c_acctbal")',      # cold_customer threshold
         'F.round(F.expr("percentile(value, 0.5)")',   # percentiles/MAD
         'F.round(F.expr("percentile(fanout, 0.99)")', # skew profile
+        # round-10 batch (the final one — risky-latent is now empty)
+        'F.round(F.expr(_fold_sum_spark(err))',       # quantize error
+        'F.round(1.3*F.avg("o_totalprice")',          # above_cust_avg
+        'F.round("mean",6)',                          # value/norm outliers
+        'F.round("std",6)',
+        'F.round(score,6)',                           # bm25
+        'F.round(slope,4)',                           # zipf fit
+        'F.round(F.min("value"),2)',                  # daily_minmax
+        'F.round(F.col("obs_val"),6)',                # resample interp
+        'F.round("value",4)',                         # asof value
+        'F.lag("n_events").over(w)/F.lag',            # pct_change ratio
     ):
         assert not any(banned in c for c in calls), banned

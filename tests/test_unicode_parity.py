@@ -108,3 +108,95 @@ def test_casefold_oracle_boundary(spark):
         )
     for i, s in enumerate(KNOWN_AGREEING, start=n_div):
         assert got[i] == duck[i], (s, got[i], duck[i])
+
+
+def test_casefold_boundary_geocode_matcher(spark):
+    """Round-9 verdict item 8: extend the casefold contract from the
+    hash-keyed family to the geocode matcher. ``candidate_accepted``
+    lower()s its MATCHING inputs (state = province equality/containment,
+    the Isabela/Naga city gates), so its cross-engine parity holds on
+    exactly the same safe classes as the dedup keys: context-free,
+    non-expanding folds (ASCII, CJK, Arabic, Cyrillic, non-final Greek).
+    This pin enumerates both sides of the boundary for the MATCHER
+    surface, so a refactor can't silently move it across the İ/ς
+    divergence classes: on safe inputs Spark and DuckDB must emit the
+    same accept bit; on the known-divergent folds the equality rule is
+    allowed to split (and today actually does for ΤΕΛΟΣ/τελος) — if the
+    engines ever start agreeing there, the documented boundary moved and
+    BASELINE.md + this pin must be updated together."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.functions.normalize import (
+        candidate_accepted,
+        candidate_accepted_sql,
+    )
+
+    # (city, province, state) probes. Safe rows exercise every rule arm
+    # (R1 null-state, R2 isabela/basilan, R3a equality, R3b containment,
+    # R3c naga sentinel) on safe-class text; divergent rows route the
+    # KNOWN_DIVERGENT folds through the R3a equality and R3b containment
+    # arms, where JVM-vs-utf8proc case mapping can split.
+    safe = [
+        ("Quezon", "Rizal", None),                      # R1
+        ("ISABELA", "x", "Basilan Province"),           # R2 (ASCII fold)
+        ("Manila", "Camarines Sur", "CAMARINES SUR"),   # R3a
+        ("Manila", "Rizal", "Greater RIZAL Area"),      # R3b
+        ("Naga", "Camarines Sur", "nan"),               # R3c
+        ("Manila", "ПРИВЕТ", "привет"),                 # R3a Cyrillic
+        ("Manila", "中文", "the 中文 region"),           # R3b CJK
+        ("Manila", "ΑΒΓδε", "αβγδε suffix"),            # R3b non-final Greek
+        ("Manila", "Cavite", "Laguna"),                 # reject
+    ]
+    divergent = [
+        ("Manila", "İstanbul", "istanbul"),   # R3a: dotted-İ expansion
+        ("Manila", "ΤΕΛΟΣ", "τελος"),         # R3a: final-sigma context
+        ("Manila", "İ", "xxİxx"),             # R3b: containment across fold
+        # word-final Σ inside a longer state string: Java folds it to the
+        # FINAL sigma ς (context-sensitive), utf8proc to σ — so even a
+        # "contains" match on Greek is only safe when no Σ ends a word
+        # (found by this test's first run, which placed it as safe)
+        ("Manila", "σας", "ΣΑΣ word-final"),  # R3b: final-sigma containment
+    ]
+    rows = [(i, *r) for i, r in enumerate(safe + divergent)]
+    df = spark.createDataFrame(
+        rows, "i long, city string, province string, state string"
+    )
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select(
+            "i",
+            candidate_accepted(
+                F.col("city"), F.col("province"), F.col("state")
+            ).alias("ok"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c(i BIGINT, city VARCHAR, province VARCHAR, state VARCHAR)"
+    )
+    con.executemany("INSERT INTO c VALUES (?, ?, ?, ?)", rows)
+    duck = dict(
+        con.execute(
+            "SELECT i, "
+            + candidate_accepted_sql("city", "province", "state")
+            + " FROM c"
+        ).fetchall()
+    )
+    for i, probe in enumerate(safe):
+        assert got[i] == bool(duck[i]), (
+            f"safe-class probe {probe} split across engines: the matcher "
+            f"moved across the casefold oracle boundary"
+        )
+    # the expected accept pattern itself (not just parity): every arm fires
+    assert [got[i] for i in range(len(safe))] == [
+        True, True, True, True, True, True, True, True, False
+    ]
+    # divergent classes: characterize, don't normalize. If an engine pair
+    # starts agreeing on ALL of these, the boundary moved — fail loudly.
+    splits = [
+        i
+        for i in range(len(safe), len(safe) + len(divergent))
+        if got[i] != bool(duck[i])
+    ]
+    assert splits, (
+        "all known-divergent folds now agree on the matcher surface — "
+        "the documented casefold boundary moved; update BASELINE.md"
+    )

@@ -89,35 +89,13 @@ LEDGER: list[tuple[str, str, str, str]] = [
     ("streaming/windows.py", "F.round(F.avg(value_col),2)", "stream-internal", "windowed avg"),
     ("streaming/windows.py", "F.round(F.sum(value_col),2)", "stream-internal", "session sum"),
     ("streaming/neardup.py", "F.array_intersect(\"hs_a\",\"hs_b\")", "stream-internal", "stream jaccard (batch-parity tested vs the SAME expression)"),
-    # ---- risky-latent: the round-9 conversion batch ----
-    ("corpus_queries.py", "F.round(F.expr(_fold_sum_spark(err)),6)", "risky-latent", "quantize-error doubles @6dp -> quantize_double"),
-    ("corpus_queries.py", "array_max({err})", "risky-latent", "quantize-error max @6dp -> quantize_double"),
-    ("corpus_queries.py", "F.log(F.sum(\"c\"))-F.sum(F.col(\"c\")*F.log(\"c\"))", "risky-latent", "token entropy @6dp -> quantize_double"),
-    ("subquery_queries.py", "F.round(1.3*F.avg(\"o_totalprice\").over(w),4)", "risky-latent", "13*cents/(1000n) @4dp -> round_div"),
-    ("function_queries.py", "F.round(F.col(\"value\"),2)", "risky-latent", "raw double @2dp -> quantize_double"),
-    ("function_queries.py", "F.round(F.col(\"value\")*2,2)", "risky-latent", "raw double @2dp -> quantize_double"),
-    ("curation_queries.py", "F.round(\"mean\",6)", "risky-latent", "micro-int/n ratio @6dp -> round_div"),
-    ("curation_queries.py", "F.round(\"std\",6)", "risky-latent", "sqrt moment @6dp -> quantize_double"),
-    ("curation_queries.py", "F.round(F.log((F.col(\"c_ab\")", "risky-latent", "PMI log @dp -> quantize_double"),
-    ("search_queries.py", "F.round(score,6)", "risky-latent", "bm25 double @6dp -> quantize_double"),
-    ("profiling_queries.py", "_p50x", "risky-latent", "rel-err double @4dp -> quantize_double"),
-    ("warehouse_queries.py", "_nat\").cast(\"double\")", "risky-latent", "cents ratio @6dp -> round_div"),
-    ("warehouse_queries.py", "F.sum(\"n_transitions\").over(wrow)", "risky-latent", "int ratio @6dp -> round_div"),
-    ("warehouse_queries.py", "F.first(\"n\").cast(\"double\")", "risky-latent", "test statistic @dp -> round-9 triage"),
-    ("warehouse_queries.py", "F.round(slope,4)", "risky-latent", "regression double @4dp -> quantize_double"),
-    ("warehouse_queries.py", "F.round(intercept,4)", "risky-latent", "regression double @4dp -> quantize_double"),
-    ("relational_queries.py", "F.round(F.min(\"value\"),2)", "risky-latent", "raw double @2dp -> quantize_double"),
-    ("relational_queries.py", "F.round(F.max(\"value\"),2)", "risky-latent", "raw double @2dp -> quantize_double"),
-    ("relational_queries.py", "F.round(F.avg(\"value\"),2)", "risky-latent", "avg double @2dp -> quantize_double"),
-    ("timeseries_queries.py", "F.round(\"value\",4)", "risky-latent", "raw double @4dp -> quantize_double"),
-    ("timeseries_queries.py", "F.lag(\"n_events\").over(w)", "risky-latent", "pct-change ratio @2dp -> round_div"),
-    ("timeseries_queries.py", "F.round(\"mean\",6)", "risky-latent", "micro-int/n @6dp -> round_div"),
-    ("timeseries_queries.py", "F.round(\"std\",6)", "risky-latent", "sqrt moment @6dp -> quantize_double"),
-    ("timeseries_queries.py", "CASEWHENaccISNULLTHENxELSE", "risky-latent", "EWMA fold double @6dp -> quantize_double"),
-    ("timeseries_queries.py", "F.round(F.col(\"obs_val\"),6)", "risky-latent", "interp @6dp -> quantize_double"),
-    ("timeseries_queries.py", "F.round(F.col(\"next_val\"),6)", "risky-latent", "interp @6dp -> quantize_double"),
-    ("timeseries_queries.py", "F.round(F.col(\"prev_val\"),6)", "risky-latent", "interp @6dp -> quantize_double"),
-    ("timeseries_queries.py", "F.round(F.col(\"prev_val\")+(F.col(\"next_val\")-F.col(\"prev_val\"))*ratio", "risky-latent", "interp midpoint @6dp -> quantize_double"),
+    # ---- risky-latent: RETIRED (round 10) ----
+    # The final 28-site batch went through the exact-integer round_div /
+    # IEEE-identical quantize_double templates (with quantize_domain_guard
+    # on unbounded magnitudes) in round 10 — the category is now EMPTY and
+    # the audit gate (tests/test_round_audit.py) pins it that way: any new
+    # F.round on an integer ratio or generic double at >= 2 dp shows up as
+    # UNCLASSIFIED and must be written with the templates instead.
 ]
 
 
