@@ -154,6 +154,57 @@ def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- corpus-scale kNN JOIN (every vector a query) --------------------------
+#: structural input bound for the two kNN-join catalog entries: the exact
+#: twin is a brute n² in DuckDB and the LSH twin's candidate count grows
+#: n²/2^b, so the ENTRY operates on the KNN_CAP smallest vec_ids at any
+#: SF (all 500 at sf0.01 — full-coverage proof there; bounded at sf1/sf10
+#: so the strict ladder stays exclusion-free). The unbounded corpus-scale
+#: path is exercised by tools/knn_crossover.py, which measures the
+#: exact-vs-LSH crossover walls at sf10 and records KNN_CROSSOVER.json.
+KNN_CAP = 2000
+
+
+def q_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine kNN join (block-pair + Arrow kernel, operators/knn.py):
+    per-query top-3 over the bounded corpus, brute-force DuckDB twin."""
+    from ..operators.knn import knn_join_exact
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < KNN_CAP)
+    return knn_join_exact(emb, k=3, n_blocks=8, dim=EMB_DIM)
+
+
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate kNN join: per-(table, bucket) Arrow kernels,
+    result ≡ ann_lsh_topk with an all-rows predicate (which is the twin).
+    """
+    from ..operators.knn import knn_join_lsh
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < KNN_CAP)
+    return knn_join_lsh(emb, k=3, n_planes=6, n_tables=2, dim=EMB_DIM)
+
+
+def _knn_exact_oracle() -> str:
+    from ..operators.knn import knn_join_exact_sql
+
+    return knn_join_exact_sql(
+        EMB_DIM,
+        k=3,
+        table=f"(SELECT * FROM embeddings WHERE vec_id < {KNN_CAP})",
+    )
+
+
+def _knn_lsh_oracle() -> str:
+    return S.ann_lsh_topk_sql(
+        "TRUE",
+        n_planes=6,
+        dim=EMB_DIM,
+        k=3,
+        n_tables=2,
+        table=f"(SELECT * FROM embeddings WHERE vec_id < {KNN_CAP})",
+    )
+
+
 # -- IVF-bucketed ANN (data-adaptive scale path) ---------------------------
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving path of the train-once/serve-many IVF pattern: centroids are
@@ -659,6 +710,16 @@ ENTRIES: dict[str, Q] = {
     ),
     "ivf_cosine_topk": Q(
         q_ivf_cosine_topk, _ivf_oracle(), "IVF k-means-bucketed ANN (frozen index)"
+    ),
+    "knn_join_exact": Q(
+        q_knn_join_exact,
+        _knn_exact_oracle(),
+        "exact cosine kNN join (block-pair Arrow kernel)",
+    ),
+    "knn_join_lsh": Q(
+        q_knn_join_lsh,
+        _knn_lsh_oracle(),
+        "bucketed approximate kNN join (per-bucket Arrow kernel)",
     ),
     "near_dup_embeddings": Q(
         q_near_dup_embeddings,

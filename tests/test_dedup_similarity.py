@@ -487,3 +487,91 @@ def test_pagerank_invariant_under_repartitioning(spark):
         for r in pagerank_scores(docs.repartition(7), pairs.repartition(3)).collect()
     }
     assert base == skewed
+
+
+def test_knn_join_exact_equals_broadcast_topk(spark, sf_dir):
+    """The block-pair kernel kNN join must equal the declarative
+    cosine_topk with an all-rows query predicate — same quantized scores,
+    same rank order, every query covered (operators/knn.py exactness
+    argument: each ordered pair lives in exactly one block-pair group)."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.knn import (
+        knn_join_exact,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = sorted(map(tuple, knn_join_exact(emb, k=3, n_blocks=8).collect()))
+    want = sorted(
+        map(
+            tuple,
+            S.cosine_topk(emb, F.lit(True), k=3)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_knn_join_lsh_equals_ann_all_pred(spark, sf_dir):
+    """The per-bucket kernel kNN join must equal ann_lsh_topk with an
+    all-rows predicate (same planes, same candidate semantics, same
+    quantized cosine) — the local-topk-then-rerank shortcut is lossless."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.knn import (
+        knn_join_lsh,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = sorted(
+        map(tuple, knn_join_lsh(emb, k=3, n_planes=4, n_tables=2).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.ann_lsh_topk(
+                emb, F.lit(True), n_planes=4, dim=64, k=3, n_tables=2
+            )
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_knn_join_degenerate_inputs(spark):
+    """More blocks than rows, singleton buckets, and zero vectors must
+    degrade cleanly, not crash or emit self/zero pairs."""
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.operators.knn import (
+        knn_join_exact,
+        knn_join_lsh,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),  # zero vector: dropped by the gate
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_join_exact(emb, k=2, n_blocks=16, dim=4).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        assert 0 not in (r.query_id, r.neighbor_id)
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    # the duplicate pair ranks first for both members
+    assert by_q[1][0].neighbor_id == 2 and by_q[1][0].cos_sim == 1.0
+    assert by_q[2][0].neighbor_id == 1 and by_q[2][0].cos_sim == 1.0
+
+    lsh = knn_join_lsh(emb, k=2, n_planes=2, n_tables=2, dim=4).collect()
+    assert all(r.query_id != r.neighbor_id for r in lsh)
+    assert all(0 not in (r.query_id, r.neighbor_id) for r in lsh)
+
+    # exact path refuses an over-bound corpus loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds the exact-path bound"):
+        knn_join_exact(emb, k=1, n_blocks=2, dim=4, max_rows=2)
