@@ -119,6 +119,7 @@ def recheck(names: list[str]) -> int:
         print(f"{name}: {'OK' if entry['ok'] else 'FAIL ' + str(entry['detail'])} "
               f"({entry['rows']} rows, {entry['wall_sec']}s)", flush=True)
         spark.catalog.clearCache()
+    art["n"] = len(art["queries"])  # a recheck may ADD a new catalog entry
     art["fail"] = sum(1 for e in art["queries"].values() if not e["ok"])
     json.dump(art, open(out, "w"), indent=0)
     print(f"updated {out}: {art['n']} queries, {art['fail']} failing")
