@@ -237,6 +237,12 @@ def knn_join_lsh(
     def kernel(key, pdf):  # type: ignore[no-untyped-def]
         import numpy as np
 
+        # Dup-safety contract (shared with the jaccard pair operators):
+        # duplicate vec_ids carry identical vectors, so collapse copies
+        # BEFORE the local top-k — otherwise copies of one strong
+        # neighbor consume the whole cut while the oracle's pair-level
+        # DISTINCT keeps k distinct neighbors (dup-parity sweep, r10).
+        pdf = pdf[~pdf["vid"].duplicated()]
         if len(pdf) < 2:
             return _empty_pdf()
         ids = pdf["vid"].to_numpy()

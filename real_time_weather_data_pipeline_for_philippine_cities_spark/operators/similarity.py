@@ -379,7 +379,13 @@ def ann_lsh_topk_sql(
         # sf10. `flat` is also projected to (vid, tbl, bucket) only, so
         # the collision join never materializes vectors. MATERIALIZED
         # pins the once-per-CTE evaluation (the AS MATERIALIZED lesson
-        # from the round-9 jaccard twins).
+        # from the round-9 jaccard twins). The scoring join-back goes
+        # through normed_u (DISTINCT per vid) rather than normed: the
+        # Spark plan collapses candidate pairs BEFORE scoring, so on
+        # duplicated natural keys a join back to the raw rows would
+        # re-multiply each pair by its copy count on the oracle side
+        # only (dup-parity sweep, round 10). Copies carry identical
+        # vectors by the dup-safety contract, so DISTINCT is exact.
         tables = [lsh_planes(n_planes, dim, table=tb) for tb in range(n_tables)]
         buckets = ", ".join(lsh_bucket_sql("v", tb, dim) for tb in tables)
         return f"""
@@ -401,12 +407,14 @@ pairs AS MATERIALIZED (
   SELECT DISTINCT q.query_id, n.vid
   FROM flat n JOIN q ON n.tbl = q.tbl AND n.bucket = q.bucket
   WHERE n.vid <> q.query_id),
+normed_u AS MATERIALIZED (
+  SELECT DISTINCT vid, v, nrm FROM normed),
 scored AS (
   SELECT p.query_id, p.vid AS neighbor_id,
          {oracle_quantize_double(dot_sql('qv.v', 'nv.v', dim) + ' / (qv.nrm * nv.nrm)', 6)} AS cos_sim
   FROM pairs p
-  JOIN normed qv ON qv.vid = p.query_id
-  JOIN normed nv ON nv.vid = p.vid),
+  JOIN normed_u qv ON qv.vid = p.query_id
+  JOIN normed_u nv ON nv.vid = p.vid),
 ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id

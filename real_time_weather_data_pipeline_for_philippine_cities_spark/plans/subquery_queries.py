@@ -194,7 +194,11 @@ def q_above_cust_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shuffle); the oracle keeps the textbook correlated form. Money
     is summed in integer cents for cross-engine exactness.
     """
-    orders = t(spark, sf_dir, "orders")
+    # finite() money contract (round-8 money sweep): a NaN/Inf price row
+    # is MISSING — without the gate the exact-cents window cast below
+    # ANSI-aborts on Spark (CAST(round(NaN*100) AS BIGINT)) while the
+    # DuckDB twin sails on. Mirrored by isfinite() in the oracle.
+    orders = t(spark, sf_dir, "orders").filter(finite_pred("o_totalprice"))
     # threshold = 1.3 * avg = 13*cents/(1000*n) on exact integers through
     # round_div (same window-snippet pattern as q_small_qty_revenue) —
     # tie-margin audit, final batch.
@@ -226,10 +230,12 @@ SELECT o_orderpriority,
        CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(38,0))) / 100.0 AS DOUBLE)
          AS total_value
 FROM orders o
-WHERE o.o_totalprice > (SELECT {oracle_round_div(
+WHERE isfinite(o.o_totalprice)
+  AND o.o_totalprice > (SELECT {oracle_round_div(
         '13 * CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)',
         '1000 * count(o2.o_totalprice)', 4)}
-                        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+                        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+                          AND isfinite(o2.o_totalprice))
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
