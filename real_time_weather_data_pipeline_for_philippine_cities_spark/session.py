@@ -52,6 +52,30 @@ if _initial_parts and _initial_parts != "0":
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     ] = _initial_parts
 
+# Shuffled-hash over sort-merge where a per-partition hash map fits
+# (optimization guide §3.1/§9): SMJ pays a full sort of BOTH sides per
+# join — in the iterative plans (pagerank, cluster-assign) that is a
+# re-sort of the same static edge relation every round. Two gates, both
+# size-conditioned so big⋈big joins keep sort-merge's graceful spill:
+#   * planner: preferSortMergeJoin=false picks SHJ only when one side is
+#     ≤ 1/3 of the other AND fits a local map (< broadcastThreshold ×
+#     shuffle partitions);
+#   * AQE runtime: maxShuffledHashJoinLocalMapThreshold rewrites an
+#     already-planned SMJ to SHJ when EVERY post-shuffle partition is
+#     under the byte cap (set to the 64 MB advisory partition size — a
+#     partition that coalesced to the advisory target builds a local map
+#     of the same order; raise/lower with executor memory in production).
+# Interleaved A/B at sf0.1 (tools/confset_ab.py, min-of-3): heavies
+# total 0.84× with zero losers above rep noise; mid-tier cohort 0.86×.
+# AQE skew-split still applies to SHJ, so the skew posture is unchanged.
+# Override with $SPARK_GRAFT_SHJ_LOCALMAP (bytes; 0/empty disables both).
+_shj_localmap = os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", str(64 * 1024 * 1024))
+if _shj_localmap and _shj_localmap != "0":
+    _RUNTIME_CONFS["spark.sql.join.preferSortMergeJoin"] = "false"
+    _RUNTIME_CONFS[
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+    ] = _shj_localmap
+
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-provided session (idempotent)."""

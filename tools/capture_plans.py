@@ -31,24 +31,28 @@ OUT = Path(__file__).resolve().parent.parent / "plans" / "r10"
 
 
 def shape_summary(plan: str) -> dict[str, object]:
+    # formatted-mode detail headers: "(N) OperatorName [codegen id : M]"
+    ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.M)
+
+    def n(*names: str) -> int:
+        return sum(ops.count(x) for x in names)
+
     return {
-        "exchanges": len(re.findall(r"\bExchange (hash|range|Single)", plan)),
-        "rr_exchanges": len(re.findall(r"Exchange RoundRobinPartitioning", plan)),
-        "bcast_exchanges": len(re.findall(r"BroadcastExchange", plan)),
-        "smj": len(re.findall(r"SortMergeJoin", plan)),
-        "shj": len(re.findall(r"ShuffledHashJoin", plan)),
-        "bhj": len(re.findall(r"BroadcastHashJoin", plan)),
-        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
-        "cartesian": len(re.findall(r"CartesianProduct", plan)),
-        "py_eval": len(
-            re.findall(r"BatchEvalPython|ArrowEvalPython", plan)
-        ),
-        "arrow_map": len(re.findall(r"MapInPandas|FlatMapGroupsInPandas|MapInArrow", plan)),
-        "sorts": len(re.findall(r"^\(\d+\) Sort\b|\+- Sort \[", plan, re.M)),
-        "scans": len(re.findall(r"Scan parquet", plan)),
-        "unfiltered_scans": len(
-            re.findall(r"PushedFilters: \[\]", plan)
-        ),
+        "exchanges": n("Exchange"),
+        "rr_exchanges": len(re.findall(r"RoundRobinPartitioning", plan)),
+        "repart_by_col": len(re.findall(r"REPARTITION_BY_COL", plan)),
+        "bcast_exchanges": n("BroadcastExchange"),
+        "smj": n("SortMergeJoin"),
+        "shj": n("ShuffledHashJoin"),
+        "bhj": n("BroadcastHashJoin"),
+        "bnlj": n("BroadcastNestedLoopJoin"),
+        "cartesian": n("CartesianProduct"),
+        "py_eval": n("BatchEvalPython", "ArrowEvalPython"),
+        "arrow_map": n("MapInPandas", "FlatMapGroupsInPandas", "MapInArrow"),
+        "sorts": n("Sort"),
+        "windows": n("Window", "WindowGroupLimit"),
+        "scans": len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)),
+        "unfiltered_scans": len(re.findall(r"PushedFilters: \[\]", plan)),
     }
 
 
