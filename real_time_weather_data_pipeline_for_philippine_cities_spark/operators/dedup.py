@@ -136,15 +136,17 @@ def minhash_near_dup_pairs(
 
     Output: doc_a, doc_b (doc_a < doc_b), jaccard (rounded 4dp) ≥ threshold.
 
-    The signature stage is persisted: it feeds BOTH the band self-join and
-    the verification joins (4 scans), and re-deriving it inlines the md5
-    shingle/minhash expressions into downstream projections where they
-    re-evaluate per consumer (measured 177s → <2s at sf0.1). On a cluster
-    this stage would be checkpointed to storage; MEMORY_AND_DISK is the
-    local analog and spills instead of OOMing at scale.
+    The signature stage is materialized once (eager localCheckpoint): it
+    feeds BOTH the band self-join and the verification joins (4 scans),
+    and re-deriving it inlines the md5 shingle/minhash expressions into
+    downstream projections where they re-evaluate per consumer (measured
+    177s → <2s at sf0.1). localCheckpoint over persist(): downstream
+    plans read a plain RDD leaf instead of an InMemoryRelation — no
+    in-memory-columnar write/read and one AQE replan less per consumer
+    (measured ~2.0 s → ~1.5 s warm at sf0.1, r10; blocks still spill
+    MEMORY_AND_DISK). On a cluster this stage would be checkpointed to
+    reliable storage for fault tolerance.
     """
-    from pyspark import StorageLevel
-
     rows_per_band = k // bands
     base = (
         docs.select(
@@ -160,7 +162,7 @@ def minhash_near_dup_pairs(
         .withColumn("sig", minhash_sig_col(F.col("hs"), k))
         .withColumn("band_keys", band_keys_col(F.col("sig"), bands, rows_per_band))
         .select("doc_id", "hs", "band_keys")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     bands_df = base.select(
         "doc_id", F.posexplode("band_keys").alias("band_idx", "band_key")
@@ -439,11 +441,16 @@ def connected_components(
 
     Output: (node, label).
     """
-    a = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # Materialize the adjacency ONCE: edges usually arrive as an expensive
-    # pipeline (e.g. the LSH band join), and every propagation round joins
-    # against adj — without this, the whole upstream pipeline re-executes
-    # per round (measured ~2× on the minhash catalog entry at sf0.1).
+    # Materialize the one-directional edge list FIRST: the adjacency
+    # union below references it twice in one job, so an expensive edge
+    # pipeline (the LSH band join) would execute twice inside the adj
+    # checkpoint (measured ~1 s of the cluster-assign entry at sf0.1,
+    # r10 — same pathology as pagerank's edges_deg fan-out).
+    a = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    # Materialize the adjacency ONCE: every propagation round joins
+    # against adj — without this, the union re-executes per round.
     adj = a.unionByName(
         a.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
@@ -722,8 +729,6 @@ def simhash_near_dup_pairs(
 
     Output: doc_a, doc_b (doc_a < doc_b), hamming ≤ max_hamming.
     """
-    from pyspark import StorageLevel
-
     n_bands = max_hamming + 1
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
@@ -736,7 +741,7 @@ def simhash_near_dup_pairs(
         .repartition(F.col("doc_id"))
         .withColumn("hs", shingle_hash_expr("t", n))
         .select("doc_id", simhash_from_hashes("hs").alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     bands = sigs.select(
         "doc_id",
@@ -1008,6 +1013,9 @@ def allpairs_jaccard_pairs(
         .select("doc_id", "h", "sz")
         # Feeds both sides of the candidate self-join; persist so the
         # frequency groupBy + ranking window run once, not twice.
+        # (persist, not localCheckpoint: two EAGER checkpoints serialize
+        # into separate jobs and measured ~0.7 s slower here, r10 — the
+        # lazy persist lets base/prefix/verify stages overlap in one job.)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (

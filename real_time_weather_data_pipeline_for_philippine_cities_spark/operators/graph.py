@@ -49,6 +49,15 @@ def pagerank_scores(
     Returns (doc_id, rank) with rank BIGINT on the 1e9 lattice.
     """
     nodes = docs.select(F.col(id_col).alias("doc_id"))
+    # Materialize the pair list ONCE before fanning it out: edges_deg
+    # below references it four times in a single job (pairs ∪ swapped,
+    # then the degree aggregate over that union again), so without this
+    # leaf the upstream pair pipeline — an LSH band join + verification —
+    # re-executes per reference inside the edges_deg checkpoint.
+    # Measured at sf0.1 (r10): pagerank with iters=0 cost ~5.8 s while
+    # the pair pipeline alone cost ~2.0 s warm — the gap was these
+    # re-evaluations, not the iteration rounds (iters=5 ≈ iters=0).
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     # Undirected → both directions; degree baked onto each edge so the
     # per-iteration join needs no second lookup.
     edges = pairs.select(

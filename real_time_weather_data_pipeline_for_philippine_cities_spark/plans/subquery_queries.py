@@ -810,25 +810,10 @@ MAX_BASKET = 32
 MIN_SUPPORT = 2
 
 
-def q_part_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the part co-purchase graph: nodes are parts,
-    an edge links two parts co-ordered in >= MIN_SUPPORT distinct orders,
-    and triangles are counted once each via the a<b<c orientation (edge
-    lists store x<y, the wedge join extends b->c, and the closing edge is
-    a LEFT SEMI probe on (a,c)).
-
-    Graph analytics shape distinct from pagerank_dup_graph (iterative) —
-    this is the one-shot motif count. Id-domain contract: pair keys pack
-    as p*2^32+q, so part ids must fit 32 bits — a breach fails LOUDLY
-    via ANSI overflow (pinned by the 2^61-key sweep); re-key with
-    dense_ids first when the natural id domain outgrows that. Scale contract: baskets are built
-    with ONE map-side-combined collect_set shuffle of the 2-column fact
-    (no pairing self-join), the basket cap bounds the array-HOF pair
-    explode at MAX_BASKET^2 rows per order, the support count is a plain
-    map-combinable count (pairs are distinct within an order by
-    construction), and the threshold collapses the edge set before the
-    (quadratic-in-degree) wedge join ever runs. Edges are persisted once
-    and reused by all three census branches."""
+def _basket_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded co-purchase edges (x < y), pre-checkpoint —
+    the basket/pairing pipeline of :func:`q_part_basket_triangles`,
+    exposed so the plan test can pin its no-self-join shape."""
     # spread the single-file scan on the group key: the basket agg reuses
     # this hash partitioning (no-op on real multi-file data).
     li = spread(t(spark, sf_dir, "lineitem"), "l_orderkey").select(
@@ -853,7 +838,7 @@ def q_part_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pk")
     )
-    edges = (
+    return (
         pairs.groupBy("pk")
         .agg(F.count(F.lit(1)).alias("supp"))
         .filter(F.col("supp") >= MIN_SUPPORT)
@@ -861,8 +846,38 @@ def q_part_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("pk div 4294967296").alias("x"),
             (F.col("pk") % 4294967296).alias("y"),
         )
-        .persist()
     )
+
+
+def q_part_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph: nodes are parts,
+    an edge links two parts co-ordered in >= MIN_SUPPORT distinct orders,
+    and triangles are counted once each via the a<b<c orientation (edge
+    lists store x<y, the wedge join extends b->c, and the closing edge is
+    a LEFT SEMI probe on (a,c)).
+
+    Graph analytics shape distinct from pagerank_dup_graph (iterative) —
+    this is the one-shot motif count. Id-domain contract: pair keys pack
+    as p*2^32+q, so part ids must fit 32 bits — a breach fails LOUDLY
+    via ANSI overflow (pinned by the 2^61-key sweep); re-key with
+    dense_ids first when the natural id domain outgrows that. Scale contract: baskets are built
+    with ONE map-side-combined collect_set shuffle of the 2-column fact
+    (no pairing self-join), the basket cap bounds the array-HOF pair
+    explode at MAX_BASKET^2 rows per order, the support count is a plain
+    map-combinable count (pairs are distinct within an order by
+    construction), and the threshold collapses the edge set before the
+    (quadratic-in-degree) wedge join ever runs. Edges are materialized
+    once (eager localCheckpoint) and reused by all three census
+    branches."""
+    # localCheckpoint, not persist: the thresholded edge set is TINY
+    # relative to the pair stream, and the three census branches then
+    # plan against a plain RDD leaf instead of an InMemoryRelation —
+    # measured 2.4-2.6 s (persist) vs 1.6-1.9 s (checkpoint) warm at
+    # sf0.1, same results (r10; the in-memory-columnar write/read plus
+    # per-branch AQE replanning was the difference). The pre-checkpoint
+    # pipeline lives in _basket_edges so its no-self-join shape stays
+    # plan-testable.
+    edges = _basket_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = edges.select(F.col("x").alias("n")).union(
         edges.select(F.col("y").alias("n"))
     ).distinct()

@@ -288,8 +288,12 @@ def test_pairwise_dedup_parallelizes(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     # The signature/base stage must be spread before pairwise work; a plan
     # with no repartition exchange would run the O(n^2) stage in the scan's
-    # 1-2 partitions.
-    assert "REPARTITION_BY_COL" in plan, name
+    # 1-2 partitions. For the checkpointed signature stages (r10: minhash
+    # and simhash materialize the spread+signature pipeline eagerly) the
+    # repartition lives inside the checkpoint job, the final plan reads
+    # the ExistingRDD leaf, and every pairwise stage re-exchanges on its
+    # band key — so the leaf is the evidence there.
+    assert ("REPARTITION_BY_COL" in plan) or ("Scan ExistingRDD" in plan), name
     assert "CartesianProduct" not in plan, name
 
 
@@ -514,15 +518,27 @@ def test_triangle_census_has_no_pairing_self_join(spark, sf_dir):
     (one shuffle of the fact), not a lineitem x lineitem self-join: exactly
     one lineitem FileScan feeds the basket aggregate, and the support count
     is a plain map-combinable count (no distinct-agg expand)."""
+    # The edge set is materialized once (eager localCheckpoint, r10), so
+    # the census plan must read ONLY the ExistingRDD leaf — zero parquet
+    # scans survive into it (a lineitem FileScan here would be the
+    # pairing-self-join shape regressing).
     plan = _plan(spark, sf_dir, "part_basket_triangles")
     final = plan.split("+- == Initial Plan ==")[0]
-    # every lineitem FileScan line in the plan text is the persisted edge
-    # subtree re-printed under an InMemoryTableScan — no census branch may
-    # read the fact directly (that would be the pairing-self-join shape)
-    assert "InMemoryTableScan" in final
-    assert final.count("FileScan parquet") == final.count("InMemoryTableScan")
-    assert "collect_set" in final
-    assert "Expand" not in final  # no count-distinct expansion
+    assert "Scan ExistingRDD" in final
+    assert "FileScan parquet" not in final
+    # ... and the pre-checkpoint edge pipeline keeps the basket shape:
+    # one collect_set shuffle of the fact, a map-combinable support
+    # count, no count-distinct Expand, exactly one lineitem scan.
+    from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.subquery_queries import (
+        _basket_edges,
+    )
+
+    edge_plan = (
+        _basket_edges(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_set" in edge_plan
+    assert "Expand" not in edge_plan
+    assert edge_plan.count("FileScan parquet") == 1
 
 
 def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
