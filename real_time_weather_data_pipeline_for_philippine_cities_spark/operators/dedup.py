@@ -136,17 +136,21 @@ def minhash_near_dup_pairs(
 
     Output: doc_a, doc_b (doc_a < doc_b), jaccard (rounded 4dp) ≥ threshold.
 
-    The signature stage is materialized once (eager localCheckpoint): it
-    feeds BOTH the band self-join and the verification joins (4 scans),
-    and re-deriving it inlines the md5 shingle/minhash expressions into
-    downstream projections where they re-evaluate per consumer (measured
-    177s → <2s at sf0.1). localCheckpoint over persist(): downstream
-    plans read a plain RDD leaf instead of an InMemoryRelation — no
-    in-memory-columnar write/read and one AQE replan less per consumer
-    (measured ~2.0 s → ~1.5 s warm at sf0.1, r10; blocks still spill
-    MEMORY_AND_DISK). On a cluster this stage would be checkpointed to
-    reliable storage for fault tolerance.
+    The signature stage is persisted: it feeds BOTH the band self-join and
+    the verification joins (4 scans), and re-deriving it inlines the md5
+    shingle/minhash expressions into downstream projections where they
+    re-evaluate per consumer (measured 177s → <2s at sf0.1). persist over
+    eager localCheckpoint was decided at sf1, not sf0.1: the checkpoint's
+    row-serialized leaf won ~0.4 s at sf0.1 but LOST ~0.7 s at sf1 (r10
+    interleaved A/B) — for a corpus-scale intermediate the columnar
+    in-memory cache reads faster per consumer, and scale wins the tie.
+    (Eager checkpoints stay on SMALL derived sets only: thresholded edge
+    lists, capped bases — see part_basket_triangles / pagerank_scores.)
+    On a cluster this stage would be checkpointed to storage;
+    MEMORY_AND_DISK is the local analog and spills instead of OOMing.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = k // bands
     base = (
         docs.select(
@@ -162,7 +166,7 @@ def minhash_near_dup_pairs(
         .withColumn("sig", minhash_sig_col(F.col("hs"), k))
         .withColumn("band_keys", band_keys_col(F.col("sig"), bands, rows_per_band))
         .select("doc_id", "hs", "band_keys")
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands_df = base.select(
         "doc_id", F.posexplode("band_keys").alias("band_idx", "band_key")
@@ -729,6 +733,8 @@ def simhash_near_dup_pairs(
 
     Output: doc_a, doc_b (doc_a < doc_b), hamming ≤ max_hamming.
     """
+    from pyspark import StorageLevel
+
     n_bands = max_hamming + 1
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
@@ -741,7 +747,7 @@ def simhash_near_dup_pairs(
         .repartition(F.col("doc_id"))
         .withColumn("hs", shingle_hash_expr("t", n))
         .select("doc_id", simhash_from_hashes("hs").alias("sh"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands = sigs.select(
         "doc_id",
