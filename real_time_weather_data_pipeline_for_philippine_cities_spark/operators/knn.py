@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 from .similarity import (
     EXACT_PAIRS_CAP,
     finite_vec_pred,
-    lsh_bucket_col,
+    lsh_buckets_col,
     lsh_planes,
     norm_col,
     vec_double_col,
@@ -256,9 +256,13 @@ def knn_join_lsh(
 
     tables = [lsh_planes(n_planes, dim, table=tb) for tb in range(n_tables)]
     base = _normed_base(emb, id_col, emb_col, dim)
+    # posexplode_OUTER: the non-outer generator's implicit size > 0
+    # pruning filter duplicates the Arrow bucket kernel below it (guide
+    # §4.4); the kernel always emits a length-L array so the generated
+    # rows are identical (see similarity.ann_lsh_topk).
     flat = base.withColumn(
-        "buckets", F.array(*[lsh_bucket_col("v", tb) for tb in tables])
-    ).select("vid", "v", F.posexplode("buckets").alias("tbl", "bucket"))
+        "buckets", lsh_buckets_col("v", tables, dim)
+    ).select("vid", "v", F.posexplode_outer("buckets").alias("tbl", "bucket"))
     local = flat.groupBy("tbl", "bucket").applyInPandas(
         kernel, schema=_KNN_SCHEMA
     )

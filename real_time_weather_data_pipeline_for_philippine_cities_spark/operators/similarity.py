@@ -20,6 +20,7 @@ are inlined into the DuckDB oracle (deterministic, seedless).
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -236,6 +237,65 @@ def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
     return F.expr(" + ".join(terms))
 
 
+def lsh_buckets_col(
+    vec_col: str, tables: list[list[list[float]]], dim: int
+) -> Column:
+    """Per-table LSH bucket ids as ``array<bigint>`` — ONE vectorized Arrow
+    pass instead of ``len(tables) * n_planes`` interpreted
+    ``aggregate(zip_with(...))`` folds (guide §4.2; the folds were the
+    measured hot spot of ann_lsh_multitable: ~0.85 s of its 2.8 s at
+    sf0.1, 48 folds × corpus rows, and they never reach codegen — the
+    expanded-codegen form is a measured round-4 dead end past JIT limits).
+
+    Bitwise parity with :func:`lsh_bucket_col`: each plane dot accumulates
+    per-dimension in ASCENDING index order (``acc += outer(V[:,d], P[:,d])``)
+    — the identical IEEE op sequence to the sequential left fold both
+    engines' SQL uses, the same oracle-proven pattern as the knn/ivf
+    kernels — and the bucket bit is ``dot > 0`` (NaN > 0 false on both
+    sides). Callers apply the finite/dim ingestion contract first; a
+    malformed row that bypasses it degrades to bucket 0 per table, exactly
+    the expression form's NULL-dot semantics, instead of crashing vstack.
+
+    ``$SPARK_GRAFT_LSH_KERNEL=expr`` keeps the interpreted expression form
+    (A/B hook; the default is the Arrow kernel).
+    """
+    if os.environ.get("SPARK_GRAFT_LSH_KERNEL", "arrow") == "expr":
+        return F.array(*[lsh_bucket_col(vec_col, tb) for tb in tables])
+
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    pmat = [list(p) for tb in tables for p in tb]  # table-major (L*b) × dim
+
+    @pandas_udf("array<bigint>")
+    def buckets(v):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        P = np.asarray(pmat)  # (L*b) × dim
+        w = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        vs = v.to_numpy()
+        lens = np.fromiter(
+            (len(x) if x is not None else -1 for x in vs), dtype="int64", count=n
+        )
+        good = lens == dim
+        out = np.zeros((n, n_tables), dtype="int64")
+        if good.any():
+            V = np.vstack(vs[good])
+            acc = np.zeros((V.shape[0], P.shape[0]))
+            for d in range(dim):
+                acc += np.outer(V[:, d], P[:, d])
+            bits = (acc > 0.0).reshape(V.shape[0], n_tables, n_planes)
+            out[good] = bits.astype(np.int64) @ w
+        return pd.Series(list(out))
+
+    return buckets(F.col(vec_col))
+
+
 def lsh_bucket_sql(vec_col: str, planes: list[list[float]], dim: int) -> str:
     # list_inner_product, not the lambda fold: same ascending-index
     # accumulation, so BITWISE-identical (the round-7 dot_sql lesson,
@@ -295,16 +355,29 @@ def ann_lsh_topk(
             .withColumn("nrm", norm_col("v"))
             # zero-norm gate — see cosine_topk; both twins apply it.
             .filter(F.col("nrm") > 0)
+            # single-table stays the interpreted expression: 6 folds/row,
+            # and with the eqNullSafe dedup below it is measured FASTER
+            # than the Arrow kernel at sf0.1 AND sf1 (0.76/0.88 s vs
+            # 0.92/1.02 s interleaved) — the per-task Arrow round-trip
+            # outweighs 6 folds; the kernel pays off from ~2 tables up
+            # (multi-table path below).
             .withColumn("bucket", lsh_bucket_col("v", planes))
         )
         q = base.filter(query_pred).select(
             F.col("vid").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
-            F.col("bucket"),
+            F.col("bucket").alias("qbucket"),
         )
         scored = (
-            base.join(q, "bucket")
+            # eqNullSafe, not a USING join: plain equality makes Catalyst
+            # infer isnotnull(bucket) and push it BELOW the bucket
+            # projection, re-evaluating the Arrow kernel once per side just
+            # to test a never-null output (guide §4.4 duplication; the
+            # kernel always emits a bucket). <=> keys still drive a hash
+            # equi-join, and bucket is never NULL on either engine, so the
+            # matched pairs are identical.
+            base.join(q, F.col("bucket").eqNullSafe(F.col("qbucket")))
             .filter(F.col("vid") != F.col("query_id"))
             .withColumn("cos_sim", quantize_double(dot_spark("qv", "v") + " / (qn * nrm)", 6))
             .select("query_id", F.col("vid").alias("neighbor_id"), "cos_sim")
@@ -317,11 +390,15 @@ def ann_lsh_topk(
             .withColumn("nrm", norm_col("v"))
             # zero-norm gate — see cosine_topk; both twins apply it.
             .filter(F.col("nrm") > 0)
-            .withColumn(
-                "buckets", F.array(*[lsh_bucket_col("v", tb) for tb in tables])
-            )
+            .withColumn("buckets", lsh_buckets_col("v", tables, dim))
+            # posexplode_OUTER: the non-outer generator's implicit
+            # size(buckets) > 0 pruning filter is pushed below the
+            # exchange and drags a duplicate of the Arrow bucket kernel
+            # with it (guide §4.4 — UDF evaluated twice per subtree).
+            # The kernel always emits a length-L array, so outer vs
+            # inner generate the identical rows here.
             .select(
-                "vid", "v", "nrm", F.posexplode("buckets").alias("tbl", "bucket")
+                "vid", "v", "nrm", F.posexplode_outer("buckets").alias("tbl", "bucket")
             )
         )
         q = flat.filter(query_pred).select(

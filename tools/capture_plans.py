@@ -27,7 +27,9 @@ from real_time_weather_data_pipeline_for_philippine_cities_spark.session import 
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = Path(__file__).resolve().parent.parent / "plans" / "r10"
+OUT = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+    "SPARK_GRAFT_PLANS_TAG", "r11"
+)
 
 
 def shape_summary(plan: str) -> dict[str, object]:
