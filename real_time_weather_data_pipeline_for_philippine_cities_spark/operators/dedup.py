@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_PRIME, minhash_coefficients
 from ..functions.rounding import oracle_round_div, round_div
+from ..session import materialize
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -457,13 +458,13 @@ def connected_components(
     # against adj — without this, the union re-executes per round.
     adj = a.unionByName(
         a.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # Seed: label = min(node, Γ(node)). F.first("a") is exact — "a" is the
     # grouping key. Covers every node (adj is bidirected).
     labels = (
         adj.groupBy(F.col("a").alias("node"))
         .agg(F.least(F.min("b"), F.first("a")).alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     converged = False
     for _ in range(max_iter):
@@ -481,7 +482,7 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # Update count over the checkpointed result: the termination signal
         # costs one in-memory filter+count, not an extra labels⋈labels job.
@@ -530,13 +531,13 @@ def connected_components_star(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     all_nodes = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     def large_star(cur: DataFrame) -> DataFrame:
@@ -569,7 +570,7 @@ def connected_components_star(
         )
 
     for _ in range(max_iter):
-        nxt = small_star(large_star(e)).localCheckpoint(eager=True)
+        nxt = small_star(large_star(e)).transform(materialize)
         if nxt.exceptAll(e).isEmpty() and e.exceptAll(nxt).isEmpty():
             e = nxt
             break

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import materialize
+
 PAGERANK_SCALE = 1_000_000_000
 PAGERANK_ITERS = 5
 
@@ -57,7 +59,7 @@ def pagerank_scores(
     # Measured at sf0.1 (r10): pagerank with iters=0 cost ~5.8 s while
     # the pair pipeline alone cost ~2.0 s warm — the gap was these
     # re-evaluations, not the iteration rounds (iters=5 ≈ iters=0).
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    pairs = pairs.select("doc_a", "doc_b").transform(materialize)
     # Undirected → both directions; degree baked onto each edge so the
     # per-iteration join needs no second lookup.
     edges = pairs.select(
@@ -82,7 +84,7 @@ def pagerank_scores(
         .select(
             "src", "dst", "deg", F.expr(f"{PAGERANK_SCALE} div n_docs").alias("base")
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     # Iterate ONLY over connected nodes: every node with an edge receives

@@ -55,6 +55,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import materialize
 from .similarity import (
     EXACT_PAIRS_CAP,
     finite_vec_pred,
@@ -198,7 +199,7 @@ def knn_join_exact(
     # input would otherwise each re-run the scan + norm pipeline (the
     # count alone was a full duplicate pass — measured ~0.4 s of the
     # 1.7 s entry at sf0.1, r10).
-    base = _normed_base(emb, id_col, emb_col, dim).localCheckpoint(eager=True)
+    base = _normed_base(emb, id_col, emb_col, dim).transform(materialize)
     n = base.count()
     if n > max_rows:
         raise ValueError(

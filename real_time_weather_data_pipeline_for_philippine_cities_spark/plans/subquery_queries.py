@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import oracle_round_div, round_div
+from ..session import materialize
 from .base import Q, finite, finite_pred, finite_spark_sql, finite_sql, spread, t
 
 
@@ -877,7 +878,7 @@ def q_part_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-branch AQE replanning was the difference). The pre-checkpoint
     # pipeline lives in _basket_edges so its no-self-join shape stays
     # plan-testable.
-    edges = _basket_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _basket_edges(spark, sf_dir).transform(materialize)
     nodes = edges.select(F.col("x").alias("n")).union(
         edges.select(F.col("y").alias("n"))
     ).distinct()

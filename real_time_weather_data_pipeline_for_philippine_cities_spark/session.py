@@ -69,12 +69,69 @@ if _initial_parts and _initial_parts != "0":
 # total 0.84× with zero losers above rep noise; mid-tier cohort 0.86×.
 # AQE skew-split still applies to SHJ, so the skew posture is unchanged.
 # Override with $SPARK_GRAFT_SHJ_LOCALMAP (bytes; 0/empty disables both).
+#
+# Production risk note (r10 advice): the PLANNER gate decides from
+# Catalyst size ESTIMATES (canBuildLocalHashMap ≈ stats < broadcast
+# threshold × shuffle partitions), and an SHJ build map cannot spill —
+# a badly underestimated side (exploded/UDF intermediates; see the 128 MB
+# broadcast experiment above) becomes an executor OOM where SMJ would
+# have spilled. The AQE rewrite below it uses MEASURED runtime partition
+# sizes and carries part of the win without that hazard. Measured (r11,
+# interleaved A/B with the AQE rewrite active in both arms): the planner
+# gate alone is still 0.875× over the 8-query join cohort at sf0.1
+# (allpairs 0.76, asof_join 0.73), so it is NOT redundant with the AQE
+# path — keep it locally; on a cluster with stale/absent stats flip
+# preferSortMergeJoin back to true and keep the AQE threshold.
 _shj_localmap = os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", str(64 * 1024 * 1024))
 if _shj_localmap and _shj_localmap != "0":
     _RUNTIME_CONFS["spark.sql.join.preferSortMergeJoin"] = "false"
     _RUNTIME_CONFS[
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
     ] = _shj_localmap
+
+
+#: application ids whose reliable checkpoint dir has been set (one UUID
+#: subdir is created per setCheckpointDir call, so set it exactly once).
+_CKPT_DIR_SET: set[str] = set()
+
+
+def materialize(df, eager: bool = True):
+    """Cut lineage on a shared intermediate, with the durability posture
+    selected by ``$SPARK_GRAFT_CHECKPOINT`` (round-10 verdict item: the
+    eager-materialization sites were hardcoded ``localCheckpoint``, whose
+    blocks are executor-local and unreplicated — on a real cluster a lost
+    executor kills the job instead of recomputing).
+
+      * ``local`` (default) — ``localCheckpoint``: fastest, lineage cut,
+        blocks on the executors that computed them. The bench/local[N]
+        posture; a lost executor aborts the query.
+      * ``reliable`` — ``checkpoint`` to the reliable checkpoint dir
+        (``$SPARK_GRAFT_CHECKPOINT_DIR``, default ``/tmp/rtw-checkpoints``;
+        point it at HDFS/object storage on a cluster): blocks survive
+        executor loss. Costs a write+read of the materialized set.
+      * ``persist`` — MEMORY_AND_DISK cache instead of a checkpoint:
+        lineage kept (fault-tolerant recompute) at the cost of one AQE
+        replan per consumer; lazy — the first consumer materializes it.
+
+    Result VALUES are identical in every mode (pinned by
+    tests/test_plan_shape.py::test_checkpoint_modes_agree); only the
+    durability/re-evaluation trade-off moves.
+    """
+    mode = os.environ.get("SPARK_GRAFT_CHECKPOINT", "local")
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        app = sc.applicationId
+        if app not in _CKPT_DIR_SET:
+            sc.setCheckpointDir(
+                os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/rtw-checkpoints")
+            )
+            _CKPT_DIR_SET.add(app)
+        return df.checkpoint(eager=eager)
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df.localCheckpoint(eager=eager)
 
 
 def tune(spark: SparkSession) -> SparkSession:

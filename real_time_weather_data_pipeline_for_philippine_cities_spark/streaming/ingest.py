@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
+from ..session import materialize
+
 
 def stream_observations(
     spark: SparkSession,
@@ -129,7 +131,7 @@ def foreach_batch_change_detect(
             novel = batch_keys
         # Materialize before the snapshot promote invalidates the plan's
         # source; novel batches are micro-batch-sized by construction.
-        novel = novel.localCheckpoint(eager=True)
+        novel = novel.transform(materialize)
         novel.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
             novel_sink_path
         )

@@ -288,13 +288,30 @@ def test_pairwise_dedup_parallelizes(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     # The signature/base stage must be spread before pairwise work; a plan
     # with no repartition exchange would run the O(n^2) stage in the scan's
-    # 1-2 partitions. For the checkpointed signature stages (r10: minhash
-    # and simhash materialize the spread+signature pipeline eagerly) the
-    # repartition lives inside the checkpoint job, the final plan reads
-    # the ExistingRDD leaf, and every pairwise stage re-exchanges on its
-    # band key — so the leaf is the evidence there.
-    assert ("REPARTITION_BY_COL" in plan) or ("Scan ExistingRDD" in plan), name
+    # 1-2 partitions. All three signature stages persist() (the r10 sf1
+    # measurement kept persist over checkpoint for corpus-scale stages),
+    # so the repartition must be visible in the plan itself — no
+    # ExistingRDD escape hatch (r10 advice: it let a plan that dropped the
+    # spread entirely pass whenever any checkpoint leaf appeared).
+    assert "REPARTITION_BY_COL" in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_checkpoint_modes_agree(spark, sf_dir, monkeypatch):
+    """$SPARK_GRAFT_CHECKPOINT selects durability posture only — the
+    local / reliable / persist modes of session.materialize must produce
+    identical rows (canonical consumer: the connected-components entry,
+    whose edge pipeline runs through three materialize sites)."""
+    import os
+
+    results = {}
+    for mode in ("local", "reliable", "persist"):
+        monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", mode)
+        df = CATALOG["canonical_doc_assign"].fn(spark, sf_dir)
+        results[mode] = sorted(map(tuple, df.collect()))
+        spark.catalog.clearCache()
+    assert results["local"] == results["reliable"] == results["persist"]
+    assert len(results["local"]) > 0
 
 
 def test_unigram_logprob_single_corpus_scan_via_exchange_reuse(spark, sf_dir):

@@ -6,6 +6,12 @@ Usage:
 Each rep runs every query twice — once under A, once under B, back to
 back — so a host-noise window inflates both arms almost equally. Prints
 per-query {A_min, B_min, ratio} and the total ratio.
+
+NOTE: CATALOG[name].fn(...) is called INSIDE the timed, conf-applied
+window — deliberately. Operators run eager localCheckpoint jobs at
+DataFrame-construction time, so construction must stay inside the
+interval (and after the conf set) or checkpoint work would be timed
+under the wrong arm. Do not hoist query construction out of the loop.
 """
 
 from __future__ import annotations

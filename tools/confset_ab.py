@@ -2,6 +2,9 @@
 
 Usage:
     python tools/confset_ab.py '{"k":"v",...}' '{"k":"v",...}' [--reps N] q [q ...]
+
+NOTE: query construction (CATALOG[name].fn) runs eager localCheckpoint
+jobs and must stay inside the timed, conf-applied window — see conf_ab.py.
 """
 
 from __future__ import annotations

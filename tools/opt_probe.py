@@ -8,6 +8,9 @@ noop sink, interleaved reps (default 3), prints one JSON line
 {"confs": {...}, "queries": {name: {"min":..,"max":..}}, "loadavg": ..}.
 Fresh process per invocation = honest cold/warm structure; compare
 minima across invocations on the same host window.
+
+NOTE: query construction (CATALOG[name].fn) runs eager localCheckpoint
+jobs and must stay inside the timed window — see conf_ab.py.
 """
 
 from __future__ import annotations
