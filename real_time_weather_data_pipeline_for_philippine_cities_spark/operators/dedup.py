@@ -21,6 +21,8 @@ has a ``*_sql`` twin emitting the equivalent DuckDB expression.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -814,6 +816,40 @@ WHERE bit_count(xor(a.sh, b.sh)::BIT) <= {max_hamming}
 # --------------------------------------------------------------------------
 
 
+def _with_shingle_df(expl: DataFrame) -> DataFrame:
+    """Attach each exploded shingle row's global document frequency ``df``.
+
+    Default: a count window partitioned by the shingle hash — ONE pass
+    over the exploded rows (explode → exchange by h → count), instead of
+    the groupBy+join-back shape, which evaluates the explode TWICE (once
+    under the frequency aggregate, once as the join probe) and adds the
+    join exchanges (guide §2.4: two operations keyed the same way share
+    one exchange). The sf1 stage profile (r11) put the prefix stage —
+    explode + freq + per-doc ranking — at most of both jaccard heavies'
+    wall, so the second explode pass was the single biggest avoidable
+    term. count() over an unordered window is the exact groupBy count
+    (same BIGINT), so ranks and results are identical — pinned by the
+    oracle strict checks, which compute df via GROUP BY in DuckDB.
+
+    Hot-shingle caveat at 100 TB: the window shuffles full exploded rows
+    by h with no map-side partial aggregation, and AQE cannot split a
+    skewed window partition (guide §2.5) — but the prefix rank only KEEPS
+    the rarest shingles per doc, and the old shape's join probe moved the
+    same exploded rows through the same h-exchange whenever the frequency
+    table outgrew broadcast, paying the extra aggregate pass on top.
+    ``$SPARK_GRAFT_JACCARD_DF=join`` restores the groupBy+join form
+    (A/B hook; measured at sf0.1 AND sf1 before adoption).
+    """
+    if os.environ.get("SPARK_GRAFT_JACCARD_DF", "window") == "join":
+        freq = expl.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        return expl.join(freq, "h")
+    from pyspark.sql import Window
+
+    return expl.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -885,12 +921,11 @@ def ngram_jaccard_pairs(
     # hash join when the build side is big; tests/test_plan_shape.py pins
     # that the large-estimate form is NOT a broadcast.
     expl = base.select("doc_id", "bucket", "sz", F.explode("hs").alias("h"))
-    freq = expl.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
     prefix = (
-        expl.join(freq, "h")
+        _with_shingle_df(expl)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.ceil(F.lit(1.0 - threshold) * F.col("sz")) + 1)
         .select("doc_id", "h", "sz", "bucket")
@@ -1011,10 +1046,9 @@ def allpairs_jaccard_pairs(
     # the frequency table and doc-array dim scale with the corpus, so the
     # planner must stay free to pick a shuffled hash join at scale.
     expl = base.select("doc_id", "sz", F.explode("hs").alias("h"))
-    freq = expl.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
     prefix = (
-        expl.join(freq, "h")
+        _with_shingle_df(expl)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.ceil(F.lit(1.0 - threshold) * F.col("sz")) + 1)
         .select("doc_id", "h", "sz")

@@ -32,6 +32,11 @@ Two DOCUMENTED divergence classes remain, asserted EXACTLY below:
 import duckdb
 import pytest
 
+# Whole-catalog parity sweeps (~100-140 s each): excluded from the
+# default run via pytest.ini so `pytest tests/` fits the driver's verify
+# time box (r10 verdict item 1); run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 from real_time_weather_data_pipeline_for_philippine_cities_spark.plans.catalog import (
     CATALOG,
 )

@@ -190,6 +190,11 @@ ARROW_PYTHON_OK = {
     # map-only over the corpus scan, BLAS-shaped batch scoring — replaces
     # |corpus|×|bench| interpreted aggregate folds (r5).
     "embedding_decontam",
+    # multi-table LSH bucket kernel (similarity.lsh_buckets_col): one
+    # vectorized pass replaces L×b interpreted plane-dot folds (r11);
+    # knn_join_lsh additionally runs its per-bucket top-k mapInPandas.
+    "ann_lsh_multitable",
+    "knn_join_lsh",
 }
 
 

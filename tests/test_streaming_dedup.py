@@ -222,6 +222,12 @@ def test_streaming_neardup_replay_no_self_pairs(spark, tmp_path):
         epoch_fn(batch, 1)
 
 
+import pytest
+
+
+# 25-epoch store-rewrite horizon (~2.5 min): slow-marked so the default
+# run fits the driver's verify time box; run with `pytest -m slow`.
+@pytest.mark.slow
 def test_streaming_neardup_store_compaction_bounds_file_count(spark, tmp_path):
     """Long-horizon store hygiene (round-9 verdict, what's-wrong #4): the
     bands/sigs store previously grew one sigs file + up to four bands

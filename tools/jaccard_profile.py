@@ -111,12 +111,14 @@ def main() -> None:
                 force(df)
                 dt = time.perf_counter() - t0
                 mins[sname] = min(mins.get(sname, 9e9), dt)
+                print(f"# {qname}:{sname} {dt:.2f}s", file=sys.stderr, flush=True)
                 spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"profile:{qname}:full")
             t0 = time.perf_counter()
             force(CATALOG[qname].fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             mins["full"] = min(mins.get("full", 9e9), dt)
+            print(f"# {qname}:full {dt:.2f}s", file=sys.stderr, flush=True)
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(None)
         out[qname] = {k: round(v, 3) for k, v in mins.items()}
