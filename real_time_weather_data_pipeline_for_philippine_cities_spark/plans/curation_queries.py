@@ -1158,6 +1158,13 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.filter("tk", lambda x: x != "").alias("tk"))
         .withColumn("n", F.size("tk"))
     )
+    # NOTE (r11, examined and left alone): uni/big_all are each consumed
+    # 2-3x and the executed plan re-tokenizes the corpus per reference (5
+    # scans, 0 reused exchanges) — but persisting both count tables
+    # measured 2.3x SLOWER at sf0.1 and 2.0x at sf1 (interleaved A/B,
+    # $SPARK_GRAFT_SHARED_MAT): the re-scans are cheap map-combined
+    # passes that overlap in one job, while the cache pays a columnar
+    # write + a scheduling barrier. Recompute wins at both SFs.
     uni = (
         toks.select(F.explode("tk").alias("w"))
         .groupBy("w")

@@ -26,6 +26,7 @@ from ..functions.rounding import (
     quantize_double,
     round_div,
 )
+from ..session import persist_shared
 from .base import Q, finite, finite_pred, finite_spark_sql, finite_sql, t
 
 
@@ -239,7 +240,12 @@ def q_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
         .distinct()
     )
-    return symmetric_difference(new, old, ["partkey", "suppkey"])
+    # each snapshot is probe of one anti-join and build of the other, so
+    # the distinct shuffles ran twice per side (r11 audit: 4 scans, 0
+    # reused exchanges) — persist both distinct pair sets.
+    return symmetric_difference(
+        persist_shared(new), persist_shared(old), ["partkey", "suppkey"]
+    )
 
 
 _SYMDIFF_SQL = """

@@ -745,12 +745,22 @@ def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of the same fact" shape (0.5*sum(l_quantity) there),
     re-keyed onto lineitem since this corpus ships no partsupp.
 
-    The correlated comparison decorrelates into two stacked aggregates on
-    the SAME key (per (part,supplier) sums reduce first, per-part totals
-    reduce the reduced rows) plus one co-partitioned join — the second
-    agg and the join reuse the first shuffle's partitioning. Dominance
-    `q * nsupp > 3 * tq` is all-BIGINT (quantities are integer-valued, cast
-    before summing), so the threshold is exact on both engines."""
+    The correlated comparison decorrelates into the per-(part,supplier)
+    aggregate plus per-part totals as WINDOW aggregates over the reduced
+    rows (sum/count over partition by l_partkey) — not a second groupBy
+    joined back: Catalyst does not reuse the `per` subtree between a
+    join's two sides, so the join form executed the lineitem scan and
+    the first aggregate TWICE (r11 plan audit: 2 parquet scans, 4
+    exchanges; the window form is 1 scan, 3 exchanges — guide §2.4, the
+    window reuses the aggregate's reduced rows in place). Window sum and
+    count over BIGINTs are the exact groupBy values, so the dominance
+    threshold `q * nsupp > 3 * tq` is unchanged (all-BIGINT, quantities
+    integer-valued and cast before summing — exact on both engines; the
+    DuckDB twin keeps the GROUP BY + join form and matches bitwise).
+    ``$SPARK_GRAFT_Q20_SHAPE=join`` restores the join form (A/B hook).
+    """
+    import os as _os
+
     li = t(spark, sf_dir, "lineitem").select(
         # floor() on BOTH engines: a bare cast truncates in Spark but rounds in
         # DuckDB, so the integer contract would silently diverge on any
@@ -758,13 +768,21 @@ def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", F.floor("l_quantity").cast("long").alias("qty")
     )
     per = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("q"))
-    tot = per.groupBy("l_partkey").agg(
-        F.sum("q").alias("tq"), F.count(F.lit(1)).alias("nsupp")
-    )
-    dominated = (
-        per.join(tot, "l_partkey")
-        .filter(F.col("q") * F.col("nsupp") > F.lit(3) * F.col("tq"))
-    )
+    if _os.environ.get("SPARK_GRAFT_Q20_SHAPE", "window") == "join":
+        tot = per.groupBy("l_partkey").agg(
+            F.sum("q").alias("tq"), F.count(F.lit(1)).alias("nsupp")
+        )
+        dominated = (
+            per.join(tot, "l_partkey")
+            .filter(F.col("q") * F.col("nsupp") > F.lit(3) * F.col("tq"))
+        )
+    else:
+        wp = Window.partitionBy("l_partkey")
+        dominated = (
+            per.withColumn("tq", F.sum("q").over(wp))
+            .withColumn("nsupp", F.count(F.lit(1)).over(wp))
+            .filter(F.col("q") * F.col("nsupp") > F.lit(3) * F.col("tq"))
+        )
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         dominated.groupBy(F.col("l_suppkey").alias("s_suppkey"))

@@ -575,6 +575,11 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern-matching via per-stage conditional minima, not MATCH_RECOGNIZE
     state machines)."""
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # NOTE (r11, examined and left alone): v/c are re-evaluated per
+    # reference (6 scans, 0 reused exchanges) but persisting them
+    # measured 1.48x slower at sf0.1 / 1.22x at sf1 (interleaved A/B) —
+    # each duplicate pass is a pruned pushed-filter scan + map-combined
+    # min that overlaps in one job; the cache is a barrier.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -1040,6 +1045,10 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize_double(quantize_domain_guard("_med", 6), 6).alias("med"),
         )
     )
+    # NOTE (r11, examined and left alone): med/dev are re-evaluated per
+    # consumer (4 scans) but materializing med + persisting dev measured
+    # 1.07x (sf0.1) / 1.13x (sf1) SLOWER — the percentile re-aggregation
+    # is cheaper than the corpus-scale cache it would avoid.
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "ad", F.abs(F.col("value") - F.col("med"))
     )

@@ -23,6 +23,7 @@ from ..functions.rounding import (
     quantize_double,
     round_div,
 )
+from ..session import materialize_shared
 from .base import Q, finite, finite_sql, spread, t
 
 
@@ -553,7 +554,15 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tok")
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # ONE consumer promise above held for the shingle subtree, but
+    # counts itself feeds BOTH the sizes and pairs branches (and sizes
+    # feeds two join sides) — Catalyst re-executed the whole census 3x
+    # (r11 executed-plan audit: 3 parquet scans, 0 reused exchanges).
+    # counts is post-census (doc tokens + cap-bounded pair tokens), so
+    # materialize it once; every branch reads the leaf.
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).transform(
+        materialize_shared
+    )
     sizes = counts.filter(F.col("tok") < 4294967296).select(
         F.col("tok").alias("doc_id"), F.col("c").alias("n_sh")
     )

@@ -134,6 +134,30 @@ def materialize(df, eager: bool = True):
     return df.localCheckpoint(eager=eager)
 
 
+def materialize_shared(df, eager: bool = True):
+    """:func:`materialize` for SMALL multi-consumer stages found by the
+    r11 duplicate-subtree audit (Catalyst re-executes a DataFrame's plan
+    once per reference; AQE exchange reuse measured 0 hits on these).
+    ``$SPARK_GRAFT_SHARED_MAT=off`` restores the recompute-per-consumer
+    plans (A/B hook; every adopted site was measured at sf0.1 AND sf1).
+    """
+    if os.environ.get("SPARK_GRAFT_SHARED_MAT", "on") == "off":
+        return df
+    return materialize(df, eager)
+
+
+def persist_shared(df):
+    """The persist() arm of the same audit — for CORPUS-SCALE shared
+    stages, where the r10 sf1 measurements chose the in-memory-columnar
+    cache over an eager checkpoint (lazy: stages overlap in one job).
+    Same ``$SPARK_GRAFT_SHARED_MAT=off`` hook."""
+    if os.environ.get("SPARK_GRAFT_SHARED_MAT", "on") == "off":
+        return df
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-provided session (idempotent)."""
     for k, v in _RUNTIME_CONFS.items():
